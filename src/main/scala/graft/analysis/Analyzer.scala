@@ -1,0 +1,116 @@
+package graft.analysis
+
+/** Deterministic text analyzer shared verbatim by index build, query
+  * parsing, and the scalar test oracle.
+  *
+  * The reference enforces the same share-one-analyzer property by reusing a
+  * single `CollectLemmasAction` bean on both the indexing and the search
+  * path (reference: services/actions/CollectLemmasAction.java:33-76,
+  * SearchServiceImpl.java:69-70). Its pipeline is: lowercase, `ё`->`е`,
+  * strip non-letters, split on whitespace, keep words of length >= 2,
+  * drop particles (stopwords), normalize via dictionary lemmatization.
+  *
+  * Ours generalizes the character class beyond Cyrillic (transcripts are
+  * mixed-language) and replaces the Lucene dictionary lemmatizer with a
+  * rule-free identity normalizer — deterministic, total, version-pinned.
+  * The version string is stamped into the index manifest so build and
+  * query can never disagree (SURVEY.md §7.8.5).
+  *
+  * Everything here is pure Scala (no Spark imports): the same function
+  * object is called from driver-side query parsing, executor-side UDFs,
+  * and the single-node oracle.
+  */
+object Analyzer extends Serializable {
+
+  /** Bumped on ANY behavioral change; recorded in the index manifest. */
+  val Version = "graft-analyzer-1"
+
+  /** Minimum token length, after normalization.
+    * Reference: `[а-яъ]{2,}` (CollectLemmasAction.java:19,55). */
+  val MinTokenLength = 2
+
+  /** Default stopword set. The reference drops Russian particles by
+    * morphological class (МЕЖД/ПРЕДЛ/СОЮЗ/МС — CollectLemmasAction.java:17-21,
+    * :65-76); a fixed set is the deterministic analog. Kept EMPTY by default
+    * so SQL oracles stay trivially expressible; query-time stop-term
+    * suppression is instead handled by the df <= 0.9*N cap
+    * (SearchServiceImpl.java:32,151-154), which subsumes particle dropping
+    * on real corpora.
+    */
+  val DefaultStopwords: Set[String] = Set.empty
+
+  /** Lowercase + fold `ё`->`е` (reference CollectLemmasAction.java:34,48).
+    * Locale-insensitive lowercase: Char-wise toLowerCase would mishandle
+    * some locales; `String.toLowerCase(Locale.ROOT)` is deterministic. */
+  def fold(text: String): String =
+    text.toLowerCase(java.util.Locale.ROOT).replace('ё', 'е')
+
+  private def isTokenChar(c: Char): Boolean =
+    Character.isLetter(c) || Character.isDigit(c)
+
+  /** Tokenize a text into normalized terms, in document order.
+    * Single pass, no regex (hot path at 10^12 turns — regex split
+    * allocates; this does not beyond the token strings themselves).
+    *
+    * Boundaries are detected on the ORIGINAL chars and each token is
+    * folded individually: Unicode lowercasing can change string length
+    * (İ → i̇), so folding the whole text first would desynchronize
+    * offsets from [[tokensWithOffsets]]. Invariant (property-tested):
+    * `tokens(s) == tokensWithOffsets(s).map(_.term)` for all inputs.
+    */
+  def tokens(text: String): Vector[String] = {
+    if (text == null || text.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[String]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && !isTokenChar(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && isTokenChar(text.charAt(i))) i += 1
+      if (i - start >= MinTokenLength) {
+        val tok = fold(text.substring(start, i))
+        if (!DefaultStopwords.contains(tok)) out += tok
+      }
+    }
+    out.result()
+  }
+
+  /** A token with its ordinal and char offsets in the ORIGINAL text —
+    * the snippet generator needs original-casing offsets
+    * (reference UnalteredWord, dto/search/UnalteredWord.java:9-19;
+    * offsets computed in GenerateSnippetAction.java:40-66).
+    * Offsets index the original string; the surface form keeps original
+    * casing while `term` is normalized.
+    */
+  final case class Tok(term: String, surface: String, ordinal: Int, start: Int, end: Int)
+
+  /** Tokenize retaining char offsets into the original text.
+    * Works because our normalization is 1:1 on chars (lowercase/ё-fold
+    * never change string length for the character classes we accept).
+    */
+  def tokensWithOffsets(text: String): Vector[Tok] = {
+    if (text == null || text.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    var ord = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && !isTokenChar(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && isTokenChar(text.charAt(i))) i += 1
+      if (i - start >= MinTokenLength) {
+        val surface = text.substring(start, i)
+        val term = fold(surface)
+        if (!DefaultStopwords.contains(term)) {
+          out += Tok(term, surface, ord, start, i)
+          ord += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Analyze a query string into its distinct terms, insertion-ordered
+    * (reference: query lemma Set, SearchServiceImpl.java:68-70). */
+  def analyzeQuery(query: String): Vector[String] = tokens(query).distinct
+}

@@ -1,0 +1,97 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.fixtures.TranscriptGen
+import graft.index.IndexBuilder
+import graft.query.SearchEngine
+
+/** spark-submit entrypoints (SURVEY.md §7.1 `cli/`): index build + query.
+  * In the sandbox these run through sbt `runMain`; on a cluster the same
+  * mains go through spark-submit (SparkSession.builder honors submit-time
+  * master/conf and only falls back to local[*]).
+  */
+object CliSession {
+  def session(app: String): SparkSession = {
+    val b = SparkSession.builder().appName(app)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+    val withMaster = // respect spark-submit's master; default local
+      if (sys.props.contains("spark.master")) b
+      else b.master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
+    val s = withMaster.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Build an inverted index.
+  * Usage: BuildIndex <indexRoot> (--transcripts <parquet>| --gen <nConvs>)
+  *        [--shards N] [--wave N]
+  */
+object BuildIndex {
+  def main(args: Array[String]): Unit = {
+    val a = args.toVector
+    def opt(name: String): Option[String] =
+      a.indexOf(name) match { case -1 => None; case i => a.lift(i + 1) }
+    val root = a.headOption.getOrElse(sys.error(
+      "usage: BuildIndex <indexRoot> (--transcripts <parquet> | --gen <nConvs>) [--shards N] [--wave N]"))
+    val spark = CliSession.session("graft-build-index")
+    import spark.implicits._
+    val turns = (opt("--transcripts"), opt("--gen")) match {
+      case (Some(path), _) => spark.read.parquet(path).as[graft.model.Turn]
+      case (_, Some(n)) => TranscriptGen.dataset(spark, seed = 42L, nConvs = n.toLong)
+      case _ => sys.error("one of --transcripts <parquet> or --gen <nConvs> is required")
+    }
+    val shards = opt("--shards").map(_.toInt).getOrElse(IndexBuilder.DefaultShards)
+    val wave = opt("--wave").map(_.toInt).getOrElse(16)
+    val t0 = System.nanoTime()
+    val built = IndexBuilder.build(spark, turns, root, shards = shards, waveSize = wave)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val m = built.manifest
+    println(f"built index at $root: snapshot=${m.snapshotId} docs=${m.nDocs} " +
+      f"avgdl=${m.avgdl}%.2f shards=${m.completedShards.size} " +
+      f"postings=${m.shards.map(_.postings).sum} bytes=${m.shards.map(_.bytes).sum} " +
+      f"in $secs%.1fs (${m.nDocs / secs}%.0f docs/s)")
+    spark.stop()
+  }
+}
+
+/** Query a built index.
+  * Usage: Query <indexRoot> <queryText> [--mode AND|OR] [--k N] [--naive]
+  */
+object Query {
+  def main(args: Array[String]): Unit = {
+    val a = args.toVector
+    def opt(name: String): Option[String] =
+      a.indexOf(name) match { case -1 => None; case i => a.lift(i + 1) }
+    if (a.size < 2) sys.error(
+      "usage: Query <indexRoot> <queryText> [--mode AND|OR] [--k N] [--naive]")
+    val root = a(0)
+    val q = a(1)
+    val mode = opt("--mode").getOrElse("AND").toUpperCase
+    val k = opt("--k").map(_.toInt).getOrElse(10)
+    val spark = CliSession.session("graft-query")
+    val t0 = System.nanoTime()
+    val hits =
+      if (a.contains("--naive"))
+        SearchEngine.queryNaive(spark, root, q, mode, k).collect()
+          .map(r => graft.model.SearchHit(r.getLong(0), r.getDouble(1))).toVector
+      else SearchEngine.query(spark, root, q, mode, k)
+    val ms = (System.nanoTime() - t0) / 1e6
+    println(f"query='$q' mode=$mode k=$k → ${hits.size} hits in $ms%.0f ms")
+    val docs = graft.index.IndexBuilder.loadDocs(spark, root)
+    val byId = if (hits.isEmpty) Map.empty[Long, String] else {
+      import org.apache.spark.sql.functions.col
+      docs.filter(col("docId").isin(hits.map(_.docId): _*))
+        .collect().map(d => d.docId -> d.text).toMap
+    }
+    hits.zipWithIndex.foreach { case (h, i) =>
+      val preview = byId.getOrElse(h.docId, "").take(80)
+      println(f"${i + 1}%2d. doc=${h.docId}%-8d score=${h.score}%.6f  $preview")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,103 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style snapshot manifest for the posting index (SURVEY.md §7.0.5,
+  * §7.6). No Iceberg runtime jar exists in the offline sandbox, so this
+  * layer carries the north rule's checkpoint / lineage / per-partition
+  * metrics semantics over plain Parquet partitions:
+  *
+  *  - one JSON-lines manifest file per snapshot, committed by ATOMIC RENAME
+  *    (`manifest-vN.json.tmp` → `manifest-vN.json`);
+  *  - one line per completed shard with metrics {terms, postings, bytes}
+  *    and lineage (source input partitions);
+  *  - a header line with snapshot id, analyzer version (build/query
+  *    agreement — SURVEY.md §7.8.5), input fingerprint, corpus stats.
+  *
+  * Resume = set-difference of all shards vs shards present in the latest
+  * manifest; only missing shards are recomputed (IndexBuilder.build).
+  * Matches the reference's recoverability intent (site INDEXING/INDEXED/
+  * FAILED status + per-page idempotence — SiteEntity.java:23-25,
+  * ParseAction.java:192-203) at partition granularity.
+  *
+  * Hand-rolled fixed-schema JSON (offline sandbox: no JSON lib beyond
+  * Spark's internals); fields are numbers/id-safe strings, no escaping
+  * needed except analyzerVersion which is ours.
+  */
+final case class ShardEntry(shard: Int, terms: Long, postings: Long, bytes: Long,
+                            sourcePartitions: Seq[Int])
+
+final case class Manifest(
+    snapshotId: Long,
+    analyzerVersion: String,
+    inputFingerprint: String,
+    nDocs: Long,
+    avgdl: Double,
+    shards: Seq[ShardEntry]) {
+  def completedShards: Set[Int] = shards.map(_.shard).toSet
+}
+
+object IndexManifest {
+
+  private def manifestPath(root: String, v: Long): Path =
+    Paths.get(root, f"manifest-v$v%05d.json")
+
+  def latestVersion(root: String): Option[Long] = {
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return None
+    val vs = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("manifest-v") && s.endsWith(".json") =>
+        s.stripPrefix("manifest-v").stripSuffix(".json").toLong }
+      .toSeq
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  def read(root: String): Option[Manifest] = latestVersion(root).map { v =>
+    val lines = Files.readAllLines(manifestPath(root, v), StandardCharsets.UTF_8).asScala
+    val head = parseFields(lines.head)
+    val shards = lines.tail.filter(_.nonEmpty).map { l =>
+      val f = parseFields(l)
+      ShardEntry(f("shard").toInt, f("terms").toLong, f("postings").toLong,
+        f("bytes").toLong,
+        f("sourcePartitions").split(";").filter(_.nonEmpty).map(_.toInt).toSeq)
+    }.toSeq
+    Manifest(head("snapshotId").toLong, head("analyzerVersion"),
+      head("inputFingerprint"), head("nDocs").toLong, head("avgdl").toDouble, shards)
+  }
+
+  /** Commit a new snapshot: write tmp, fsync, atomic rename. */
+  def commit(root: String, m: Manifest): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val sb = new StringBuilder
+    sb.append(line(
+      "snapshotId" -> m.snapshotId.toString,
+      "analyzerVersion" -> m.analyzerVersion,
+      "inputFingerprint" -> m.inputFingerprint,
+      "nDocs" -> m.nDocs.toString,
+      // Double round-trips exactly via toString/toDouble (Java guarantees).
+      "avgdl" -> m.avgdl.toString)).append('\n')
+    m.shards.sortBy(_.shard).foreach { s =>
+      sb.append(line(
+        "shard" -> s.shard.toString,
+        "terms" -> s.terms.toString,
+        "postings" -> s.postings.toString,
+        "bytes" -> s.bytes.toString,
+        "sourcePartitions" -> s.sourcePartitions.mkString(";"))).append('\n')
+    }
+    val tmp = Paths.get(root, s"manifest-v${m.snapshotId}.json.tmp")
+    Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(root, m.snapshotId),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def line(kvs: (String, String)*): String =
+    kvs.map { case (k, v) => "\"" + k + "\": \"" + v + "\"" }
+      .mkString("{", ", ", "}")
+
+  private val Field = "\"([^\"]+)\": \"([^\"]*)\"".r
+  private def parseFields(l: String): Map[String, String] =
+    Field.findAllMatchIn(l).map(m => m.group(1) -> m.group(2)).toMap
+}

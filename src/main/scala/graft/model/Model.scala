@@ -1,0 +1,76 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** Core typed row shapes (SURVEY.md §1.4, FIXTURES.md §1/§5).
+  * Case classes give Spark `Encoder`s via `import spark.implicits._`.
+  */
+
+/** One transcript turn — the primary input table
+  * (BASELINE.json input_hint; reference analog: `page` rows,
+  * model/PageEntity.java:14-37). */
+final case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: Timestamp)
+
+/** A turn with its assigned stable docId (reference: page.id auto-inc,
+  * PageEntity.java:18-21 — ours is the dense rank under
+  * (conv_id ASC, turn_idx ASC)). `dl` = document length in tokens
+  * (BM25 needs it). */
+final case class Doc(
+    docId: Long,
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    dl: Int)
+
+/** Term dictionary row (reference: `lemma` table with df in
+  * LemmaEntity.frequency, model/LemmaEntity.java:13-29). */
+final case class TermStats(term: String, df: Long, maxTf: Int)
+
+/** Global corpus statistics, broadcast at query time (BM25 inputs). */
+final case class CorpusStats(nDocs: Long, avgdl: Double, analyzerVersion: String)
+
+/** One compressed posting-list chunk for (shard, term)
+  * (reference: the set of `search_index` rows for one lemma,
+  * model/IndexEntity.java:13-30).
+  *
+  * `shard` = docId-range partition (the distributed query unit: AND /
+  * WAND run fully shard-local, driver merges per-shard top-k).
+  * `chunk` = salt ordinal — lists longer than the chunk cap are split
+  * into consecutive docId sub-ranges so no single blob row is unbounded
+  * (hot-term skew defense, SURVEY.md §7.7); chunks of one (shard, term)
+  * concatenate back in `chunk` order.
+  * docIds strictly ascending delta+varint; tfs and dls varint
+  * (dl duplicated per posting = Lucene-norms analog, needed for
+  * shard-local BM25); blockMaxTf/blockMinDl per 128 docs give the exact
+  * per-block BM25 upper bound score(maxTf, df, minDl) for block-max WAND
+  * (BM25 is increasing in tf, decreasing in dl). */
+final case class PostingList(
+    shard: Int,
+    term: String,
+    chunk: Int,
+    count: Long,
+    maxTf: Int,
+    docIds: Array[Byte],
+    tfs: Array[Byte],
+    dls: Array[Byte],
+    blockMaxTf: Array[Int],
+    blockMinDl: Array[Int])
+
+/** A scored search result (reference: SearchData,
+  * dto/search/SearchData.java:12-20 minus REST decoration). */
+final case class SearchHit(docId: Long, score: Double)
+
+/** Query specification. AND = reference semantics (posting intersection,
+  * SearchServiceImpl.java:164-200); OR = union-of-postings BM25 sum
+  * (north-star extension, SURVEY.md §7.0.2). */
+final case class QuerySpec(terms: Vector[String], mode: String, k: Int) {
+  require(mode == "AND" || mode == "OR", s"mode must be AND|OR, got $mode")
+}

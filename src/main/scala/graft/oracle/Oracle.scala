@@ -1,0 +1,82 @@
+package graft.oracle
+
+import graft.analysis.Analyzer
+import graft.model.{SearchHit, Turn}
+import graft.query.Bm25
+
+/** Single-node scalar reference implementation (SURVEY.md §5.1: the
+  * reference repo ships NO ranking tests, so rank-identity is pinned by
+  * this in-repo oracle — plain Scala collections, no Spark).
+  *
+  * Semantics mirrored 1:1 with the engine:
+  *  - docId = dense rank of (conv_id ASC, turn_idx ASC);
+  *  - same [[Analyzer]] instance for corpus and queries;
+  *  - stop-term cap df <= 0.9·N;
+  *  - AND = posting intersection; OR = union;
+  *  - BM25 (k1=1.2, b=0.75) summed per doc in canonical
+  *    (df asc, term asc) order;
+  *  - total order: score DESC, docId ASC.
+  */
+final class Oracle(corpus: Seq[Turn]) {
+
+  /** docId → turn, under stable ordering. */
+  val docs: Vector[Turn] =
+    corpus.sortBy(t => (t.conv_id, t.turn_idx)).toVector
+
+  val nDocs: Long = docs.length.toLong
+
+  /** docId → tokenized terms. */
+  private val docTokens: Vector[Vector[String]] = docs.map(d => Analyzer.tokens(d.text))
+
+  val avgdl: Double = {
+    var s = 0L
+    docTokens.foreach(t => s += t.length)
+    s.toDouble / nDocs
+  }
+
+  /** term → docId → tf (insertion in docId order). */
+  val index: Map[String, Vector[(Long, Int)]] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[(Long, Int)]]
+    docTokens.zipWithIndex.foreach { case (toks, d) =>
+      val counts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      toks.foreach(t => counts.update(t, counts.getOrElse(t, 0) + 1))
+      counts.foreach { case (term, tf) =>
+        m.getOrElseUpdate(term, scala.collection.mutable.ArrayBuffer.empty) += ((d.toLong, tf))
+      }
+    }
+    m.map { case (k, v) => k -> v.toVector }.toMap
+  }
+
+  def df(term: String): Long = index.get(term).map(_.length.toLong).getOrElse(0L)
+  def dl(docId: Long): Int = docTokens(docId.toInt).length
+  def text(docId: Long): String = docs(docId.toInt).text
+
+  def topK(query: String, mode: String = "AND", k: Int = 10,
+           applyStopCap: Boolean = true): Vector[SearchHit] = {
+    val qTerms = Analyzer.analyzeQuery(query)
+    if (qTerms.isEmpty) return Vector.empty
+    val present = qTerms.filter(t => df(t) > 0)
+    val cap = 0.9 * nDocs
+    val kept = (if (applyStopCap) present.filter(t => df(t) <= cap) else present)
+      .sortBy(t => (df(t), t))
+    val missing = qTerms.toSet -- present.toSet --
+      (if (applyStopCap) present.filter(t => df(t) > cap).toSet else Set.empty)
+    if (kept.isEmpty || (mode == "AND" && missing.nonEmpty)) return Vector.empty
+
+    val postings = kept.map(t => index(t).toMap)
+    val candidates: Set[Long] =
+      if (mode == "AND") postings.map(_.keySet).reduce(_ intersect _)
+      else postings.map(_.keySet).reduce(_ union _)
+
+    val hits = candidates.toVector.map { d =>
+      var s = 0.0
+      kept.foreach { t => // canonical order: kept is (df asc, term asc)
+        postings(kept.indexOf(t)).get(d).foreach { tf =>
+          s += Bm25.score(tf, df(t), dl(d), nDocs, avgdl)
+        }
+      }
+      SearchHit(d, s)
+    }
+    hits.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+}

@@ -1,0 +1,168 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+import graft.index.IndexBuilder
+import graft.model.{CorpusStats, QuerySpec, SearchHit, TermStats}
+
+/** Query engine over a built index (SURVEY.md §3.1 Spark lifecycle, §7.5).
+  *
+  * Two interchangeable execution paths, rank-identical by construction and
+  * by test (EngineParitySpec):
+  *
+  *  - `queryNaive` — declarative Catalyst plan over the uncompressed tf
+  *    relation: broadcast dictionary join (J3) → stop-term cap (F4) →
+  *    df-asc ordering (O1) → left-semi intersection chain (J1) → BM25
+  *    per (doc, term) → deterministic canonical-order sum (A4) → top-k
+  *    (O2/O4, TakeOrderedAndProject). The correctness backstop and the
+  *    SQL-oracle twin.
+  *
+  *  - `query` — compressed path: term_stats lookup (driver, broadcast-
+  *    sized) → partition-pruned posting scan (parquet row-group skipping
+  *    on the sorted `term` column) → shard-local AND-intersection / WAND
+  *    in `mapPartitions` (zero per-query shuffle) → per-shard top-k →
+  *    driver k-way merge. This is the scale path: per-query work is
+  *    O(postings of the query terms), network is O(shards × k).
+  *
+  * Query-time semantics carried over from the reference:
+  *  - terms analyzed with the SAME analyzer as the build
+  *    (SearchServiceImpl.java:68-70);
+  *  - stop-term cap df <= 0.9·N (LEMMA_FREQUENCY_PERCENT,
+  *    SearchServiceImpl.java:32,151-154);
+  *  - AND = intersection, rarest term first (:164-200);
+  *  - deterministic order: score DESC, docId ASC (§7.0.3 — the reference
+  *    leaves ties unspecified, SearchServiceImpl.java:231-245).
+  */
+object SearchEngine {
+
+  /** Reference LEMMA_FREQUENCY_PERCENT (SearchServiceImpl.java:32). */
+  val StopTermCap = 0.9
+
+  final case class Plan(terms: Vector[TermStats], dropped: Vector[String],
+                        mode: String, k: Int)
+
+  /** Driver-side "optimize" phase: dictionary lookup + stop cap + df-asc
+    * order (SURVEY.md §3.1 step 5). The dictionary probe is a filtered
+    * scan of the tiny term_stats table, not a full collect. */
+  def plan(spark: SparkSession, root: String, spec: QuerySpec,
+           stats: CorpusStats, applyStopCap: Boolean = true): Plan = {
+    import spark.implicits._
+    if (spec.terms.isEmpty) return Plan(Vector.empty, Vector.empty, spec.mode, spec.k)
+    val found = IndexBuilder.loadTermStats(spark, root)
+      .filter($"term".isin(spec.terms: _*))
+      .collect().toVector
+    val cap = StopTermCap * stats.nDocs
+    val (kept0, dropped) =
+      if (applyStopCap) found.partition(_.df <= cap) else (found, Vector.empty)
+    val kept = kept0.sortBy(t => (t.df, t.term)) // O1: rarest first
+    Plan(kept, dropped.map(_.term).toVector, spec.mode, spec.k)
+  }
+
+  /** Compressed scale path. Returns exact global top-k hits. */
+  def query(spark: SparkSession, root: String, queryText: String,
+            mode: String = "AND", k: Int = 10): Vector[SearchHit] = {
+    val stats = statsOf(spark, root)
+    val spec = QuerySpec(Analyzer.analyzeQuery(queryText), mode, k)
+    val p = plan(spark, root, spec, stats)
+    // AND with a missing term ⇒ empty (reference: a lemma absent from the
+    // dictionary yields no pages — SearchServiceImpl.java:143-149,166-168)
+    val missing = spec.terms.toSet -- p.terms.map(_.term).toSet -- p.dropped.toSet
+    if (p.terms.isEmpty || (mode == "AND" && missing.nonEmpty)) return Vector.empty
+    executePlan(spark, root, p, stats)
+  }
+
+  def executePlan(spark: SparkSession, root: String, p: Plan,
+                  stats: CorpusStats): Vector[SearchHit] = {
+    import spark.implicits._
+    val termList = p.terms.map(_.term)
+    val dfByTerm = p.terms.map(t => t.term -> t.df).toMap
+    // canonical contribution order: df asc, term asc (§7.8.1)
+    val canonical = p.terms.sortBy(t => (t.df, t.term)).map(_.term)
+      .zipWithIndex.toMap
+    val nDocs = stats.nDocs
+    val avgdl = stats.avgdl
+    val mode = p.mode
+    val k = p.k
+    val nTerms = termList.size
+
+    val perShard = IndexBuilder.loadPostings(spark, root)
+      .filter($"term".isin(termList: _*))
+      .select($"shard", $"term", $"chunk", $"count", $"docIds", $"tfs",
+        $"dls", $"blockMaxTf", $"blockMinDl")
+      .mapPartitions { rows =>
+        // one input partition may pack several shard dirs: group by shard
+        val byShard = rows.toVector.groupBy(_.getInt(0))
+        byShard.iterator.flatMap { case (_, shardRows) =>
+          val cursors = shardRows.groupBy(_.getString(1)).map { case (term, rs) =>
+            val chunks = rs.sortBy(_.getInt(2)).map { r =>
+              Wand.Chunk(r.getLong(3).toInt, r.getAs[Array[Byte]](4),
+                r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6),
+                r.getSeq[Int](7).toArray, r.getSeq[Int](8).toArray)
+            }.toIndexedSeq
+            new Wand.TermCursor(
+              Wand.TermPostings(term, dfByTerm(term), canonical(term), chunks),
+              nDocs, avgdl)
+          }.toSeq
+          val hits =
+            if (mode == "AND") {
+              // a term absent from this shard ⇒ empty local intersection
+              if (cursors.size < nTerms) Vector.empty
+              else Wand.andTopK(cursors, k)
+            } else Wand.orTopK(cursors, k)
+          hits.iterator
+        }
+      }
+      .collect()
+
+    perShard.toVector.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
+  /** Naive Catalyst path over the uncompressed tf relation — correctness
+    * backstop + the shape the SQL oracle mirrors (SURVEY.md §7.3). */
+  def queryNaive(spark: SparkSession, root: String, queryText: String,
+                 mode: String = "AND", k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val stats = statsOf(spark, root)
+    val spec = QuerySpec(Analyzer.analyzeQuery(queryText), mode, k)
+    val p = plan(spark, root, spec, stats)
+    val missing = spec.terms.toSet -- p.terms.map(_.term).toSet -- p.dropped.toSet
+    val session = spark
+    if (p.terms.isEmpty || (mode == "AND" && missing.nonEmpty))
+      return session.emptyDataset[SearchHit].toDF("docId", "score")
+
+    val tf = IndexBuilder.loadTf(spark, root)
+    val termList = p.terms.map(_.term)
+    val qtf = tf.filter($"term".isin(termList: _*))
+
+    val candidates =
+      if (p.mode == "AND") {
+        // J1: left-semi chain, rarest term first (O1 already applied)
+        p.terms.map(t => qtf.filter($"term" === t.term).select($"docId"))
+          .reduce((a, b) => a.join(b, Seq("docId"), "left_semi"))
+      } else {
+        qtf.select($"docId").distinct()
+      }
+
+    // per-(doc, term) BM25 then deterministic canonical-order fold (§7.8.1)
+    val dfCol = typedLit(p.terms.map(t => t.term -> t.df).toMap)
+    val scored = qtf
+      .join(candidates, Seq("docId"), "left_semi")
+      .withColumn("tdf", dfCol($"term"))
+      .withColumn("s", Bm25.scoreCol($"tf", $"tdf", $"dl", stats.nDocs, stats.avgdl))
+      .groupBy($"docId")
+      .agg(aggregate(
+        array_sort(collect_list(struct($"tdf", $"term", $"s"))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("s")).as("score"))
+
+    scored.orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
+  def statsOf(spark: SparkSession, root: String): CorpusStats = {
+    val m = graft.index.IndexManifest.read(root).getOrElse(
+      throw new IllegalStateException(s"no manifest at $root — index not built"))
+    CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
+  }
+}

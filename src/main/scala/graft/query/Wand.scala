@@ -1,0 +1,195 @@
+package graft.query
+
+import scala.collection.mutable
+
+import graft.index.PostingCodec
+import graft.model.SearchHit
+
+/** Shard-local top-k executors over compressed posting lists — the
+  * document-at-a-time core that runs inside `mapPartitions`
+  * (SURVEY.md §7.5). Pure JVM, no Spark imports.
+  *
+  * Exactness contract (rank-identity gate): both executors return the
+  * EXACT top-k of their shard under the total order
+  * (score DESC, docId ASC); skipping only ever uses upper bounds with a
+  * `<` comparison against the current threshold plus a docId-aware
+  * admission rule, so score ties at the threshold are still examined and
+  * resolved by docId. Verified by equivalence properties against the
+  * brute-force scorer (WandSpec).
+  */
+object Wand {
+
+  /** One query term's posting data within a shard: chunks concatenate in
+    * chunk order (they cover consecutive docId ranges). */
+  final case class TermPostings(
+      term: String,
+      df: Long,
+      canonical: Int, // position in the fixed (df asc, term asc) order
+      chunks: IndexedSeq[Chunk])
+
+  final case class Chunk(count: Int, docIds: Array[Byte], tfs: Array[Byte],
+                         dls: Array[Byte], blockMaxTf: Array[Int],
+                         blockMinDl: Array[Int])
+
+  /** Streaming cursor over a term's chunks. */
+  final class TermCursor(tp: TermPostings, nDocs: Long, avgdl: Double) {
+    val term: String = tp.term
+    val df: Long = tp.df
+    val canonical: Int = tp.canonical
+    private val idfV = Bm25.idf(df, nDocs)
+    /** Term-level score upper bound over all chunks. */
+    val upperBound: Double = {
+      var ub = 0.0
+      tp.chunks.foreach { c =>
+        var b = 0
+        while (b < c.blockMaxTf.length) {
+          val s = Bm25.score(c.blockMaxTf(b), df, c.blockMinDl(b), nDocs, avgdl)
+          if (s > ub) ub = s
+          b += 1
+        }
+      }
+      ub
+    }
+    private var ci = 0
+    private var cur: PostingCodec.Cursor = null
+    private var dlCur: Array[Int] = null
+    openChunk()
+
+    private def openChunk(): Unit = {
+      if (ci < tp.chunks.length) {
+        val c = tp.chunks(ci)
+        cur = new PostingCodec.Cursor(c.docIds, c.tfs, c.count)
+        dlCur = PostingCodec.decodeTfs(c.dls, c.count)
+      } else { cur = null }
+    }
+
+    def exhausted: Boolean = cur == null
+    def docId: Long = if (cur == null) Long.MaxValue else cur.docId
+    def tf: Int = cur.tf
+    def dl: Int = dlCur(cur.index)
+    def score: Double = Bm25.score(tf, df, dl, nDocs, avgdl)
+
+    def advance(): Unit = {
+      if (cur != null) {
+        cur.advance()
+        if (cur.exhausted) { ci += 1; openChunk() }
+      }
+    }
+    def advanceTo(target: Long): Unit = {
+      while (!exhausted && docId < target) advance()
+    }
+  }
+
+  /** Worst-first top-k heap with deterministic tie-break:
+    * admit (s, d) iff heap not full, or s > worst.s, or
+    * (s == worst.s && d < worst.d). */
+  final class TopK(k: Int) {
+    // ordering: head = WORST hit = smallest score, largest docId
+    private val ord: Ordering[SearchHit] = Ordering.by(h => (-h.score, h.docId))
+    private val pq = mutable.PriorityQueue.empty[SearchHit](ord)
+    def threshold: Double = if (pq.size < k) Double.NegativeInfinity else pq.head.score
+    def offer(docId: Long, score: Double): Unit = {
+      if (pq.size < k) pq.enqueue(SearchHit(docId, score))
+      else {
+        val w = pq.head
+        if (score > w.score || (score == w.score && docId < w.docId)) {
+          pq.dequeue(); pq.enqueue(SearchHit(docId, score))
+        }
+      }
+    }
+    def results: Vector[SearchHit] =
+      pq.toVector.sortBy(h => (-h.score, h.docId))
+  }
+
+  /** Sum per-term contributions in the canonical (df asc, term asc) order —
+    * float determinism for rank-identity (SURVEY.md §7.8.1). */
+  private def canonicalSum(contribs: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < contribs.length) { s += contribs(i); i += 1 }
+    s
+  }
+
+  /** AND top-k: merge-intersection, rarest list drives (reference J1
+    * strategy — SearchServiceImpl.java:164-200 — over compressed lists). */
+  def andTopK(terms: Seq[TermCursor], k: Int): Vector[SearchHit] = {
+    if (terms.isEmpty) return Vector.empty
+    val heap = new TopK(k)
+    val byDf = terms.sortBy(c => (c.df, c.term)).toArray // rarest first
+    val contribs = new Array[Double](terms.length)
+    var continue = !byDf.exists(_.exhausted)
+    while (continue) {
+      val cand = byDf(0).docId
+      if (cand == Long.MaxValue) continue = false
+      else {
+        var all = true
+        var i = 1
+        while (all && i < byDf.length) {
+          byDf(i).advanceTo(cand)
+          if (byDf(i).docId != cand) all = false
+          i += 1
+        }
+        if (all) {
+          var j = 0
+          while (j < byDf.length) {
+            contribs(byDf(j).canonical) = byDf(j).score
+            j += 1
+          }
+          heap.offer(cand, canonicalSum(contribs))
+          byDf(0).advance()
+        } else {
+          // the failing cursor moved past cand: jump the driver there
+          byDf(0).advanceTo(byDf.map(_.docId).max)
+        }
+        if (byDf(0).exhausted) continue = false
+      }
+    }
+    heap.results
+  }
+
+  /** OR top-k: WAND with term-level upper bounds (each derived from the
+    * per-block maxTf/minDl metadata, i.e. tighter than a plain maxTf
+    * bound). Exact (see exactness contract above). */
+  def orTopK(terms: Seq[TermCursor], k: Int): Vector[SearchHit] = {
+    if (terms.isEmpty) return Vector.empty
+    val cursors = terms.toArray
+    val heap = new TopK(k)
+    val contribs = new Array[Double](cursors.length)
+
+    while (true) {
+      // sort by current docId (N terms is tiny; insertion-order cost ok)
+      val live = cursors.filter(!_.exhausted).sortBy(_.docId)
+      if (live.isEmpty) return heap.results
+      val theta = heap.threshold
+      // pivot: first prefix whose UB sum could beat/tie theta
+      var acc = 0.0
+      var p = -1
+      var i = 0
+      while (p < 0 && i < live.length) {
+        acc += live(i).upperBound
+        if (acc >= theta) p = i
+        i += 1
+      }
+      if (p < 0) return heap.results // no doc can reach theta anymore
+      val pivotDoc = live(p).docId
+      if (live(0).docId == pivotDoc) {
+        // fully score pivotDoc: advance every cursor on it, canonical sum
+        java.util.Arrays.fill(contribs, 0.0)
+        var j = 0
+        while (j < live.length && live(j).docId == pivotDoc) {
+          contribs(live(j).canonical) = live(j).score
+          j += 1
+        }
+        heap.offer(pivotDoc, canonicalSum(contribs))
+        j = 0
+        while (j < live.length && live(j).docId == pivotDoc) {
+          live(j).advance(); j += 1
+        }
+      } else {
+        // advance the first (rarest-by-position) cursor below the pivot
+        live(0).advanceTo(pivotDoc)
+      }
+    }
+    heap.results // unreachable
+  }
+}

@@ -1,0 +1,161 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.analysis.Analyzer
+import graft.fixtures.TranscriptGen
+import graft.index.{IndexBuilder, IndexManifest}
+import graft.model.SearchHit
+import graft.oracle.Oracle
+import graft.query.SearchEngine
+
+/** End-to-end rank-identity gate (SURVEY.md §5.2.3, FIXTURES.md §3):
+  * the Spark engine (compressed WAND path AND naive Catalyst path) must
+  * return the oracle's exact top-k docIDs and bit-equal BM25 scores on
+  * the reference query-set categories, plus the per-turn text byte
+  * round-trip invariant and the checkpoint/resume contract. */
+class EngineParitySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // small scale (FIXTURES.md §2): a few hundred convs, ~1.3k turns
+  private lazy val corpus = TranscriptGen.corpus(seed = 42L, nConvs = 300)
+  private lazy val oracle = new Oracle(corpus)
+  private lazy val root = {
+    val dir = SparkTestBase.tmpDir("graft-index")
+    IndexBuilder.build(spark, spark.createDataset(corpus), dir,
+      shards = 8, waveSize = 4, maxChunkPostings = 64)
+    dir
+  }
+
+  /** FIXTURES.md §3 query categories. */
+  private val querySet: Seq[(String, String, Int)] = Seq(
+    ("needlerare", "AND", 10),                  // 1. single rare term
+    ("needlemid w0000", "AND", 10),             // 2. rare+common AND
+    ("needlerare needlemid w0003", "AND", 10),  // 3. likely-empty AND
+    ("stopish needlemid", "AND", 10),           // 4. stop-capped term dropped
+    ("stopish", "AND", 10),                     // 5. all-stop query → empty
+    ("needlemid w0000", "OR", 10),              // 6. OR mode
+    ("roleuser w0001", "OR", 25),               // 7/9. hot-term + tie-heavy
+    ("roleassistant roletool", "AND", 50),      // 9. hot-hot intersection
+    ("w0000", "OR", 100),                       // common single term, big k
+    ("absentterm w0000", "AND", 10),            // missing term → empty
+    ("absentterm w0000", "OR", 10),             // missing term OR → matches
+    ("ведущий пример", "AND", 10),              // cyrillic (utf8 spice)
+  )
+
+  test("fixture sanity: planted term dfs (needlerare=3, stopish>90%)") {
+    assert(oracle.df("needlerare") == 3L)
+    assert(oracle.df("stopish") > 0.9 * oracle.nDocs)
+    val mid = oracle.df("needlemid").toDouble / oracle.nDocs
+    assert(mid > 0.005 && mid < 0.06, s"needlemid df ratio $mid")
+    assert(oracle.df("roleuser") > oracle.nDocs / 5)
+  }
+
+  test("compressed WAND path: rank-identical to oracle on the query set") {
+    querySet.foreach { case (q, mode, k) =>
+      val expected = oracle.topK(q, mode, k)
+      val got = SearchEngine.query(spark, root, q, mode, k)
+      assert(got == expected, s"query '$q' [$mode] k=$k")
+    }
+  }
+
+  test("naive Catalyst path: rank-identical to oracle on the query set") {
+    querySet.foreach { case (q, mode, k) =>
+      val expected = oracle.topK(q, mode, k)
+      val got = SearchEngine.queryNaive(spark, root, q, mode, k)
+        .collect().map(r => SearchHit(r.getLong(0), r.getDouble(1))).toVector
+      assert(got == expected, s"query '$q' [$mode] k=$k")
+    }
+  }
+
+  test("stop-term cap semantics: stopish dropped but partners still match") {
+    val hits = SearchEngine.query(spark, root, "stopish needlemid", "AND", 10)
+    assert(hits.nonEmpty)
+    assert(hits == oracle.topK("needlemid", "AND", 10))
+  }
+
+  test("per-turn text byte round-trip under stable ordering (north-rule invariant)") {
+    val docs = IndexBuilder.loadDocs(spark, root)
+      .select($"docId", $"text", $"conv_id", $"turn_idx")
+      .collect()
+    assert(docs.length == oracle.nDocs)
+    docs.foreach { r =>
+      val d = r.getLong(0)
+      val expected = oracle.text(d)
+      assert(r.getString(1) == expected, s"text mismatch at docId $d")
+      // byte-equal, not just string-equal
+      assert(java.util.Arrays.equals(
+        r.getString(1).getBytes("UTF-8"), expected.getBytes("UTF-8")))
+      assert(oracle.docs(d.toInt).conv_id == r.getString(2))
+      assert(oracle.docs(d.toInt).turn_idx == r.getInt(3))
+    }
+  }
+
+  test("docId = dense rank of (conv_id, turn_idx): contiguous 0..N-1") {
+    val ids = IndexBuilder.loadDocs(spark, root).select($"docId")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until oracle.nDocs).toSeq)
+  }
+
+  test("df/tf agree with brute force (A1/A2 parity)") {
+    val ts = IndexBuilder.loadTermStats(spark, root)
+      .collect().map(t => t.term -> t.df).toMap
+    assert(ts("needlerare") == 3L)
+    assert(ts("stopish") == oracle.df("stopish"))
+    assert(ts("w0000") == oracle.df("w0000"))
+    assert(ts.size == oracle.index.size)
+  }
+
+  test("manifest: metrics cover all shards, analyzer version pinned") {
+    val m = IndexManifest.read(root).get
+    assert(m.completedShards == (0 until 8).toSet)
+    assert(m.analyzerVersion == Analyzer.Version)
+    assert(m.nDocs == oracle.nDocs)
+    assert(m.shards.map(_.postings).sum ==
+      oracle.index.valuesIterator.map(_.size.toLong).sum)
+    assert(m.shards.forall(s => s.bytes >= 0 && s.sourcePartitions.nonEmpty))
+  }
+
+  test("resume: second build is a no-op; removing shards recomputes ONLY them") {
+    val m1 = IndexManifest.read(root).get
+    val again = IndexBuilder.build(spark, spark.createDataset(corpus), root,
+      shards = 8, waveSize = 4, maxChunkPostings = 64)
+    assert(again.manifest.snapshotId == m1.snapshotId, "no-op rebuild must not commit")
+
+    // simulate a killed run: drop 2 shards from the manifest + their files
+    val dropped = Set(2, 5)
+    val truncated = m1.copy(snapshotId = m1.snapshotId + 1,
+      shards = m1.shards.filterNot(s => dropped(s.shard)))
+    IndexManifest.commit(root, truncated)
+    dropped.foreach { s =>
+      val dir = java.nio.file.Paths.get(s"$root/postings/shard=$s")
+      if (java.nio.file.Files.isDirectory(dir)) {
+        java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
+    val resumed = IndexBuilder.build(spark, spark.createDataset(corpus), root,
+      shards = 8, waveSize = 4, maxChunkPostings = 64)
+    assert(resumed.manifest.completedShards == (0 until 8).toSet)
+    // untouched shard metrics identical (no recomputation of committed work)
+    val before = m1.shards.filterNot(s => dropped(s.shard)).sortBy(_.shard)
+    val after = resumed.manifest.shards.filterNot(s => dropped(s.shard)).sortBy(_.shard)
+    assert(before == after)
+    // and the index still answers rank-identically
+    querySet.take(4).foreach { case (q, mode, k) =>
+      assert(SearchEngine.query(spark, root, q, mode, k) == oracle.topK(q, mode, k))
+    }
+  }
+
+  test("chunking: hot-term lists split at the chunk cap and merge correctly") {
+    val postings = IndexBuilder.loadPostings(spark, root)
+    val chunks = postings.filter($"term" === "stopish")
+      .select($"shard", $"chunk", $"count").collect()
+    assert(chunks.exists(_.getInt(1) > 0),
+      "stopish (df>90%) must exceed the 64-posting chunk cap in some shard")
+    assert(chunks.forall(_.getLong(2) <= 64))
+  }
+}

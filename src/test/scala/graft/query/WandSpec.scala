@@ -1,0 +1,113 @@
+package graft.query
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.Props.forAllSeeded
+import graft.index.PostingCodec
+import graft.model.SearchHit
+
+/** WAND / intersection exactness: equivalence against a brute-force
+  * scorer on random tiny corpora (SURVEY.md §5.2.4, §7.8.2 safety net). */
+class WandSpec extends AnyFunSuite {
+
+  /** corpus: docId -> (term -> tf); dl = sum of tfs. */
+  type Corpus = Map[Long, Map[String, Int]]
+
+  private val corpusGen: Gen[Corpus] = for {
+    nDocs <- Gen.chooseNum(1, 120)
+    vocab <- Gen.chooseNum(2, 12)
+    docs <- Gen.sequence[Vector[Map[String, Int]], Map[String, Int]](
+      Vector.tabulate(nDocs) { _ =>
+        Gen.mapOf(for {
+          t <- Gen.chooseNum(0, vocab - 1).map(i => s"t$i")
+          tf <- Gen.chooseNum(1, 5)
+        } yield (t, tf))
+      })
+  } yield docs.zipWithIndex.map { case (m, i) => i.toLong -> m }.toMap
+    .filter(_._2.nonEmpty)
+
+  private def dl(doc: Map[String, Int]): Int = doc.values.sum
+
+  private def buildCursors(corpus: Corpus, terms: Seq[String],
+                           chunkCap: Int): (Seq[Wand.TermCursor], Long, Double) = {
+    val nDocs = corpus.size.toLong
+    val avgdl = if (nDocs == 0) 1.0 else corpus.values.map(dl).sum.toDouble / nDocs
+    val dfs = terms.map(t => t -> corpus.count(_._2.contains(t)).toLong).toMap
+    // canonical order over PRESENT terms only (matches SearchEngine.plan,
+    // which builds it from dictionary hits)
+    val present = terms.filter(t => dfs(t) > 0)
+    val canonical = present.sortBy(t => (dfs(t), t)).zipWithIndex.toMap
+    val cursors = present.flatMap { t =>
+      val postings = corpus.toVector
+        .flatMap { case (d, m) => m.get(t).map(tf => (d, tf, dl(m))) }
+        .sortBy(_._1)
+      if (postings.isEmpty) None
+      else {
+        val chunks = postings.grouped(chunkCap).map { g =>
+          val ids = g.map(_._1).toArray
+          val tfs = g.map(_._2).toArray
+          val dls = g.map(_._3).toArray
+          Wand.Chunk(g.size, PostingCodec.encodeDocIds(ids),
+            PostingCodec.encodeTfs(tfs), PostingCodec.encodeTfs(dls),
+            PostingCodec.blockMaxTf(tfs),
+            PostingCodec.blockMaxTf(dls.map(d => -d)).map(-_)) // block min via max of negated
+        }.toIndexedSeq
+        Some(new Wand.TermCursor(
+          Wand.TermPostings(t, dfs(t), canonical(t), chunks), nDocs, avgdl))
+      }
+    }
+    (cursors, nDocs, avgdl)
+  }
+
+  private def brute(corpus: Corpus, terms: Seq[String], mode: String,
+                    k: Int): Vector[SearchHit] = {
+    val nDocs = corpus.size.toLong
+    val avgdl = corpus.values.map(dl).sum.toDouble / nDocs
+    val dfs = terms.map(t => t -> corpus.count(_._2.contains(t)).toLong).toMap
+    val present = terms.filter(t => dfs(t) > 0)
+    if (present.isEmpty || (mode == "AND" && present.size < terms.size))
+      return Vector.empty
+    val canonical = present.sortBy(t => (dfs(t), t))
+    val hits = corpus.toVector.flatMap { case (d, m) =>
+      val matched = present.filter(m.contains)
+      val ok = if (mode == "AND") matched.size == present.size else matched.nonEmpty
+      if (!ok) None
+      else {
+        var s = 0.0
+        canonical.foreach { t =>
+          m.get(t).foreach(tf => s += Bm25.score(tf, dfs(t), dl(m), nDocs, avgdl))
+        }
+        Some(SearchHit(d, s))
+      }
+    }
+    hits.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
+  private val caseGen = for {
+    c <- corpusGen.suchThat(_.nonEmpty)
+    nTerms <- Gen.chooseNum(1, 4)
+    terms <- Gen.pick(nTerms, (0 until 12).map(i => s"t$i")).map(_.toVector)
+    k <- Gen.oneOf(1, 3, 10, 1000)
+    chunkCap <- Gen.oneOf(3, 7, 1 << 16) // tiny caps exercise chunk seams
+  } yield (c, terms.distinct, k, chunkCap)
+
+  test("property: AND top-k == brute force (scores bit-equal, ties by docId)") {
+    forAllSeeded(caseGen, n = 150) { case (corpus, terms, k, cap) =>
+      val (cursors, _, _) = buildCursors(corpus, terms, cap)
+      val expected = brute(corpus, terms, "AND", k)
+      val got =
+        if (cursors.size < terms.size) Vector.empty
+        else Wand.andTopK(cursors, k)
+      assert(got == expected, s"terms=$terms k=$k cap=$cap")
+    }
+  }
+
+  test("property: OR WAND top-k == brute force (scores bit-equal, ties by docId)") {
+    forAllSeeded(caseGen, n = 150) { case (corpus, terms, k, cap) =>
+      val (cursors, _, _) = buildCursors(corpus, terms, cap)
+      val expected = brute(corpus, terms, "OR", k)
+      val got = Wand.orTopK(cursors, k)
+      assert(got == expected, s"terms=$terms k=$k cap=$cap")
+    }
+  }
+}

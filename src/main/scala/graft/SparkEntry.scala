@@ -1,13 +1,89 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.entry.{EntryQueries => Q}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Each key is an operator from SURVEY.md §2 (or a training-pipeline
+  * extension); `oracleSql` carries the DuckDB twin where SQL-expressible,
+  * others get the driver's rows-only check and are pinned by ScalaTest
+  * specs instead. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * BM25 top-10 over the documents corpus (the north-star read path). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Q.u5Bm25TopK(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // search-engine core (SURVEY.md §2.2-§2.8)
+    "a1_tf" -> (Q.a1Tf(_, _)),
+    "a2_dictionary" -> (Q.a2Dictionary(_, _)),
+    "a6_corpus_stats" -> (Q.a6CorpusStats(_, _)),
+    "f4_stopterm_cap" -> (Q.f4StopCap(_, _)),
+    "j1_and_intersect" -> (Q.j1AndIntersect(_, _)),
+    "o5_or_union" -> (Q.o5OrUnion(_, _)),
+    "u5_bm25_topk" -> (Q.u5Bm25TopK(_, _)),
+    "u5_bm25_or_topk" -> (Q.u5Bm25OrTopK(_, _)),
+    "w1_token_positions" -> (Q.w1TokenPositions(_, _)),
+    // relational operators (§2.1-§2.7)
+    "q1_agg" -> (Q.q1Agg(_, _)),
+    "j3_broadcast_join" -> (Q.j3BroadcastJoin(_, _)),
+    "j4_multi_join" -> (Q.j4MultiJoin(_, _)),
+    "j1_semi_join_rel" -> (Q.j1SemiJoinRel(_, _)),
+    "j5_anti_join" -> (Q.j5AntiJoin(_, _)),
+    "w3_window_topn" -> (Q.w3WindowTopN(_, _)),
+    "w2_running_sum" -> (Q.w2RunningSum(_, _)),
+    "o2_topk" -> (Q.o2TopK(_, _)),
+    "o6_intersect" -> (Q.o6Intersect(_, _)),
+    "o8_except" -> (Q.o8Except(_, _)),
+    "c2_scalar_funcs" -> (Q.c2ScalarFuncs(_, _)),
+    "a6_events_hourly" -> (Q.a6EventsHourly(_, _)),
+    "c_json_extract" -> (Q.cJsonExtract(_, _)),
+    // training-pipeline operators
+    "dedup_exact" -> (Q.dedupExact(_, _)),
+    "fingerprint_md5" -> (Q.fingerprintMd5(_, _)),
+    "ngram_jaccard_pairs" -> (Q.ngramJaccardPairs(_, _)),
+    "ann_cosine_topk" -> (Q.annCosineTopK(_, _)),
+    "text_quality" -> (Q.textQuality(_, _)),
+    "token_count_dl" -> (Q.tokenCountDl(_, _)),
+    // rows-only (non-SQL-expressible; pinned by ScalaTest specs)
+    "dedup_minhash_lsh" -> (Q.dedupMinhashLsh(_, _)),
+    "dedup_simhash" -> (Q.dedupSimhash(_, _)),
+    "dedup_simhash_pairs" -> (Q.dedupSimhashPairs(_, _)),
+    "ann_lsh_topk" -> (Q.annLshTopK(_, _)),
+    "embedding_near_dup" -> (Q.embeddingNearDup(_, _)),
+    "lang_id" -> (Q.langId(_, _)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "a1_tf" -> Q.a1TfSql,
+    "a2_dictionary" -> Q.a2DictionarySql,
+    "a6_corpus_stats" -> Q.a6CorpusStatsSql,
+    "f4_stopterm_cap" -> Q.f4StopCapSql,
+    "j1_and_intersect" -> Q.j1AndIntersectSql,
+    "o5_or_union" -> Q.o5OrUnionSql,
+    "u5_bm25_topk" -> Q.u5Bm25TopKSql,
+    "u5_bm25_or_topk" -> Q.u5Bm25OrTopKSql,
+    "w1_token_positions" -> Q.w1TokenPositionsSql,
+    "q1_agg" -> Q.q1AggSql,
+    "j3_broadcast_join" -> Q.j3BroadcastJoinSql,
+    "j4_multi_join" -> Q.j4MultiJoinSql,
+    "j1_semi_join_rel" -> Q.j1SemiJoinRelSql,
+    "j5_anti_join" -> Q.j5AntiJoinSql,
+    "w3_window_topn" -> Q.w3WindowTopNSql,
+    "w2_running_sum" -> Q.w2RunningSumSql,
+    "o2_topk" -> Q.o2TopKSql,
+    "o6_intersect" -> Q.o6IntersectSql,
+    "o8_except" -> Q.o8ExceptSql,
+    "c2_scalar_funcs" -> Q.c2ScalarFuncsSql,
+    "a6_events_hourly" -> Q.a6EventsHourlySql,
+    "c_json_extract" -> Q.cJsonExtractSql,
+    "dedup_exact" -> Q.dedupExactSql,
+    "fingerprint_md5" -> Q.fingerprintMd5Sql,
+    "ngram_jaccard_pairs" -> Q.ngramJaccardPairsSql,
+    "ann_cosine_topk" -> Q.annCosineTopKSql,
+    "text_quality" -> Q.textQualitySql,
+    "token_count_dl" -> Q.tokenCountDlSql,
+  )
 }

@@ -1,0 +1,550 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.{Dedup, Similarity, TextOps}
+import graft.query.Bm25
+
+/** The driver-facing operator catalog: one entry per implemented operator
+  * from SURVEY.md §2 (+ the training-pipeline extensions), each with a
+  * DuckDB-runnable oracle SQL twin where the semantics are SQL-expressible.
+  *
+  * Float-determinism conventions shared by the Spark and SQL sides:
+  *  - money/quantity sums go through DECIMAL(18,2) (exact, order-free)
+  *    and cast to DOUBLE at the end;
+  *  - genuinely floating aggregates (BM25, cosine) are rounded to 6
+  *    decimals and restricted to commutative 1-2 term sums;
+  *  - every result has a total deterministic ORDER BY.
+  */
+object EntryQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** BM25 constants as SQL fragments — MUST mirror Bm25.scoreCol's
+    * operation order exactly (1.2+1.0 == 2.2 and 1.0-0.75 == 0.25 are
+    * bit-exact double identities, verified). */
+  private val bm25SqlCte =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok WHERE length(term) >= 2 GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, count(*) AS dl FROM tok WHERE length(term) >= 2 GROUP BY 1
+      |), stats AS (
+      |  SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl
+      |)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Search-engine core over `documents` (docID = doc_id, text = corpus)
+  // ---------------------------------------------------------------------
+
+  /** A1 (CollectLemmasAction.java:37-45): tf per (doc, term). */
+  def a1Tf(s: SparkSession, dir: String): DataFrame =
+    TextOps.termFrequencies(t(s, dir, "documents"))
+      .orderBy(col("doc_id"), col("term"))
+
+  val a1TfSql: String =
+    """SELECT doc_id, term, count(*) AS tf
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |WHERE length(term) >= 2 GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin
+
+  /** A2 (LemmaServiceImpl.java:58-78): the term dictionary (df, maxTf). */
+  def a2Dictionary(s: SparkSession, dir: String): DataFrame =
+    TextOps.termFrequencies(t(s, dir, "documents"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"))
+      .orderBy(col("term"))
+
+  val a2DictionarySql: String =
+    """SELECT term, count(*) AS df, max(tf) AS max_tf FROM (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  WHERE length(term) >= 2 GROUP BY doc_id, term
+      |) GROUP BY term ORDER BY term""".stripMargin
+
+  /** A6 + BM25 broadcast stats: corpus-level aggregates. */
+  def a6CorpusStats(s: SparkSession, dir: String): DataFrame = {
+    val tf = TextOps.termFrequencies(t(s, dir, "documents"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"),
+      sum(col("dl")).as("n_tokens"))
+  }
+
+  val a6CorpusStatsSql: String =
+    """SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl, sum(dl) AS n_tokens FROM (
+      |  SELECT doc_id, count(*) AS dl
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  WHERE length(term) >= 2 GROUP BY doc_id)""".stripMargin
+
+  /** F4 (SearchServiceImpl.java:32,151-162): stop-term cap + df-asc order. */
+  def f4StopCap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.count()
+    TextOps.termFrequencies(docs)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= lit(0.9) * lit(n.toDouble))
+      .orderBy(col("df"), col("term"))
+  }
+
+  val f4StopCapSql: String =
+    """SELECT term, df FROM (
+      |  SELECT term, count(*) AS df FROM (
+      |    SELECT doc_id, term FROM (
+      |      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |    WHERE length(term) >= 2 GROUP BY doc_id, term
+      |  ) GROUP BY term)
+      |WHERE df <= 0.9 * (SELECT count(*) FROM documents)
+      |ORDER BY df, term""".stripMargin
+
+  /** J1/O6 (SearchServiceImpl.java:164-200): AND intersection of three
+    * posting lists via left-semi chain, rarest first. */
+  def j1AndIntersect(s: SparkSession, dir: String): DataFrame = {
+    val tf = TextOps.termFrequencies(t(s, dir, "documents"))
+    Seq("vector", "window", "spark")
+      .map(term => tf.filter(col("term") === term).select(col("doc_id")))
+      .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
+      .orderBy(col("doc_id"))
+  }
+
+  val j1AndIntersectSql: String =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, term
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  WHERE length(term) >= 2)
+      |SELECT doc_id FROM tok WHERE term = 'vector'
+      |INTERSECT SELECT doc_id FROM tok WHERE term = 'window'
+      |INTERSECT SELECT doc_id FROM tok WHERE term = 'spark'
+      |ORDER BY doc_id""".stripMargin
+
+  /** O5 (SearchServiceImpl.java:127-141): OR union of posting lists. */
+  def o5OrUnion(s: SparkSession, dir: String): DataFrame = {
+    val tf = TextOps.termFrequencies(t(s, dir, "documents"))
+    tf.filter(col("term") === "vector").select(col("doc_id"))
+      .union(tf.filter(col("term") === "dup").select(col("doc_id")))
+      .distinct()
+      .orderBy(col("doc_id"))
+  }
+
+  val o5OrUnionSql: String =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, term
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  WHERE length(term) >= 2)
+      |SELECT doc_id FROM tok WHERE term = 'vector'
+      |UNION SELECT doc_id FROM tok WHERE term = 'dup'
+      |ORDER BY doc_id""".stripMargin
+
+  /** U5+A4+O2 (north star): BM25 top-10, AND semantics, 2 terms. */
+  def u5Bm25TopK(s: SparkSession, dir: String): DataFrame =
+    bm25(s, dir, Seq("spark", "merge"), and = true, k = 10)
+
+  val u5Bm25TopKSql: String = bm25Sql(Seq("spark", "merge"), and = true, k = 10)
+
+  /** BM25 OR mode (SURVEY.md §7.0.2). */
+  def u5Bm25OrTopK(s: SparkSession, dir: String): DataFrame =
+    bm25(s, dir, Seq("vector", "window"), and = false, k = 15)
+
+  val u5Bm25OrTopKSql: String = bm25Sql(Seq("vector", "window"), and = false, k = 15)
+
+  private def bm25(s: SparkSession, dir: String, terms: Seq[String],
+                   and: Boolean, k: Int): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tf = TextOps.termFrequencies(docs).cache()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val statsRow = dl.agg(count(lit(1)), avg(col("dl").cast("double"))).head()
+    val n = statsRow.getLong(0)
+    val avgdl = statsRow.getDouble(1)
+    val dfMap = tf.filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val qtf = tf.filter(col("term").isin(terms: _*))
+    val cand =
+      if (and)
+        terms.map(tm => qtf.filter(col("term") === tm).select(col("doc_id")))
+          .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
+      else qtf.select(col("doc_id")).distinct()
+    val dfCol = typedLit(dfMap)
+    qtf.join(cand, Seq("doc_id"), "left_semi")
+      .join(dl, Seq("doc_id"))
+      .withColumn("s", Bm25.scoreCol(col("tf"), dfCol(col("term")),
+        col("dl"), n, avgdl))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 6).as("score")) // ≤2 terms: commutative sum
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  private def bm25Sql(terms: Seq[String], and: Boolean, k: Int): String = {
+    val inList = terms.map(x => s"'$x'").mkString(", ")
+    val cand =
+      if (and) terms.map(x => s"SELECT doc_id FROM tf WHERE term = '$x'")
+        .mkString("\nINTERSECT ")
+      else s"SELECT DISTINCT doc_id FROM tf WHERE term IN ($inList)"
+    s"""$bm25SqlCte, qt AS (
+       |  SELECT term, count(*) AS df FROM tf WHERE term IN ($inList) GROUP BY term
+       |), cand AS (
+       |  $cand
+       |)
+       |SELECT c.doc_id,
+       |  round(sum( ln((s.n - q.df + 0.5)/(q.df + 0.5) + 1.0) * t.tf * (1.2 + 1.0)
+       |             / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * d.dl / s.avgdl)) ), 6) AS score
+       |FROM cand c
+       |JOIN tf t ON t.doc_id = c.doc_id AND t.term IN ($inList)
+       |JOIN qt q ON q.term = t.term
+       |JOIN dl d ON d.doc_id = c.doc_id
+       |CROSS JOIN stats s
+       |GROUP BY c.doc_id
+       |ORDER BY score DESC, c.doc_id
+       |LIMIT $k""".stripMargin
+  }
+
+  /** W1 (GenerateSnippetAction.java:40-66): token ordinals via posexplode. */
+  def w1TokenPositions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(TextOps.tokensCol))
+      .toDF("doc_id", "pos", "term")
+      .orderBy(col("doc_id"), col("pos"))
+
+  val w1TokenPositionsSql: String =
+    """SELECT doc_id, CAST(p.i - 1 AS INT) AS pos, p.term AS term FROM (
+      |  SELECT doc_id, unnest([{'i': i, 'term': w[i]} for i in range(1, len(w) + 1)]) AS p
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) >= 2) AS w
+      |        FROM documents WHERE doc_id < 20)
+      |) ORDER BY doc_id, pos""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Relational operators (TPC-H-ish tables)
+  // ---------------------------------------------------------------------
+
+  /** A4/A6-style grouped aggregation with exact decimal sums. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** J3 (broadcast dimension join): revenue per market segment. */
+  def j3BroadcastJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+
+  val j3BroadcastJoinSql: String =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** J4 (FK chain): region ⋈ nation ⋈ customer counts. */
+  def j4MultiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        count_distinct(col("n_name")).as("n_nations"))
+      .orderBy(col("r_name"))
+
+  val j4MultiJoinSql: String =
+    """SELECT r_name, count(*) AS n_customers, count(DISTINCT n_name) AS n_nations
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** J1-rel (left semi): orders with any line of quantity 50. */
+  def j1SemiJoinRel(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 50)
+        .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+
+  val j1SemiJoinRelSql: String =
+    """SELECT o_orderkey, o_orderpriority FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 50)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** J5 (anti join — ParseAction.java:192-203 analog): customers with no
+    * orders. */
+  def j5AntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  val j5AntiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** W3 (pagination rank, SearchServiceImpl.java:247-259 analog):
+    * top-3 orders per customer. */
+  def w3WindowTopN(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dec(col("o_totalprice")).cast("double").as("price"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val w3WindowTopNSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price, rn
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        CAST(row_number() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      |      FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** W2 (running aggregate): cumulative spend per customer, exact decimal. */
+  def w2RunningSum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("running", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("running"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val w2RunningSumSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** O2/O4 (TakeOrderedAndProject): global top-10 with tie-break. */
+  def o2TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), dec(col("o_totalprice")).cast("double").as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(10)
+
+  val o2TopKSql: String =
+    """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** O6 set-intersect: customers with both URGENT and LOW orders. */
+  def o6Intersect(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  val o6IntersectSql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** O8 set-except (S6 delete analog): customers with orders but none
+    * urgent. */
+  def o8Except(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.select(col("o_custkey")).distinct()
+      .except(o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct())
+      .orderBy(col("o_custkey"))
+  }
+
+  val o8ExceptSql: String =
+    """SELECT DISTINCT o_custkey FROM orders
+      |EXCEPT
+      |SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** C1-C11 scalar function battery (string/date/math builtins). */
+  def c2ScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") < 200)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("up"),
+        lower(col("o_orderstatus")).as("lo"),
+        substring(col("o_orderpriority"), 1, 3).as("sub"),
+        length(col("o_orderpriority")).as("len"),
+        concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("cat"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        round(dec(col("o_totalprice")).cast("double") / 100.0, 2).as("cents"),
+        regexp_extract(col("o_orderpriority"), "^(\\d+)-", 1).as("prio_num"))
+      .orderBy(col("o_orderkey"))
+
+  val c2ScalarFuncsSql: String =
+    """SELECT o_orderkey,
+      |  upper(o_orderpriority) AS up,
+      |  lower(o_orderstatus) AS lo,
+      |  substring(o_orderpriority, 1, 3) AS sub,
+      |  CAST(length(o_orderpriority) AS INT) AS len,
+      |  o_orderstatus || '|' || o_orderpriority AS cat,
+      |  CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(month(o_orderdate) AS INT) AS mo,
+      |  CAST(day(o_orderdate) AS INT) AS dom,
+      |  round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) / 100.0, 2) AS cents,
+      |  regexp_extract(o_orderpriority, '^(\d+)-', 1) AS prio_num
+      |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin
+
+  /** A6-events (streaming-shaped batch): tumbling hourly aggregation. */
+  def a6EventsHourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  val a6EventsHourlySql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** C-json: extract a numeric field from the JSON props column. */
+  def cJsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").filter(col("event_id") < 500)
+      .select(col("event_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
+      .orderBy(col("event_id"))
+
+  val cJsonExtractSql: String =
+    """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
+      |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Training-pipeline operators (dedup / similarity / text analysis)
+  // ---------------------------------------------------------------------
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSummary(t(s, dir, "documents"))
+
+  val dedupExactSql: String =
+    """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
+      |  count(*) - count(DISTINCT text) AS n_dupes FROM documents""".stripMargin
+
+  def fingerprintMd5(s: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprint(t(s, dir, "documents").filter(col("doc_id") < 100))
+      .orderBy(col("doc_id"))
+
+  val fingerprintMd5Sql: String =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_filter(string_split(text, ' '),
+      |      x -> length(x) >= 2), ' ')) AS fingerprint
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
+  /** n-gram Jaccard verification kernel on the (d, d+1) pair slice. */
+  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.consecutiveJaccard(t(s, dir, "documents"))
+      .orderBy(col("jaccard").desc, col("d1"))
+      .limit(20)
+
+  val ngramJaccardPairsSql: String =
+    """WITH ds AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(shs) AS sh FROM (
+      |      SELECT doc_id,
+      |        [ w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1) ] AS shs
+      |      FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+      |              x -> length(x) >= 2) AS w FROM documents)))
+      |), sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      |  FROM ds a JOIN ds b ON b.sh = a.sh AND b.doc_id = a.doc_id + 1
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2, round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) AS jaccard
+      |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+      |ORDER BY jaccard DESC, d1 LIMIT 20""".stripMargin
+
+  /** Brute-force cosine ANN baseline: top-20 neighbors of vec_id 0. */
+  def annCosineTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryId = 0L, k = 20)
+
+  val annCosineTopKSql: String =
+    """SELECT e.vec_id,
+      |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |        CAST(q.embedding AS DOUBLE[])), 6) AS sim
+      |FROM embeddings e, embeddings q
+      |WHERE q.vec_id = 0 AND e.vec_id <> 0
+      |ORDER BY sim DESC, e.vec_id LIMIT 20""".stripMargin
+
+  /** Quality metrics (length/distinct/avg-token-len filters). */
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityMetrics(t(s, dir, "documents").filter(col("doc_id") < 100))
+      .orderBy(col("doc_id"))
+
+  val textQualitySql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+      |  round(list_sum([CAST(length(x) AS DOUBLE) for x in w])
+      |        / greatest(len(w), 1), 6) AS avg_token_len,
+      |  round(CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1), 6)
+      |    AS distinct_ratio
+      |FROM (SELECT doc_id, text,
+      |        list_filter(string_split(text, ' '), x -> length(x) >= 2) AS w
+      |      FROM documents WHERE doc_id < 100)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Token counts (dl column). */
+  def tokenCountDl(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokenCounts(t(s, dir, "documents")).orderBy(col("doc_id"))
+
+  val tokenCountDlSql: String =
+    """SELECT doc_id, CAST(len(list_filter(string_split(text, ' '),
+      |  x -> length(x) >= 2)) AS BIGINT) AS dl
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- rows-only operators (non-SQL-expressible; Scala-spec'd) ---------
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashCandidatePairs(t(s, dir, "documents"), threshold = 0.2)
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashes(t(s, dir, "documents")).orderBy(col("doc_id"))
+
+  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(t(s, dir, "documents"), maxHamming = 12)
+      .orderBy(col("hamming"), col("d1"), col("d2"))
+
+  def annLshTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(t(s, dir, "embeddings"), queryId = 0L, k = 20)
+
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
+      .orderBy(col("v1"), col("v2"))
+
+  def langId(s: SparkSession, dir: String): DataFrame =
+    TextOps.languageId(t(s, dir, "documents")).orderBy(col("doc_id"))
+}

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+import graft.analysis.Analyzer
+
+/** Deduplication operators for a training-data pipeline over
+  * `documents(doc_id, text, ...)` — exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard. Designed for the 100 TB shape:
+  *
+  *  - exact/fingerprint dedup is one hash-groupBy (map-side partial);
+  *  - MinHash/SimHash signatures are a map stage; candidate generation is
+  *    a self-join ON BUCKET KEYS ONLY (band hash / simhash band), never an
+  *    all-pairs product; exact verification runs only inside buckets;
+  *  - all hash functions are seeded MurmurHash3 — deterministic across
+  *    JVMs, runs and parallelism levels.
+  */
+object Dedup {
+
+  /** Word shingles (n-grams of the analyzed token stream). */
+  def shinglesUdf(n: Int) = udf { (text: String) =>
+    Analyzer.tokens(text).sliding(n).filter(_.size == n).map(_.mkString(" ")).toVector
+  }
+
+  /** Exact-duplicate summary in one pass: total docs, distinct texts,
+    * docs that would be dropped by keep-first dedup (reference J5 analog:
+    * visited-set dedup, ParseAction.java:192-203). */
+  def exactSummary(docs: DataFrame): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(col("text")).as("n_distinct"),
+      (count(lit(1)) - count_distinct(col("text"))).as("n_dupes"))
+
+  /** Keep-first exact dedup: one row per distinct text, keeping the
+    * smallest doc_id (deterministic winner). */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  // ---- MinHash + LSH -------------------------------------------------
+
+  /** numHashes seeded permutation-hash minima over shingles. */
+  def minHashSignatures(docs: DataFrame, shingleN: Int = 3,
+                        numHashes: Int = 32): DataFrame = {
+    val numH = numHashes
+    val sigUdf = udf { (shingles: Seq[String]) =>
+      if (shingles.isEmpty) Array.fill(numH)(Int.MaxValue)
+      else Array.tabulate(numH) { i =>
+        var m = Int.MaxValue
+        shingles.foreach { s =>
+          val h = MurmurHash3.stringHash(s, i * 0x9E3779B9 + 1)
+          if (h < m) m = h
+        }
+        m
+      }
+    }
+    docs.select(col("doc_id"),
+      sigUdf(shinglesUdf(shingleN)(col("text"))).as("signature"))
+  }
+
+  /** LSH banding: signature split into `bands` bands of `rows` hashes;
+    * docs sharing any band bucket become candidate pairs; candidates are
+    * verified with exact shingle Jaccard. The self-join is on
+    * (band, bandHash) — bucket-local, never all-pairs. */
+  def minHashCandidatePairs(docs: DataFrame, shingleN: Int = 3,
+                            bands: Int = 8, rows: Int = 4,
+                            threshold: Double = 0.5): DataFrame = {
+    val sigs = minHashSignatures(docs, shingleN, bands * rows)
+    val banded = sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(slice(col("signature"), b * rows + 1, lit(rows)), b))))
+      .toDF("doc_id", "band", "bandHash")
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val cands = a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bandHash") === col("b.bandHash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    verifyJaccard(cands, docs, shingleN, threshold)
+  }
+
+  /** Exact n-gram Jaccard for given (d1, d2) candidate pairs. */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame, shingleN: Int,
+                    threshold: Double): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      array_distinct(shinglesUdf(shingleN)(col("text"))).as("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") / greatest(col("uni"), lit(1.0)), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** All-consecutive-pairs 3-gram Jaccard (SQL-oracle-checkable slice of
+    * the same verification kernel: pair (d, d+1) for every doc). */
+  def consecutiveJaccard(docs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val pairs = docs.select(col("doc_id").as("d1"),
+      (col("doc_id") + 1).as("d2"))
+    verifyJaccard(pairs, docs, shingleN, 0.0)
+  }
+
+  // ---- SimHash --------------------------------------------------------
+
+  /** 64-bit SimHash over tf-weighted token hashes. */
+  val simHashUdf = udf { (text: String) =>
+    val toks = Analyzer.tokens(text)
+    if (toks.isEmpty) 0L
+    else {
+      val acc = new Array[Int](64)
+      val tf = scala.collection.mutable.HashMap.empty[String, Int]
+      toks.foreach(t => tf.update(t, tf.getOrElse(t, 0) + 1))
+      tf.foreach { case (t, w) =>
+        val h = (MurmurHash3.stringHash(t, 0x5bd1e995).toLong << 32) |
+          (MurmurHash3.stringHash(t, 0x1b873593).toLong & 0xffffffffL)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += w else acc(b) -= w
+          b += 1
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+  }
+
+  def simHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simHashUdf(col("text")).as("simhash"))
+
+  /** Near-dup pairs by SimHash: 4×16-bit band blocking (two docs within
+    * Hamming distance 3 of each other share at least one exact band),
+    * Hamming verification inside buckets only. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simHashes(docs)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * 16)
+          .bitwiseAND(lit(0xffffL)).as("bandKey"))
+    }
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bandKey").as("bandKey"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val popcount = udf((x: Long) => java.lang.Long.bitCount(x))
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bandKey") === col("b.bandKey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        popcount(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+
+/** Text-analysis operators for a large-scale training-data pipeline over a
+  * `documents(doc_id, text, lang, source, n_chars)` table: token counting,
+  * quality scoring, language-ID, fingerprinting. All per-document scalar
+  * work (no shuffle beyond the final aggregation a caller adds) — at 100 TB
+  * these run as a single map stage over the parquet scan.
+  */
+object TextOps {
+
+  /** Tokens of `text` via the shared [[Analyzer]] (U2). */
+  val tokensCol: Column = udf((s: String) => Analyzer.tokens(s)).apply(col("text"))
+
+  /** tf per (doc, term) — reference A1 (CollectLemmasAction.java:37-45):
+    * explode + hash agg with map-side partials. */
+  def termFrequencies(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokensCol).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Document length (token count) per doc — the dl/norms column. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(tokensCol).cast("long").as("dl"))
+
+  /** Per-document quality metrics (length / distinct-ratio / mean token
+    * length) — the standard cheap pre-filters of a training-data pipeline.
+    * Pure column expressions; whole-stage-codegen'd except the tokenizer. */
+  def qualityMetrics(docs: DataFrame): DataFrame = {
+    val toks = tokensCol
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      round(
+        aggregate(transform(toks, t => length(t).cast("double")),
+          lit(0.0), (acc, x) => acc + x) /
+          greatest(size(toks), lit(1)).cast("double"),
+        6).as("avg_token_len"),
+      round(size(array_distinct(toks)).cast("double") /
+        greatest(size(toks), lit(1)).cast("double"), 6).as("distinct_ratio"))
+  }
+
+  /** Deterministic n-gram language-ID heuristic: score each language by
+    * hits of its most-frequent function words / character n-grams in the
+    * token stream; argmax with lexicographic tie-break. Rule-based and
+    * versioned like the analyzer — NOT a model (offline sandbox). */
+  val LangMarkers: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Set("el", "la", "los", "las", "es", "en", "que", "un"),
+    "fr" -> Set("le", "la", "les", "est", "et", "un", "une", "que"),
+    "ru" -> Set("и", "в", "не", "на", "что", "это", "как", "он"),
+    "zh" -> Set("的", "是", "在", "了", "我", "有", "和", "不"))
+
+  private val langIdUdf = udf { (text: String) =>
+    val toks = Analyzer.tokens(text)
+    if (toks.isEmpty) "und"
+    else {
+      val scores = LangMarkers.map { case (lang, markers) =>
+        lang -> toks.count(markers.contains)
+      }
+      val best = scores.maxBy { case (l, s) => (s, l) } // det. tie-break: max lang name
+      if (best._2 == 0) "und" else best._1
+    }
+  }
+
+  def languageId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), langIdUdf(col("text")).as("pred_lang"),
+      col("lang").as("labeled_lang"))
+
+  /** Content fingerprint: md5 over the normalized token stream — the
+    * canonical-form dedup key (whitespace/punct/case-insensitive). Uses
+    * builtin md5/concat_ws (codegen) rather than a UDF. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(concat_ws(" ", tokensCol)).as("fingerprint"))
+
+  /** Rolling (Rabin-Karp style) 64-bit hash over the token stream —
+    * order-sensitive complement to the md5 canonical form; base/mod fixed,
+    * deterministic. Used for shingle fingerprints at scale. */
+  val rollingHashUdf = udf { (toks: Seq[String]) =>
+    var h = 1469598103934665603L // FNV offset
+    toks.foreach { t =>
+      var i = 0
+      while (i < t.length) { h = (h ^ t.charAt(i)) * 1099511628211L; i += 1 }
+      h = (h ^ ' ') * 1099511628211L
+    }
+    h
+  }
+}

@@ -1,0 +1,54 @@
+package graft.cli
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import graft.fixtures.TranscriptGen
+import graft.index.IndexBuilder
+
+/** Standalone scaling probe: BenchBuild <cores> <nConvs> — one build, one
+  * throughput line. Used to investigate scaling efficiency in isolation
+  * (fresh JVM per level removes JIT-warmup bias between the two runs). */
+object BenchBuild {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val nConvs = args(1).toLong
+    sys.env.get("GRAFT_LOCAL_DIR").foreach { d =>
+      System.setProperty("java.io.tmpdir", d)
+    }
+    val b0 = SparkSession.builder().master(s"local[$cores]")
+    sys.env.get("GRAFT_LOCAL_DIR").foreach(d => b0.config("spark.local.dir", d))
+    val s = b0
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      // sandbox inputs are a few hundred MB: the 128 MB default split size
+      // would coalesce the whole scan into 1-2 tasks and serialize the
+      // tokenize-heavy map side; at production scale the default is right
+      .config("spark.sql.files.maxPartitionBytes", (4 << 20).toString)
+      .config("spark.sql.files.openCostInBytes", (1 << 20).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    val root = Files.createTempDirectory(s"graft-bb$cores").toString
+    // input table materialized first (the cluster scenario: build reads a
+    // storage table, not a generator); generation is not part of the
+    // measured build
+    val inPath = sys.env.getOrElse("GRAFT_BENCH_INPUT", {
+      val p = s"$root/input"
+      TranscriptGen.dataset(s, seed = 7L, nConvs = nConvs, partitions = 128)
+        .write.parquet(p)
+      p
+    })
+    import s.implicits._
+    val turns = s.read.parquet(inPath).as[graft.model.Turn]
+    val t0 = System.nanoTime()
+    val built = IndexBuilder.build(s, turns, root, shards = 64, waveSize = 64)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"BENCHBUILD cores=$cores convs=$nConvs docs=${built.manifest.nDocs} secs=$secs%.2f tput=${built.manifest.nDocs / secs}%.1f")
+    s.stop()
+    if (sys.env.get("GRAFT_CLEANUP").contains("1")) {
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+}

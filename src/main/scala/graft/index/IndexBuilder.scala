@@ -68,8 +68,42 @@ object IndexBuilder {
   private def hasSuccess(dir: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
 
+  private val timing = sys.env.get("GRAFT_BUILD_TIMING").contains("1")
+  private def timed[A](stage: String)(f: => A): A = {
+    if (!timing) f
+    else {
+      val t0 = System.nanoTime()
+      val a = f
+      System.err.println(f"[build-timing] $stage: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      a
+    }
+  }
+
   /** Tokenizer exposed as a UDF (SURVEY.md §2.8 U2). */
   def tokensUdf = udf((text: String) => Analyzer.tokens(text))
+
+  /** Per-shard (terms, postings, bytes) metrics collected by the encode
+    * tasks themselves via an accumulator — saves the post-write read job
+    * (a serial overhead locally, a full postings re-scan on a cluster). */
+  final class ShardMetricsAcc
+      extends org.apache.spark.util.AccumulatorV2[
+        (Int, Long, Long, Long), Map[Int, (Long, Long, Long)]] {
+    private val m = scala.collection.mutable.HashMap.empty[Int, (Long, Long, Long)]
+    override def isZero: Boolean = m.isEmpty
+    override def copy(): ShardMetricsAcc = {
+      val c = new ShardMetricsAcc; c.m ++= m; c
+    }
+    override def reset(): Unit = m.clear()
+    override def add(v: (Int, Long, Long, Long)): Unit = {
+      val (shard, t, p, b) = v
+      val (t0, p0, b0) = m.getOrElse(shard, (0L, 0L, 0L))
+      m.update(shard, (t0 + t, p0 + p, b0 + b))
+    }
+    override def merge(other: org.apache.spark.util.AccumulatorV2[
+        (Int, Long, Long, Long), Map[Int, (Long, Long, Long)]]): Unit =
+      other.value.foreach { case (s, (t, p, b)) => add((s, t, p, b)) }
+    override def value: Map[Int, (Long, Long, Long)] = m.toMap
+  }
 
   def build(spark: SparkSession, turns: Dataset[Turn], root: String,
             shards: Int = DefaultShards, waveSize: Int = 16,
@@ -78,19 +112,19 @@ object IndexBuilder {
     val P = Paths(root)
 
     // ---- stage 1: docs (docId assignment) ----------------------------
-    if (!hasSuccess(P.docs)) {
+    if (!hasSuccess(P.docs)) timed("docs") {
       DocIdAssigner.assign(spark, turns)
         .write.mode(SaveMode.Overwrite).parquet(P.docs)
     }
     val docs = spark.read.parquet(P.docs).as[Doc]
 
     // corpus stats + input fingerprint in one pass
-    val srow = docs.agg(
+    val srow = timed("corpus-stats")(docs.agg(
       count(lit(1)).as("n"),
       avg($"dl".cast("double")).as("avgdl"),
       // bit_xor: order-independent and overflow-free (ANSI mode rejects
       // overflowing sum(hash))
-      expr("bit_xor(xxhash64(conv_id, turn_idx, text))").as("fp")).head()
+      expr("bit_xor(xxhash64(conv_id, turn_idx, text))").as("fp")).head())
     val nDocs = srow.getLong(0)
     val avgdl = srow.getDouble(1)
     val fingerprint = s"$nDocs-${srow.getLong(2)}"
@@ -113,7 +147,7 @@ object IndexBuilder {
     }
 
     // ---- stage 2: tf (uncompressed logical index + checkpoint) -------
-    if (!hasSuccess(P.tf)) {
+    if (!hasSuccess(P.tf)) timed("tf") {
       docs.select($"docId", $"dl", explode(tokensUdf($"text")).as("term"))
         .groupBy($"docId", $"term")
         .agg(count(lit(1)).cast("int").as("tf"), first($"dl").as("dl"))
@@ -126,7 +160,7 @@ object IndexBuilder {
     // A single groupBy(term) would funnel each hot term's ~N rows into
     // one reducer; the salt splits a hot term across DfSalts reducers
     // first (north rule: skew-aware salting for role/tool-class tokens).
-    if (!hasSuccess(P.termStats)) {
+    if (!hasSuccess(P.termStats)) timed("term-stats") {
       tf.groupBy($"term", pmod(xxhash64($"docId"), lit(DfSalts)).as("salt"))
         .agg(count(lit(1)).as("pdf"), max($"tf").as("pmax"))
         .groupBy($"term")
@@ -140,29 +174,43 @@ object IndexBuilder {
     val missing = (0 until shards).filterNot(done).toVector
     var manifest = IndexManifest.read(root).getOrElse(
       Manifest(0L, Analyzer.Version, fingerprint, nDocs, avgdl, Nil))
-    // stale partial shard dirs (killed run) are replaced via dynamic
-    // partition overwrite — only touched shard partitions are rewritten
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // The FIRST wave of a fresh build can use the cheap static commit
+    // (nothing to preserve); every later wave — and any resume — must use
+    // dynamic partition overwrite so only the touched shard partitions
+    // are rewritten and committed work (incl. stale partial dirs from a
+    // killed run) is handled correctly.
+    var firstFreshWave = done.isEmpty
 
     missing.grouped(math.max(1, waveSize)).foreach { wave =>
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+        if (firstFreshWave) "static" else "dynamic")
+      firstFreshWave = false
       val waveSet = wave.toSet
+      val acc = new ShardMetricsAcc
+      spark.sparkContext.register(acc, "shardMetrics")
       val waveTf = tf.filter($"shard".isin(wave: _*))
         .repartition(math.min(wave.size, shards), $"shard")
         .sortWithinPartitions($"shard", $"term", $"docId")
-      val encoded = waveTf.mapPartitions(encodePartition(_, maxChunkPostings))
-      encoded.write.mode(SaveMode.Overwrite)
-        .partitionBy("shard").parquet(P.postings)
+      timed(s"postings-wave") {
+        val encoded = waveTf.mapPartitions { rows =>
+          encodePartition(rows, maxChunkPostings).map { pl =>
+            acc.add((pl.shard, if (pl.chunk == 0) 1L else 0L, pl.count,
+              pl.docIds.length.toLong + pl.tfs.length + pl.dls.length))
+            pl
+          }
+        }
+        encoded.write.mode(SaveMode.Overwrite)
+          .partitionBy("shard").parquet(P.postings)
+      }
 
-      // per-shard metrics (terms, postings, bytes) + lineage for manifest
-      val metrics = spark.read.parquet(P.postings)
-        .filter($"shard".isin(wave: _*))
-        .groupBy($"shard")
-        .agg(count_distinct($"term").as("terms"), sum($"count").as("postings"),
-          sum(octet_length($"docIds") + octet_length($"tfs") +
-              octet_length($"dls")).as("bytes"))
-        .collect()
-        .map(r => ShardEntry(r.getInt(0), r.getLong(1), r.getLong(2),
-          r.getLong(3), Seq(r.getInt(0))))
+      // per-shard metrics (terms, postings, bytes) + lineage for manifest,
+      // collected by the encode tasks (accumulator — no re-read job).
+      // Caveat: accumulator updates from retried tasks can double-count;
+      // acceptable for metrics (Spark's own convention for task metrics),
+      // and impossible in the deterministic local runs the gate uses.
+      val metrics = acc.value.toSeq.map { case (s, (t, p, b)) =>
+        ShardEntry(s, t, p, b, Seq(s))
+      }
       val covered = metrics.map(_.shard).toSet
       // shards with zero postings still count as completed
       val empty = waveSet.diff(covered).map(s => ShardEntry(s, 0L, 0L, 0L, Seq(s)))

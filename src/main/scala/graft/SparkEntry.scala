@@ -54,6 +54,9 @@ object SparkEntry {
     "ann_lsh_topk" -> (Q.annLshTopK(_, _)),
     "embedding_near_dup" -> (Q.embeddingNearDup(_, _)),
     "lang_id" -> (Q.langId(_, _)),
+    "u6_snippets" -> (Q.u6Snippets(_, _)),
+    // batch twin of the streaming sessionizer (full SQL oracle)
+    "w4_sessionize" -> (Q.w4Sessionize(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -85,5 +88,6 @@ object SparkEntry {
     "ann_cosine_topk" -> Q.annCosineTopKSql,
     "text_quality" -> Q.textQualitySql,
     "token_count_dl" -> Q.tokenCountDlSql,
+    "w4_sessionize" -> Q.w4SessionizeSql,
   )
 }

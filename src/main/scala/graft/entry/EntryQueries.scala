@@ -547,4 +547,56 @@ object EntryQueries {
 
   def langId(s: SparkSession, dir: String): DataFrame =
     TextOps.languageId(t(s, dir, "documents")).orderBy(col("doc_id"))
+
+  /** U6 read-path decoration: BM25 top-5 + snippet with bolded query
+    * words (rows-only: snippet strings are not SQL-expressible). */
+  def u6Snippets(s: SparkSession, dir: String): DataFrame = {
+    val terms = Set("spark", "merge")
+    val snip = udf((text: String) => graft.query.Snippets.snippet(text, terms))
+    bm25(s, dir, terms.toSeq.sorted, and = true, k = 5)
+      .join(t(s, dir, "documents").select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("score"), snip(col("text")).as("snippet"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** W4 (batch sessionization — the SQL twin of
+    * streaming.StreamingJobs.sessionize): 30-min-gap sessions per user
+    * via lag + running gap count. */
+  def w4Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts").cast("timestamp")) -
+            unix_millis(col("prev_ts").cast("timestamp")) > 30L * 60 * 1000, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ev.groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sess_id"), col("session_start"),
+        col("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+
+  val w4SessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 30 * 60 * 1000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM flagged)
+      |SELECT user_id, sess_id, min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events
+      |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
 }

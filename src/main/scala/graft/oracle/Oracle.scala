@@ -79,4 +79,26 @@ final class Oracle(corpus: Seq[Turn]) {
     }
     hits.sortBy(h => (-h.score, h.docId)).take(k)
   }
+
+  /** Reference-compat relevance: Σ tf max-normalized (AND only) —
+    * SearchServiceImpl.java:202-245 semantics with our docId tie-break. */
+  def topKRefCompat(query: String, k: Int = 10): Vector[SearchHit] = {
+    val qTerms = Analyzer.analyzeQuery(query)
+    if (qTerms.isEmpty) return Vector.empty
+    val present = qTerms.filter(t => df(t) > 0)
+    val cap = 0.9 * nDocs
+    val kept = present.filter(t => df(t) <= cap)
+    val missing = qTerms.toSet -- present.toSet --
+      present.filter(t => df(t) > cap).toSet
+    if (kept.isEmpty || missing.nonEmpty) return Vector.empty
+    val postings = kept.map(t => index(t).toMap)
+    val candidates = postings.map(_.keySet).reduce(_ intersect _)
+    if (candidates.isEmpty) return Vector.empty
+    val abs = candidates.toVector.map { d =>
+      d -> postings.flatMap(_.get(d)).map(_.toLong).sum.toDouble
+    }
+    val maxAbs = abs.map(_._2).max
+    abs.map { case (d, a) => SearchHit(d, a / (if (maxAbs <= 0) 1.0 else maxAbs)) }
+      .sortBy(h => (-h.score, h.docId)).take(k)
+  }
 }

@@ -160,6 +160,54 @@ object SearchEngine {
     scored.orderBy($"score".desc, $"docId".asc).limit(k)
   }
 
+  /** Full read path: top-k + per-hit snippet + doc key — the SearchData
+    * analog (reference dto/search/SearchData.java:12-20; snippets computed
+    * for the k shown rows only, SearchServiceImpl.java:281-290). */
+  def queryWithSnippets(spark: SparkSession, root: String, queryText: String,
+                        mode: String = "AND", k: Int = 10)
+      : Seq[(Long, Double, String, String, Int)] = {
+    import org.apache.spark.sql.functions.col
+    val hits = query(spark, root, queryText, mode, k)
+    if (hits.isEmpty) return Nil
+    val terms = Analyzer.analyzeQuery(queryText).toSet
+    val byId = IndexBuilder.loadDocs(spark, root)
+      .filter(col("docId").isin(hits.map(_.docId): _*))
+      .collect().map(d => d.docId -> d).toMap
+    hits.map { h =>
+      val d = byId(h.docId)
+      (h.docId, h.score, Snippets.snippet(d.text, terms), d.conv_id, d.turn_idx)
+    }
+  }
+
+  /** Reference-compatible scorer path (SURVEY.md §7.0.1): relevance =
+    * Σ_term tf, normalized by the page max (SearchServiceImpl.java:202-245,
+    * default max 1.0 at :33); AND semantics; order (rel DESC, docId ASC) —
+    * the docId tie-break is ours, the reference leaves ties unspecified. */
+  def queryRefCompat(spark: SparkSession, root: String, queryText: String,
+                     k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val stats = statsOf(spark, root)
+    val spec = QuerySpec(Analyzer.analyzeQuery(queryText), "AND", k)
+    val p = plan(spark, root, spec, stats)
+    val missing = spec.terms.toSet -- p.terms.map(_.term).toSet -- p.dropped.toSet
+    if (p.terms.isEmpty || missing.nonEmpty)
+      return spark.emptyDataset[SearchHit].toDF("docId", "relevance")
+    val tf = IndexBuilder.loadTf(spark, root)
+    val termList = p.terms.map(_.term)
+    val qtf = tf.filter($"term".isin(termList: _*))
+    val cand = p.terms.map(t => qtf.filter($"term" === t.term).select($"docId"))
+      .reduce((a, b) => a.join(b, Seq("docId"), "left_semi"))
+    val abs = qtf.join(cand, Seq("docId"), "left_semi")
+      .groupBy($"docId")
+      // exact integer sum → order-free determinism (tf is int)
+      .agg(sum($"tf").cast("double").as("abs"))
+    val maxAbs = abs.agg(max($"abs")).head().getDouble(0) // A5; ≥1 row here
+    abs.withColumn("relevance", $"abs" / lit(if (maxAbs <= 0.0) 1.0 else maxAbs))
+      .select($"docId", $"relevance")
+      .orderBy($"relevance".desc, $"docId".asc)
+      .limit(k)
+  }
+
   def statsOf(spark: SparkSession, root: String): CorpusStats = {
     val m = graft.index.IndexManifest.read(root).getOrElse(
       throw new IllegalStateException(s"no manifest at $root — index not built"))

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming jobs over the `events(event_id, ts, user_id,
+  * event_type, value, props)` stream.
+  *
+  * The reference is batch-only (SURVEY.md §1.4 — its "incremental" path is
+  * request-driven, §3.3); these jobs are the streaming extension a
+  * transcript/event pipeline needs at scale: the SAME transformation
+  * functions run on batch DataFrames (tested against batch results) and on
+  * `readStream` inputs (watermark + windows + mapGroupsWithState), per the
+  * unified Dataset API.
+  */
+object StreamingJobs {
+
+  /** Tumbling hourly counts per event type; 10-minute watermark bounds
+    * state for late data. Works on batch and streaming frames alike. */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Sliding 30-minute windows every 10 minutes — rate monitoring shape. */
+  def slidingRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"), col("n"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+                           n_events: Long, types: Seq[String])
+  final case class SessionState(start: Long, last: Long, n: Long,
+                                types: List[String])
+
+  /** Session gap: 30 minutes of user inactivity closes a session. */
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Stateful sessionization via flatMapGroupsWithState (event-time
+    * timeout): emits a session when the gap elapses. The custom-state
+    * construct of SURVEY.md's streaming mapping. */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.types.reverse))
+          } else {
+            val sorted = rows.toVector.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val out = Vector.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= SessionGapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1,
+                    e.event_type :: s.types))
+                case Some(s) =>
+                  out += Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.types.reverse)
+                  cur = Some(SessionState(t, t, 1L, List(e.event_type)))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, List(e.event_type)))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + SessionGapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Batch oracle for sessionize (same gap rule, plain Scala) — used by
+    * the spec to pin streaming semantics. */
+  def sessionizeBatchOracle(events: Seq[Event]): Seq[Session] =
+    events.groupBy(_.user_id).toSeq.flatMap { case (uid, es) =>
+      val sorted = es.sortBy(_.ts.getTime)
+      val sessions = Vector.newBuilder[Session]
+      var cur: Option[SessionState] = None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= SessionGapMs =>
+            cur = Some(SessionState(s.start, t, s.n + 1, e.event_type :: s.types))
+          case Some(s) =>
+            sessions += Session(uid, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.types.reverse)
+            cur = Some(SessionState(t, t, 1L, List(e.event_type)))
+          case None =>
+            cur = Some(SessionState(t, t, 1L, List(e.event_type)))
+        }
+      }
+      cur.foreach(s => sessions += Session(uid, new Timestamp(s.start),
+        new Timestamp(s.last), s.n, s.types.reverse))
+      sessions.result()
+    }.sortBy(s => (s.user_id, s.start.getTime))
+}

@@ -150,6 +150,38 @@ class EngineParitySpec extends AnyFunSuite {
     }
   }
 
+  test("ref-compat scorer: rank-identical to oracle sum-tf/max relevance") {
+    Seq("needlemid w0000", "w0001 w0002", "roleuser w0003").foreach { q =>
+      val expected = oracle.topKRefCompat(q, 10)
+      val got = SearchEngine.queryRefCompat(spark, root, q, 10)
+        .collect().map(r => SearchHit(r.getLong(0), r.getDouble(1))).toVector
+      assert(got == expected, s"refcompat '$q'")
+    }
+  }
+
+  test("read path with snippets: hits decorated, query terms bolded") {
+    val res = SearchEngine.queryWithSnippets(spark, root, "needlemid w0000", "AND", 5)
+    assert(res.nonEmpty)
+    res.foreach { case (docId, score, snip, convId, turnIdx) =>
+      assert(snip.contains("<b>needlemid</b>") || snip.contains("<b>w0000</b>"),
+        s"doc $docId snippet lacks bolded query word: $snip")
+      assert(oracle.docs(docId.toInt).conv_id == convId)
+      assert(oracle.docs(docId.toInt).turn_idx == turnIdx)
+    }
+  }
+
+  test("statistics job: totals consistent with manifest and oracle") {
+    val t = graft.stats.StatisticsJob.totals(spark, root).head()
+    assert(t.getLong(0) == oracle.nDocs)
+    assert(t.getLong(4) == oracle.index.valuesIterator.map(_.size.toLong).sum)
+    val per = graft.stats.StatisticsJob.perShard(spark, root).collect()
+    assert(per.length == 8)
+    val perConv = graft.stats.StatisticsJob.perConversation(spark, root)
+      .filter($"conv_id" === "conv-00000001").head()
+    assert(perConv.getLong(1) ==
+      oracle.docs.count(_.conv_id == "conv-00000001").toLong)
+  }
+
   test("chunking: hot-term lists split at the chunk cap and merge correctly") {
     val postings = IndexBuilder.loadPostings(spark, root)
     val chunks = postings.filter($"term" === "stopish")

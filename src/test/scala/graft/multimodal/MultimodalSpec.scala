@@ -1,0 +1,75 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("synthetic media: schema, kinds, deterministic bytes") {
+    val m = Multimodal.syntheticMedia(spark, 30)
+    val rows = m.collect().sortBy(_.media_id)
+    assert(rows.length == 30)
+    assert(rows.map(_.kind).toSet == Set("image", "audio", "video"))
+    // deterministic across invocations and partitionings
+    val again = Multimodal.syntheticMedia(spark, 30, partitions = 3)
+      .collect().sortBy(_.media_id)
+    rows.zip(again).foreach { case (a, b) =>
+      assert(a.media_id == b.media_id)
+      assert(java.util.Arrays.equals(a.bytes, b.bytes))
+      assert(a.meta == b.meta)
+    }
+    // typed metadata per kind
+    rows.filter(_.kind == "image").foreach(r => assert(r.meta.mime == "image/png"))
+    rows.filter(_.kind == "video").foreach(r => assert(r.meta.duration_ms >= 2000L))
+  }
+
+  test("feature extraction: fixed dim, deterministic, batched") {
+    val m = Multimodal.syntheticMedia(spark, 20)
+    val f1 = Multimodal.extractFeatures(m).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(m.repartition(5)).collect().sortBy(_.media_id)
+    assert(f1.length == 20)
+    f1.foreach(f => assert(f.features.length == 16))
+    f1.zip(f2).foreach { case (a, b) =>
+      assert(a.features.toSeq == b.features.toSeq,
+        s"features not partitioning-invariant for ${a.media_id}")
+    }
+  }
+
+  test("frame sampling: only video rows, bounded frame count, non-empty frames") {
+    val m = Multimodal.syntheticMedia(spark, 30)
+    val frames = Multimodal.sampleFrames(m, nFrames = 4).collect()
+    assert(frames.nonEmpty)
+    val videoIds = m.filter(_.kind == "video").collect().map(_.media_id).toSet
+    frames.foreach { f =>
+      assert(videoIds.contains(f.media_id))
+      assert(f.frame_idx >= 0 && f.frame_idx < 5)
+      assert(f.frame.nonEmpty)
+    }
+  }
+
+  test("resize: output strictly smaller, co-partitioned pass runs") {
+    val m = Multimodal.syntheticMedia(spark, 12)
+    val r = Multimodal.resized(m, factor = 4).collect()
+    assert(r.length == 12)
+    r.foreach { row =>
+      assert(row.getInt(1) <= row.getInt(2) / 4 + 1)
+    }
+  }
+
+  test("media table round-trips through parquet with the declared schema") {
+    val dir = SparkTestBase.tmpDir("graft-media")
+    Multimodal.syntheticMedia(spark, 10).write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema("bytes").dataType.typeName == "binary")
+    assert(back.count() == 10)
+    val orig = Multimodal.syntheticMedia(spark, 10).collect()
+      .map(m => m.media_id -> m.bytes).toMap
+    back.select($"media_id", $"bytes").collect().foreach { r =>
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]](1), orig(r.getLong(0))))
+    }
+  }
+}

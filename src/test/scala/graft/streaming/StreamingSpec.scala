@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Streaming semantics pinned against batch equivalents: the SAME
+  * transformation over `readStream` (file source, AvailableNow) must
+  * equal the batch run / scalar oracle on identical input. */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val eventsDir: String = {
+    // isolate the events table in its own dir (file stream sources read
+    // whole directories)
+    val dir = SparkTestBase.tmpDir("graft-events")
+    // testdata ts is TIMESTAMP_NTZ; event-time watermarks require
+    // TIMESTAMP (session tz = UTC, values identical)
+    val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    src.write.mode("overwrite").parquet(s"$dir/in")
+    s"$dir/in"
+  }
+
+  private def eventsSchema = spark.read.parquet(eventsDir).schema
+
+  test("streaming hourly counts == batch hourly counts (file source, AvailableNow)") {
+    val streamIn = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+    val agg = StreamingJobs.hourlyTypeCounts(streamIn)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("hourly_out")
+      .option("checkpointLocation", SparkTestBase.tmpDir("graft-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("hourly_out")
+      .orderBy($"hour", $"event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val expected = StreamingJobs.hourlyTypeCounts(spark.read.parquet(eventsDir))
+      .orderBy($"hour", $"event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    // append-mode emits only windows the watermark closed; every emitted
+    // row must match batch, and most windows must have been emitted
+    // (AvailableNow advances the watermark past the last event)
+    assert(got.nonEmpty)
+    val expectedMap = expected.map(e => (e._1, e._2) -> e._3).toMap
+    got.foreach { g =>
+      assert(expectedMap.get((g._1, g._2)).contains(g._3), s"row $g")
+    }
+    assert(got.length >= expected.length - 5, // tail windows may stay open
+      s"streaming emitted ${got.length} of ${expected.length} windows")
+  }
+
+  test("stateful sessionization == scalar batch oracle") {
+    val raw = spark.read.parquet(eventsDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[StreamingJobs.Event].collect().toSeq
+
+    val streamIn = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[StreamingJobs.Event]
+    val q = StreamingJobs.sessionize(streamIn)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .option("checkpointLocation", SparkTestBase.tmpDir("graft-ckpt2"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+
+    val got = spark.table("sessions_out")
+      .orderBy($"user_id", $"start")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    val expected = StreamingJobs.sessionizeBatchOracle(raw)
+      .map(s => (s.user_id, s.start, s.end, s.n_events))
+
+    // sessions emitted by the stream must be exactly correct; sessions
+    // still open at end-of-stream are not emitted in append mode
+    val expectedSet = expected.toSet
+    got.foreach(g => assert(expectedSet.contains(g), s"session $g"))
+    assert(got.length >= expected.size / 2,
+      s"only ${got.length} of ${expected.size} sessions emitted")
+  }
+
+  test("sliding windows produce overlapping coverage") {
+    val out = StreamingJobs.slidingRates(spark.read.parquet(eventsDir))
+      .orderBy($"w_start").collect()
+    assert(out.length > 3)
+    // 30-min windows every 10 min: each event lands in 3 windows
+    val total = out.map(_.getLong(2)).sum
+    val n = spark.read.parquet(eventsDir).count()
+    assert(total == 3 * n, s"sliding coverage $total != 3×$n")
+  }
+}

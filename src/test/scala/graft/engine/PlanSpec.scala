@@ -1,0 +1,86 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SimpleMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.entry.{EntryQueries => Q}
+
+/** Physical-plan regression gate (the 100-TB lens, SURVEY.md §4.2):
+  * filters must reach the parquet scan, small dimensions must broadcast,
+  * aggregations must have map-side partials, scans must prune columns.
+  * A plan that silently regresses to shuffle-join / full-schema scan
+  * would still pass value checks at sf0.01 while dying at scale —
+  * this spec is what catches it. */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(SimpleMode)
+
+  test("dimension joins are broadcast hash joins (J3/J4)") {
+    assert(plan(Q.j3BroadcastJoin(spark, dir)).contains("BroadcastHashJoin"))
+    val p4 = plan(Q.j4MultiJoin(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p4).size >= 2,
+      "both nation and region joins must broadcast")
+  }
+
+  test("semi/anti joins use the dedicated join types (J1/J5)") {
+    assert(plan(Q.j1SemiJoinRel(spark, dir)).contains("LeftSemi"))
+    assert(plan(Q.j5AntiJoin(spark, dir)).contains("LeftAnti"))
+  }
+
+  test("aggregations are two-phase (map-side partials) — A1/A2/Q1") {
+    Seq(Q.q1Agg(spark, dir), Q.a2Dictionary(spark, dir),
+      Q.a6EventsHourly(spark, dir)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
+    }
+  }
+
+  test("column pruning: q1 scan reads only the 4 needed lineitem columns") {
+    val p = plan(Q.q1Agg(spark, dir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_returnflag"))
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_shipdate"),
+      s"scan reads more than it projects: $readSchema")
+  }
+
+  test("predicate pushdown: filters reach the parquet scan (S7/F3)") {
+    val p = plan(Q.c2ScalarFuncs(spark, dir))
+    assert(p.contains("PushedFilters: [") && p.contains("LessThan(o_orderkey,200)"),
+      s"o_orderkey < 200 not pushed:\n$p")
+  }
+
+  test("postings term lookup is pushed into the scan (S7 analog)") {
+    import org.apache.spark.sql.functions._
+    val root = SparkTestBase.tmpDir("plan-idx")
+    graft.index.IndexBuilder.build(spark,
+      graft.fixtures.TranscriptGen.dataset(spark, 42L, 200), root, shards = 4)
+    val scan = graft.index.IndexBuilder.loadPostings(spark, root)
+      .filter(col("term").isin("needlemid", "w0000"))
+    val p = plan(scan)
+    assert(p.contains("PushedFilters: [In(term"), s"term filter not pushed:\n$p")
+    // shard is a partition column → partition-prunable
+    val pruned = graft.index.IndexBuilder.loadPostings(spark, root)
+      .filter(col("shard") === 2)
+    assert(plan(pruned).contains("PartitionFilters: [isnotnull(shard"),
+      "shard filter must be a partition filter, not a data filter")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (O2/O4)") {
+    assert(plan(Q.o2TopK(spark, dir)).contains("TakeOrderedAndProject"))
+  }
+
+  test("whole-stage codegen covers the relational hot paths") {
+    // AQE finalizes the plan only on execution — run, then inspect
+    val df = Q.q1Agg(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"no codegen span in:\n$p")
+  }
+}

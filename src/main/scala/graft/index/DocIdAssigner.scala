@@ -72,4 +72,21 @@ object DocIdAssigner {
       }
     }
   }
+
+  /** As [[assign]], plus `shard` = the range-partition id. Each shard is a
+    * CONTIGUOUS docId range by construction (range partitioning + in-
+    * partition dense assignment), and a `partitionBy("shard")` write needs
+    * no further shuffle — each task owns exactly one shard
+    * (IndexBuilder's single-wide-shuffle build depends on this). */
+  def assignWithShard(spark: SparkSession, turns: Dataset[Turn],
+                      shards: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    assign(spark, turns, shards)
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        it.map(d => (d.docId, d.conv_id, d.turn_idx, d.role, d.text, d.tool,
+          d.dl, pid))
+      }
+      .toDF("docId", "conv_id", "turn_idx", "role", "text", "tool", "dl", "shard")
+  }
 }

@@ -9,20 +9,27 @@ import graft.model.{CorpusStats, Doc, PostingList, TermStats, Turn}
 /** Distributed inverted-index build (SURVEY.md §3.2 Spark equivalent,
   * §4.4, §7.2 steps 4-7).
   *
-  * Pipeline (exactly two wide shuffles on the hot path, plus the stats
-  * aggregations):
+  * Pipeline — exactly ONE wide shuffle on the hot path (the docId
+  * range-repartition), plus one tiny map-side-combined stats shuffle:
   *
   *   transcripts
-  *     → DocIdAssigner (shuffle #1: range-repartition by (conv_id, turn_idx))
-  *     → docs/          (docId, dl, text … — page-table analog)
-  *     → explode(tokens) → groupBy(docId, term).count
-  *     → tf/            (docId, term, tf, dl, shard — search_index analog,
-  *                       also the build checkpoint: resume never re-tokenizes)
-  *     → term_stats/    (skew-safe two-phase df agg: salt → partial → final)
-  *     → repartition by docId-range `shard` (shuffle #2)
-  *        + sortWithinPartitions(shard, term, docId)
-  *     → streaming delta+varint encode per (shard, term) in mapPartitions
-  *     → postings/shard=K/ parquet  + manifest-vN.json commit
+  *     → DocIdAssigner (shuffle #1: range-repartition by (conv_id, turn_idx);
+  *       shard = range-partition id ⇒ a contiguous docId range)
+  *     → docs/shard=K/  (docId, dl, text … — page-table analog; ONE file
+  *       per shard, written by the task that owns the range — no shuffle)
+  *     → tf/shard=K/    MAP-ONLY: explode(term_counts(text)) — per-doc tf
+  *       is computed INSIDE the row (TermCountsExpression; the reference's
+  *       own per-page lemma map, CollectLemmasAction.java:37-45). The old
+  *       groupBy(docId, term) formulation shuffled one row per token with
+  *       near-zero map-side combining — the single most expensive stage.
+  *     → term_stats/    groupBy(term) over tf — combines to ~vocab rows
+  *       per task on the map side (tiny shuffle); still two-phase salted
+  *       for hot-term reducer skew
+  *     → postings/shard=K/  MAP-ONLY: per-shard in-memory inverted buffer
+  *       (the Lucene segment-flush design): rows arrive docId-ascending
+  *       within a shard file, lists grow per term, chunks flush at the
+  *       chunk cap / memory budget, final drain emits term-sorted lists.
+  *     → manifest-vN.json commit per wave
   *
   * Layout choice: postings are DOCUMENT-RANGE sharded — every shard holds
   * the posting lists of ALL terms restricted to its docId range (the
@@ -51,6 +58,10 @@ object IndexBuilder {
   val MaxChunkPostings: Int = 1 << 17
   /** Salt fan-out for the two-phase df aggregation (hot-term skew). */
   val DfSalts = 16
+  /** In-memory inverted-buffer budget per task (postings) before the
+    * largest term list is force-flushed as a chunk — the Lucene-style RAM
+    * bound that keeps any shard size safe. */
+  val MaxBufferedPostings: Int = 8 << 20
 
   final case class Paths(root: String) {
     val docs = s"$root/docs"
@@ -79,8 +90,38 @@ object IndexBuilder {
     }
   }
 
-  /** Tokenizer exposed as a UDF (SURVEY.md §2.8 U2). */
-  def tokensUdf = udf((text: String) => Analyzer.tokens(text))
+  /** Tokenizer column (SURVEY.md §2.8 U2) — native codegen Catalyst
+    * expression; token-identical to Analyzer.tokens (TokensExpressionSpec). */
+  def tokensCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.TokensExpression.tokens(c)
+
+  /** Read `dir` with file-split sizing pinned to the largest file so each
+    * task gets EXACTLY one file (shard↔task alignment: no packing of two
+    * shard files into one task, no splitting of one file across tasks).
+    * Restores the session confs afterwards. At production scale the same
+    * alignment falls out of one-multi-GB-file-per-shard plus default
+    * split sizes; chunk ordering is firstDocId-based anyway, so alignment
+    * is an efficiency matter, not correctness. */
+  private def withOneFilePerTask[A](spark: SparkSession, dir: String)
+                                   (f: DataFrame => A): A = {
+    var maxFile = 1L
+    val it = java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+    while (it.hasNext) {
+      val f0 = it.next()
+      if (f0.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(f0))
+        maxFile = math.max(maxFile, java.nio.file.Files.size(f0))
+    }
+    maxFile += 1
+    val oldMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val oldCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", maxFile.toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", maxFile.toString)
+    try f(spark.read.parquet(dir))
+    finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", oldMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", oldCost)
+    }
+  }
 
   /** Per-shard (terms, postings, bytes) metrics collected by the encode
     * tasks themselves via an accumulator — saves the post-write read job
@@ -111,10 +152,14 @@ object IndexBuilder {
     import spark.implicits._
     val P = Paths(root)
 
-    // ---- stage 1: docs (docId assignment) ----------------------------
+    // ---- stage 1: docs (docId assignment), shard = range-partition ----
     if (!hasSuccess(P.docs)) timed("docs") {
-      DocIdAssigner.assign(spark, turns)
-        .write.mode(SaveMode.Overwrite).parquet(P.docs)
+      DocIdAssigner.assignWithShard(spark, turns, shards)
+        // ordering (shard, docId) satisfies the partitioned-write's
+        // required ordering, so no extra sort is inserted and file rows
+        // stay docId-ascending (the postings pass depends on that)
+        .sortWithinPartitions($"shard", $"docId")
+        .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(P.docs)
     }
     val docs = spark.read.parquet(P.docs).as[Doc]
 
@@ -128,7 +173,6 @@ object IndexBuilder {
     val nDocs = srow.getLong(0)
     val avgdl = srow.getDouble(1)
     val fingerprint = s"$nDocs-${srow.getLong(2)}"
-    val shardSize = math.max(1L, (nDocs + shards - 1) / shards)
 
     // resume check: same input already fully indexed → no-op
     IndexManifest.read(root) match {
@@ -146,13 +190,16 @@ object IndexBuilder {
       case _ => ()
     }
 
-    // ---- stage 2: tf (uncompressed logical index + checkpoint) -------
+    // ---- stage 2: tf — MAP-ONLY (per-doc term counts inside the row) --
     if (!hasSuccess(P.tf)) timed("tf") {
-      docs.select($"docId", $"dl", explode(tokensUdf($"text")).as("term"))
-        .groupBy($"docId", $"term")
-        .agg(count(lit(1)).cast("int").as("tf"), first($"dl").as("dl"))
-        .withColumn("shard", ($"docId" / lit(shardSize)).cast("int"))
-        .write.mode(SaveMode.Overwrite).parquet(P.tf)
+      withOneFilePerTask(spark, P.docs) { docsDf =>
+        docsDf.select($"docId", $"dl", $"shard",
+            explode(graft.functions.TermCountsExpression.termCountsCol($"text")).as("tc"))
+          .select($"docId", $"tc.term".as("term"), $"tc.tf".as("tf"),
+            $"dl", $"shard")
+          .sortWithinPartitions($"shard", $"docId", $"term")
+          .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(P.tf)
+      }
     }
     val tf = spark.read.parquet(P.tf)
 
@@ -188,19 +235,20 @@ object IndexBuilder {
       val waveSet = wave.toSet
       val acc = new ShardMetricsAcc
       spark.sparkContext.register(acc, "shardMetrics")
-      val waveTf = tf.filter($"shard".isin(wave: _*))
-        .repartition(math.min(wave.size, shards), $"shard")
-        .sortWithinPartitions($"shard", $"term", $"docId")
       timed(s"postings-wave") {
-        val encoded = waveTf.mapPartitions { rows =>
-          encodePartition(rows, maxChunkPostings).map { pl =>
-            acc.add((pl.shard, if (pl.chunk == 0) 1L else 0L, pl.count,
-              pl.docIds.length.toLong + pl.tfs.length + pl.dls.length))
-            pl
+        withOneFilePerTask(spark, P.tf) { tfAll =>
+          val waveTf = tfAll.filter($"shard".isin(wave: _*))
+            .select($"docId", $"term", $"tf", $"dl", $"shard")
+          val encoded = waveTf.mapPartitions { rows =>
+            invertPartition(rows, maxChunkPostings, MaxBufferedPostings).map { pl =>
+              acc.add((pl.shard, if (pl.chunk == 0) 1L else 0L, pl.count,
+                pl.docIds.length.toLong + pl.tfs.length + pl.dls.length))
+              pl
+            }
           }
+          encoded.write.mode(SaveMode.Overwrite)
+            .partitionBy("shard").parquet(P.postings)
         }
-        encoded.write.mode(SaveMode.Overwrite)
-          .partitionBy("shard").parquet(P.postings)
       }
 
       // per-shard metrics (terms, postings, bytes) + lineage for manifest,
@@ -223,81 +271,74 @@ object IndexBuilder {
     BuiltIndex(root, manifest)
   }
 
-  /** Streaming posting-list encoder: consumes rows sorted by
-    * (shard, term, docId), emits one PostingList per (shard, term, chunk)
-    * without ever materializing an unsorted buffer (SURVEY.md §2.4 A3 —
-    * preferred over a collect_list Aggregator because input arrives
-    * pre-sorted and hot lists never sit in an agg hash map). */
-  def encodePartition(rows: Iterator[org.apache.spark.sql.Row],
-                      maxChunk: Int): Iterator[PostingList] = {
-    new Iterator[PostingList] {
-      private var curShard = -1
-      private var curTerm: String = null
-      private var chunk = 0
-      private val docBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
-      private val tfBuf = scala.collection.mutable.ArrayBuffer.empty[Int]
-      private val dlBuf = scala.collection.mutable.ArrayBuffer.empty[Int]
-      private var pending: PostingList = null
-      private var done = false
+  private def blockMin(dls: Array[Int]): Array[Int] = {
+    if (dls.isEmpty) return Array.empty
+    val bs = PostingCodec.BlockSize
+    val nb = (dls.length + bs - 1) / bs
+    Array.tabulate(nb) { b =>
+      var m = Int.MaxValue
+      var i = b * bs
+      val end = math.min(i + bs, dls.length)
+      while (i < end) { if (dls(i) < m) m = dls(i); i += 1 }
+      m
+    }
+  }
 
-      private def flush(): PostingList = {
-        val ds = docBuf.toArray
-        val ts = tfBuf.toArray
-        val dls = dlBuf.toArray
-        val out = PostingList(curShard, curTerm, chunk, ds.length.toLong,
-          if (ts.isEmpty) 0 else ts.max,
-          PostingCodec.encodeDocIds(ds), PostingCodec.encodeTfs(ts),
-          PostingCodec.encodeTfs(dls),
-          PostingCodec.blockMaxTf(ts), blockMin(dls))
-        docBuf.clear(); tfBuf.clear(); dlBuf.clear()
-        out
-      }
+  /** Per-shard in-memory inverted buffer (Lucene segment-flush model;
+    * SURVEY.md §2.4 A3): consumes (docId, term, tf, dl, shard) rows in
+    * ascending-docId order within each shard (docs/tf file order — no
+    * sort, no shuffle), grows one list per term, and flushes a chunk when
+    * a list hits `maxChunk` or total buffered postings exceed `budget`
+    * (largest list first). Memory is therefore bounded regardless of
+    * shard size. The final drain emits remaining lists term-sorted so
+    * parquet row-group min/max stats on `term` stay tight. Chunks of one
+    * (shard, term) concatenate in chunk-ordinal (== firstDocId) order. */
+  def invertPartition(rows: Iterator[org.apache.spark.sql.Row],
+                      maxChunk: Int, budget: Int): Iterator[PostingList] = {
+    final class Buf(val shard: Int) {
+      val docs = new scala.collection.mutable.ArrayBuffer[Long](8)
+      val tfs = new scala.collection.mutable.ArrayBuffer[Int](8)
+      val dls = new scala.collection.mutable.ArrayBuffer[Int](8)
+      var chunk = 0
+    }
+    val bufs = scala.collection.mutable.HashMap.empty[(Int, String), Buf]
+    var totalBuffered = 0L
+    val out = scala.collection.mutable.ArrayBuffer.empty[PostingList]
 
-      private def blockMin(dls: Array[Int]): Array[Int] = {
-        if (dls.isEmpty) return Array.empty
-        val bs = PostingCodec.BlockSize
-        val nb = (dls.length + bs - 1) / bs
-        Array.tabulate(nb) { b =>
-          var m = Int.MaxValue
-          var i = b * bs
-          val end = math.min(i + bs, dls.length)
-          while (i < end) { if (dls(i) < m) m = dls(i); i += 1 }
-          m
-        }
-      }
+    def flush(key: (Int, String), b: Buf): Unit = {
+      val ds = b.docs.toArray
+      val ts = b.tfs.toArray
+      val dl = b.dls.toArray
+      out += PostingList(b.shard, key._2, b.chunk, ds.length.toLong,
+        if (ts.isEmpty) 0 else ts.max,
+        PostingCodec.encodeDocIds(ds), PostingCodec.encodeTfs(ts),
+        PostingCodec.encodeTfs(dl), PostingCodec.blockMaxTf(ts), blockMin(dl))
+      totalBuffered -= ds.length
+      b.docs.clear(); b.tfs.clear(); b.dls.clear()
+      b.chunk += 1
+    }
 
-      private def step(): Unit = {
-        while (pending == null && !done) {
-          if (!rows.hasNext) {
-            done = true
-            if (docBuf.nonEmpty) pending = flush()
-          } else {
-            val r = rows.next()
-            // row: docId, term, tf, dl, shard (column order from stage 2)
-            val docId = r.getAs[Long]("docId")
-            val term = r.getAs[String]("term")
-            val t = r.getAs[Int]("tf")
-            val dl = r.getAs[Int]("dl")
-            val shard = r.getAs[Int]("shard")
-            if (curTerm == null) { curShard = shard; curTerm = term; chunk = 0 }
-            else if (shard != curShard || term != curTerm) {
-              pending = flush()
-              curShard = shard; curTerm = term; chunk = 0
-            } else if (docBuf.length >= maxChunk) {
-              pending = flush()
-              chunk += 1
-            }
-            docBuf += docId; tfBuf += t; dlBuf += dl
-          }
-        }
-      }
-
-      override def hasNext: Boolean = { step(); pending != null }
-      override def next(): PostingList = {
-        step()
-        val out = pending; pending = null; out
+    rows.foreach { r =>
+      val docId = r.getLong(0)
+      val term = r.getString(1)
+      val tf = r.getInt(2)
+      val dl = r.getInt(3)
+      val shard = r.getInt(4)
+      val key = (shard, term)
+      val b = bufs.getOrElseUpdate(key, new Buf(shard))
+      b.docs += docId; b.tfs += tf; b.dls += dl
+      totalBuffered += 1
+      if (b.docs.length >= maxChunk) flush(key, b)
+      else if (totalBuffered > budget) {
+        val (k, big) = bufs.maxBy(_._2.docs.length)
+        if (big.docs.nonEmpty) flush(k, big)
       }
     }
+    // final drain, term-sorted within shard
+    bufs.toSeq.sortBy(_._1).foreach { case (k, b) =>
+      if (b.docs.nonEmpty) flush(k, b)
+    }
+    out.iterator
   }
 
   /** Typed readers over a built index. */

@@ -98,6 +98,12 @@ object PostingCodec extends Serializable {
     out
   }
 
+  /** First (absolute) docId of an encoded list — chunks of one
+    * (shard, term) concatenate in firstDocId order, which is robust even
+    * if a shard's rows were processed by more than one task. */
+  def firstDocId(docBytes: Array[Byte]): Long =
+    if (docBytes.isEmpty) Long.MaxValue else readVarLong(docBytes, 0)._1
+
   /** Per-block max tf, one entry per BlockSize docs (block-max WAND upper
     * bounds; SURVEY.md §7.5). */
   def blockMaxTf(tfs: Array[Int]): Array[Int] = {

@@ -13,8 +13,9 @@ import graft.analysis.Analyzer
   */
 object TextOps {
 
-  /** Tokens of `text` via the shared [[Analyzer]] (U2). */
-  val tokensCol: Column = udf((s: String) => Analyzer.tokens(s)).apply(col("text"))
+  /** Tokens of `text` via the shared [[Analyzer]] semantics (U2) — the
+    * native codegen expression (equivalence: TokensExpressionSpec). */
+  val tokensCol: Column = graft.functions.TokensExpression.tokens(col("text"))
 
   /** tf per (doc, term) — reference A1 (CollectLemmasAction.java:37-45):
     * explode + hash agg with map-side partials. */

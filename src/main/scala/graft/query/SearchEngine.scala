@@ -96,11 +96,15 @@ object SearchEngine {
         val byShard = rows.toVector.groupBy(_.getInt(0))
         byShard.iterator.flatMap { case (_, shardRows) =>
           val cursors = shardRows.groupBy(_.getString(1)).map { case (term, rs) =>
-            val chunks = rs.sortBy(_.getInt(2)).map { r =>
-              Wand.Chunk(r.getLong(3).toInt, r.getAs[Array[Byte]](4),
-                r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6),
-                r.getSeq[Int](7).toArray, r.getSeq[Int](8).toArray)
-            }.toIndexedSeq
+            // chunks concatenate in ascending-docId order; firstDocId is
+            // robust even if a shard's rows were encoded by several tasks
+            val chunks = rs.sortBy(r =>
+                graft.index.PostingCodec.firstDocId(r.getAs[Array[Byte]](4)))
+              .map { r =>
+                Wand.Chunk(r.getLong(3).toInt, r.getAs[Array[Byte]](4),
+                  r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6),
+                  r.getSeq[Int](7).toArray, r.getSeq[Int](8).toArray)
+              }.toIndexedSeq
             new Wand.TermCursor(
               Wand.TermPostings(term, dfByTerm(term), canonical(term), chunks),
               nDocs, avgdl)

@@ -30,7 +30,22 @@ import graft.model.{Doc, Turn}
   */
 object DocIdAssigner {
 
-  def assign(spark: SparkSession, turns: Dataset[Turn], partitions: Int = 0): Dataset[Doc] = {
+  /** Deterministic per-row fingerprint hash — MUST stay identical to
+    * [[rowHashUdfBody]] (the resume path recomputes it from docs/). */
+  def rowHash(convId: String, turnIdx: Int, text: String): Long = {
+    import scala.util.hashing.MurmurHash3
+    val a = MurmurHash3.stringHash(text, MurmurHash3.stringHash(convId, turnIdx))
+    val b = MurmurHash3.stringHash(convId, MurmurHash3.stringHash(text, turnIdx ^ 0x5bd1e995))
+    (a.toLong << 32) | (b.toLong & 0xffffffffL)
+  }
+
+  final case class AssignStats(nDocs: Long, fingerprint: String)
+
+  def assign(spark: SparkSession, turns: Dataset[Turn], partitions: Int = 0): Dataset[Doc] =
+    assignWithStats(spark, turns, partitions)._1
+
+  def assignWithStats(spark: SparkSession, turns: Dataset[Turn],
+                      partitions: Int = 0): (Dataset[Doc], AssignStats) = {
     import spark.implicits._
     val p = if (partitions > 0) partitions
             else spark.sessionState.conf.numShufflePartitions
@@ -38,16 +53,25 @@ object DocIdAssigner {
       .repartitionByRange(p, $"conv_id", $"turn_idx")
       .sortWithinPartitions($"conv_id", $"turn_idx")
 
-    // Job A: per-partition counts (cheap: count only, no data movement).
-    val counts: Map[Int, Long] = sorted
+    // Job A: per-partition counts + corpus fingerprint in the same pass
+    // (one fewer driver-serial job than counting and fingerprinting
+    // separately; the xor-fold is order-independent).
+    val perPart = sorted
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         var n = 0L
-        while (it.hasNext) { it.next(); n += 1 }
-        Iterator((pid, n))
+        var h = 0L
+        while (it.hasNext) {
+          val t = it.next()
+          n += 1
+          h ^= rowHash(t.conv_id, t.turn_idx, t.text)
+        }
+        Iterator((pid, n, h))
       }
       .collect()
-      .toMap
+    val counts: Map[Int, Long] = perPart.map(x => x._1 -> x._2).toMap
+    val stats = AssignStats(perPart.map(_._2).sum,
+      s"${perPart.map(_._2).sum}-${perPart.map(_._3).foldLeft(0L)(_ ^ _)}")
 
     val nParts = sorted.rdd.getNumPartitions
     val offsets = new Array[Long](nParts)
@@ -61,7 +85,7 @@ object DocIdAssigner {
     val bOffsets = spark.sparkContext.broadcast(offsets)
 
     // Job B: assign ids; shuffle from job A is reused (skipped stages).
-    sorted.mapPartitions { it =>
+    val docs = sorted.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       var local = bOffsets.value(pid)
       it.map { t =>
@@ -71,6 +95,7 @@ object DocIdAssigner {
             Analyzer.tokens(t.text).length)
       }
     }
+    (docs, stats)
   }
 
   /** As [[assign]], plus `shard` = the range-partition id. Each shard is a
@@ -79,14 +104,16 @@ object DocIdAssigner {
     * no further shuffle — each task owns exactly one shard
     * (IndexBuilder's single-wide-shuffle build depends on this). */
   def assignWithShard(spark: SparkSession, turns: Dataset[Turn],
-                      shards: Int): org.apache.spark.sql.DataFrame = {
+                      shards: Int): (org.apache.spark.sql.DataFrame, AssignStats) = {
     import spark.implicits._
-    assign(spark, turns, shards)
+    val (docs, stats) = assignWithStats(spark, turns, shards)
+    val df = docs
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         it.map(d => (d.docId, d.conv_id, d.turn_idx, d.role, d.text, d.tool,
           d.dl, pid))
       }
       .toDF("docId", "conv_id", "turn_idx", "role", "text", "tool", "dl", "shard")
+    (df, stats)
   }
 }

@@ -153,26 +153,27 @@ object IndexBuilder {
     val P = Paths(root)
 
     // ---- stage 1: docs (docId assignment), shard = range-partition ----
-    if (!hasSuccess(P.docs)) timed("docs") {
-      DocIdAssigner.assignWithShard(spark, turns, shards)
+    // nDocs + fingerprint come for free from the assigner's count job on
+    // a fresh build; a resume recomputes them from the docs checkpoint
+    // (identical hash function — DocIdAssigner.rowHash).
+    val (nDocs, fingerprint) =
+      if (!hasSuccess(P.docs)) timed("docs") {
+        val (df, st) = DocIdAssigner.assignWithShard(spark, turns, shards)
         // ordering (shard, docId) satisfies the partitioned-write's
         // required ordering, so no extra sort is inserted and file rows
         // stay docId-ascending (the postings pass depends on that)
-        .sortWithinPartitions($"shard", $"docId")
-        .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(P.docs)
-    }
+        df.sortWithinPartitions($"shard", $"docId")
+          .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(P.docs)
+        (st.nDocs, st.fingerprint)
+      } else timed("corpus-stats") {
+        val hashUdf = udf((c: String, t: Int, x: String) =>
+          DocIdAssigner.rowHash(c, t, x))
+        val r = spark.read.parquet(P.docs)
+          .select(hashUdf($"conv_id", $"turn_idx", $"text").as("h"))
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("fp")).head()
+        (r.getLong(0), s"${r.getLong(0)}-${r.getLong(1)}")
+      }
     val docs = spark.read.parquet(P.docs).as[Doc]
-
-    // corpus stats + input fingerprint in one pass
-    val srow = timed("corpus-stats")(docs.agg(
-      count(lit(1)).as("n"),
-      avg($"dl".cast("double")).as("avgdl"),
-      // bit_xor: order-independent and overflow-free (ANSI mode rejects
-      // overflowing sum(hash))
-      expr("bit_xor(xxhash64(conv_id, turn_idx, text))").as("fp")).head())
-    val nDocs = srow.getLong(0)
-    val avgdl = srow.getDouble(1)
-    val fingerprint = s"$nDocs-${srow.getLong(2)}"
 
     // resume check: same input already fully indexed → no-op
     IndexManifest.read(root) match {
@@ -209,11 +210,20 @@ object IndexBuilder {
     // first (north rule: skew-aware salting for role/tool-class tokens).
     if (!hasSuccess(P.termStats)) timed("term-stats") {
       tf.groupBy($"term", pmod(xxhash64($"docId"), lit(DfSalts)).as("salt"))
-        .agg(count(lit(1)).as("pdf"), max($"tf").as("pmax"))
+        .agg(count(lit(1)).as("pdf"), max($"tf").as("pmax"),
+          sum($"tf").as("psum"))
         .groupBy($"term")
-        .agg(sum($"pdf").as("df"), max($"pmax").as("maxTf"))
-        .select($"term", $"df", $"maxTf".cast("int").as("maxTf"))
+        .agg(sum($"pdf").as("df"), max($"pmax").as("maxTf"),
+          sum($"psum").as("sumTf"))
+        .select($"term", $"df", $"maxTf".cast("int").as("maxTf"), $"sumTf")
         .write.mode(SaveMode.Overwrite).parquet(P.termStats)
+    }
+    // avgdl from the (tiny) dictionary: Σ tf == Σ dl, exactly — replaces a
+    // full docs-scan job
+    val avgdl = timed("avgdl") {
+      val tot = spark.read.parquet(P.termStats)
+        .agg(sum($"sumTf")).head().getLong(0)
+      tot.toDouble / nDocs
     }
 
     // ---- stage 4: posting shards, in resumable waves ------------------

@@ -40,6 +40,9 @@ object SparkEntry {
     "c2_scalar_funcs" -> (Q.c2ScalarFuncs(_, _)),
     "a6_events_hourly" -> (Q.a6EventsHourly(_, _)),
     "c_json_extract" -> (Q.cJsonExtract(_, _)),
+    "f1_html_strip" -> (Q.f1HtmlStrip(_, _)),
+    "j6_prefix_filter" -> (Q.j6PrefixFilter(_, _)),
+    "o1_df_order" -> (Q.o1DfOrder(_, _)),
     // training-pipeline operators
     "dedup_exact" -> (Q.dedupExact(_, _)),
     "fingerprint_md5" -> (Q.fingerprintMd5(_, _)),
@@ -82,6 +85,9 @@ object SparkEntry {
     "c2_scalar_funcs" -> Q.c2ScalarFuncsSql,
     "a6_events_hourly" -> Q.a6EventsHourlySql,
     "c_json_extract" -> Q.cJsonExtractSql,
+    "f1_html_strip" -> Q.f1HtmlStripSql,
+    "j6_prefix_filter" -> Q.j6PrefixFilterSql,
+    "o1_df_order" -> Q.o1DfOrderSql,
     "dedup_exact" -> Q.dedupExactSql,
     "fingerprint_md5" -> Q.fingerprintMd5Sql,
     "ngram_jaccard_pairs" -> Q.ngramJaccardPairsSql,

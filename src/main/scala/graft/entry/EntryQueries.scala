@@ -583,6 +583,61 @@ object EntryQueries {
       .orderBy(col("user_id"), col("sess_id"))
   }
 
+  /** F1/C10 (CollectLemmasAction.cleanText + PageServiceImpl.getPageTitle):
+    * HTML tag strip + <title> extraction over a deterministically
+    * HTML-wrapped view of the documents table. */
+  def f1HtmlStrip(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") < 50)
+      .withColumn("html",
+        concat(lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title></head><body><p>"), substring(col("text"), 1, 60),
+          lit("</p><br/></body></html>")))
+      .select(col("doc_id"),
+        regexp_extract(col("html"), "(?is)<title>(.*?)</title>", 1).as("title"),
+        trim(regexp_replace(col("html"), "<[^>]*>", " ")).as("stripped"))
+      .orderBy(col("doc_id"))
+
+  val f1HtmlStripSql: String =
+    """SELECT doc_id,
+      |  regexp_extract(html, '(?is)<title>(.*?)</title>', 1) AS title,
+      |  trim(regexp_replace(html, '<[^>]*>', ' ', 'g')) AS stripped
+      |FROM (SELECT doc_id,
+      |        '<html><head><title>Doc ' || doc_id || '</title></head><body><p>'
+      |          || substring(text, 1, 60) || '</p><br/></body></html>' AS html
+      |      FROM documents WHERE doc_id < 50)
+      |ORDER BY doc_id""".stripMargin
+
+  /** J6 (UrlFormatter.isPagePartOfSite prefix containment): scalar
+    * startsWith predicate. */
+  def j6PrefixFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("source").startsWith("src1")) // src1, src10..src19
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  val j6PrefixFilterSql: String =
+    """SELECT doc_id, source FROM documents
+      |WHERE source LIKE 'src1%' ORDER BY doc_id""".stripMargin
+
+  /** O1 (SearchServiceImpl.java:156-162): dictionary terms ordered by df
+    * ASC with term tie-break — the rarest-first access-path order. */
+  def o1DfOrder(s: SparkSession, dir: String): DataFrame =
+    TextOps.termFrequencies(t(s, dir, "documents"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("df"), col("term"))))
+      .orderBy(col("rank"))
+
+  val o1DfOrderSql: String =
+    """SELECT term, df, CAST(row_number() OVER (ORDER BY df, term) AS INT) AS rank
+      |FROM (
+      |  SELECT term, count(*) AS df FROM (
+      |    SELECT DISTINCT doc_id, term
+      |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |    WHERE length(term) >= 2)
+      |  GROUP BY term)
+      |ORDER BY rank""".stripMargin
+
   val w4SessionizeSql: String =
     """WITH flagged AS (
       |  SELECT user_id, event_id, ts,

@@ -1,0 +1,221 @@
+package graft.index
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+import graft.model.Turn
+
+/** Incremental index maintenance — the Spark re-expression of the
+  * reference's `POST /api/indexPage` path (SURVEY.md §3.3; reference:
+  * IndexingServiceImpl.java:126-138 → PrepareDatabaseBeforeIndexingAction
+  * .java:39-59 delete + LemmaServiceImpl.java:81-92 df decrement): a
+  * partition-scoped rewrite of ONLY the shards holding the touched
+  * documents, followed by a set-based term-stats recomputation and an
+  * atomic manifest snapshot — never row-at-a-time mutation (S6 mapping,
+  * SURVEY.md §2.1).
+  *
+  * docId semantics under maintenance mirror the reference's auto-increment
+  * ids (PageEntity.java:18-21):
+  *  - REPLACE of an existing (conv_id, turn_idx) keeps its docId — ranks
+  *    are key-ordered and keys are unchanged;
+  *  - DELETE leaves a gap in the docId space (exactly like deleted MySQL
+  *    rows; dense-rank contiguity is a FRESH-BUILD invariant, maintenance
+  *    preserves *stability* instead — queries never depend on contiguity);
+  *  - APPEND assigns fresh docIds after the current maximum into NEW
+  *    shards (supported for conv_ids sorting after all existing ones,
+  *    which is the natural shape for transcript streams keyed by
+  *    time-ordered ids).
+  */
+object IndexMaintenance {
+
+  /** Shards whose docId range intersects the given docIds. */
+  private def affectedShards(spark: SparkSession, root: String,
+                             docIds: Seq[Long]): Seq[Int] = {
+    import spark.implicits._
+    if (docIds.isEmpty) return Nil
+    IndexBuilder.loadDocs(spark, root)
+      .filter($"docId".isin(docIds: _*))
+      .select(input_file_name())
+      .distinct().collect()
+      .map(_.getString(0))
+      .flatMap(f => "shard=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt))
+      .distinct.toSeq
+  }
+
+  /** Delete whole conversations (or specific turns via the predicate):
+    * rewrites only the shards containing them, recomputes term stats
+    * set-based, commits a new snapshot. Returns affected shard ids. */
+  def deleteConversations(spark: SparkSession, root: String,
+                          convIds: Set[String]): Seq[Int] = {
+    import spark.implicits._
+    val P = IndexBuilder.Paths(root)
+    val docIds = IndexBuilder.loadDocs(spark, root)
+      .filter($"conv_id".isin(convIds.toSeq: _*))
+      .select($"docId").as[Long].collect().toSeq
+    if (docIds.isEmpty) return Nil
+    val shards = affectedShards(spark, root, docIds)
+    rewriteShards(spark, root, shards,
+      keepPredicate = !col("conv_id").isin(convIds.toSeq: _*))
+    shards
+  }
+
+  /** Replace the text of existing turns (same (conv_id, turn_idx) keys ⇒
+    * same docIds). Unknown keys are rejected — replacement must not
+    * reorder ranks. Returns affected shard ids. */
+  def replaceTurns(spark: SparkSession, root: String,
+                   turns: Seq[Turn]): Seq[Int] = {
+    import spark.implicits._
+    val P = IndexBuilder.Paths(root)
+    val keys = turns.map(t => (t.conv_id, t.turn_idx)).toSet
+    val existing = IndexBuilder.loadDocs(spark, root)
+      .filter($"conv_id".isin(keys.map(_._1).toSeq: _*))
+      .select($"docId", $"conv_id", $"turn_idx")
+      .collect()
+      .map(r => (r.getString(1), r.getInt(2)) -> r.getLong(0)).toMap
+    val missing = keys.filterNot(existing.contains)
+    require(missing.isEmpty,
+      s"replaceTurns requires existing keys; missing: $missing " +
+      "(additions go through appendConversations / a fresh build)")
+    val byKey = turns.map(t => (t.conv_id, t.turn_idx) -> t).toMap
+    val docIds = keys.toSeq.map(existing)
+    val shards = affectedShards(spark, root, docIds)
+    rewriteShards(spark, root, shards,
+      keepPredicate = lit(true),
+      replace = Some((byKey, existing)))
+    shards
+  }
+
+  /** Core partition-scoped rewrite: re-derive docs → tf → postings for the
+    * affected shards from (old docs ∖ deleted) ∪ replacements, then
+    * recompute term_stats from the full tf table (exact df — the
+    * set-based analog of the reference's decrement, never ±1 mutation)
+    * and commit a new manifest snapshot. */
+  private def rewriteShards(spark: SparkSession, root: String,
+                            shards: Seq[Int],
+                            keepPredicate: org.apache.spark.sql.Column,
+                            replace: Option[(Map[(String, Int), Turn],
+                                             Map[(String, Int), Long])] = None): Unit = {
+    import spark.implicits._
+    if (shards.isEmpty) return
+    val P = IndexBuilder.Paths(root)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    // new docs content for the affected shards
+    val oldDocs = spark.read.parquet(P.docs).filter($"shard".isin(shards: _*))
+    val kept = oldDocs.filter(keepPredicate)
+    val newDocs = replace match {
+      case None => kept
+      case Some((byKey, _)) =>
+        val bKeys = spark.sparkContext.broadcast(byKey)
+        kept.as[DocWithShard].map { d =>
+          bKeys.value.get((d.conv_id, d.turn_idx)) match {
+            case Some(t) => d.copy(role = t.role, text = t.text, tool = t.tool,
+              dl = Analyzer.tokens(t.text).length)
+            case None => d
+          }
+        }.toDF()
+    }
+    // Spark refuses to overwrite a path it is reading (correctly), and a
+    // fully-deleted shard would leave a stale dir behind a dynamic
+    // overwrite — so: write the affected shards to a temp table, then
+    // swap whole shard dirs (delete old, move new if any).
+    val tmpDocs = P.docs + ".rewrite"
+    newDocs
+      .select($"docId", $"conv_id", $"turn_idx", $"role", $"text", $"tool",
+        $"dl", $"shard")
+      .sortWithinPartitions($"shard", $"docId")
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(tmpDocs)
+    swapShardDirs(P.docs, tmpDocs, shards)
+
+    // tf for affected shards (map-only, same as the build)
+    val tmpTf = P.tf + ".rewrite"
+    spark.read.parquet(P.docs).filter($"shard".isin(shards: _*))
+      .select($"docId", $"dl", $"shard",
+        explode(graft.functions.TermCountsExpression.termCountsCol($"text")).as("tc"))
+      .select($"docId", $"tc.term".as("term"), $"tc.tf".as("tf"), $"dl", $"shard")
+      .sortWithinPartitions($"shard", $"docId", $"term")
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(tmpTf)
+    swapShardDirs(P.tf, tmpTf, shards)
+
+    // term stats: exact re-aggregation over the whole tf relation
+    val tf = spark.read.parquet(P.tf)
+    tf.groupBy($"term", pmod(xxhash64($"docId"), lit(IndexBuilder.DfSalts)).as("salt"))
+      .agg(count(lit(1)).as("pdf"), max($"tf").as("pmax"), sum($"tf").as("psum"))
+      .groupBy($"term")
+      .agg(sum($"pdf").as("df"), max($"pmax").as("maxTf"), sum($"psum").as("sumTf"))
+      .select($"term", $"df", $"maxTf".cast("int").as("maxTf"), $"sumTf")
+      .write.mode(SaveMode.Overwrite).parquet(P.termStats + ".tmp")
+    // atomic swap of the dictionary
+    val fsOld = java.nio.file.Paths.get(P.termStats)
+    val fsTmp = java.nio.file.Paths.get(P.termStats + ".tmp")
+    val fsBak = java.nio.file.Paths.get(P.termStats + ".old")
+    if (java.nio.file.Files.exists(fsBak)) deleteRec(fsBak)
+    java.nio.file.Files.move(fsOld, fsBak)
+    java.nio.file.Files.move(fsTmp, fsOld)
+    deleteRec(fsBak)
+
+    // postings for affected shards (in-memory inversion, as the build)
+    val acc = new IndexBuilder.ShardMetricsAcc
+    spark.sparkContext.register(acc, "maintShardMetrics")
+    spark.read.parquet(P.tf).filter($"shard".isin(shards: _*))
+      .select($"docId", $"term", $"tf", $"dl", $"shard")
+      .mapPartitions { rows =>
+        IndexBuilder.invertPartition(rows, IndexBuilder.MaxChunkPostings,
+          IndexBuilder.MaxBufferedPostings).map { pl =>
+          acc.add((pl.shard, if (pl.chunk == 0) 1L else 0L, pl.count,
+            pl.docIds.length.toLong + pl.tfs.length + pl.dls.length))
+          pl
+        }
+      }
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(P.postings)
+    // a shard whose docs were all deleted has no rows left: drop its files
+    val written = acc.value.keySet
+    shards.filterNot(written).foreach { s0 =>
+      val dir = java.nio.file.Paths.get(s"${P.postings}/shard=$s0")
+      if (java.nio.file.Files.isDirectory(dir)) deleteRec(dir)
+    }
+
+    // refreshed corpus stats + manifest snapshot
+    val n = spark.read.parquet(P.docs).count()
+    val tot = spark.read.parquet(P.termStats).agg(sum($"sumTf")).head().getLong(0)
+    val hashUdf = udf((c: String, t: Int, x: String) =>
+      DocIdAssigner.rowHash(c, t, x))
+    val fp = spark.read.parquet(P.docs)
+      .select(hashUdf($"conv_id", $"turn_idx", $"text").as("h"))
+      .agg(expr("bit_xor(h)")).head().getLong(0)
+    val old = IndexManifest.read(root).getOrElse(
+      throw new IllegalStateException(s"no manifest at $root"))
+    val updated = old.shards.filterNot(s => shards.contains(s.shard)) ++
+      acc.value.toSeq.map { case (s0, (t, p, b)) => ShardEntry(s0, t, p, b, Seq(s0)) } ++
+      shards.filterNot(written).map(s0 => ShardEntry(s0, 0L, 0L, 0L, Seq(s0)))
+    IndexManifest.commit(root, old.copy(
+      snapshotId = old.snapshotId + 1,
+      inputFingerprint = s"$n-$fp",
+      nDocs = n,
+      avgdl = tot.toDouble / math.max(1L, n),
+      shards = updated))
+  }
+
+  /** Replace `target/shard=K` with `tmp/shard=K` for each affected shard
+    * (absence in tmp ⇒ the shard is now empty ⇒ its dir is removed). */
+  private def swapShardDirs(target: String, tmp: String, shards: Seq[Int]): Unit = {
+    shards.foreach { k =>
+      val dst = java.nio.file.Paths.get(s"$target/shard=$k")
+      val src = java.nio.file.Paths.get(s"$tmp/shard=$k")
+      if (java.nio.file.Files.isDirectory(dst)) deleteRec(dst)
+      if (java.nio.file.Files.isDirectory(src))
+        java.nio.file.Files.move(src, dst)
+    }
+    val tmpPath = java.nio.file.Paths.get(tmp)
+    if (java.nio.file.Files.exists(tmpPath)) deleteRec(tmpPath)
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+
+  final case class DocWithShard(docId: Long, conv_id: String, turn_idx: Int,
+                                role: String, text: String, tool: String,
+                                dl: Int, shard: Int)
+}

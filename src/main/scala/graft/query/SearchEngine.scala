@@ -212,6 +212,14 @@ object SearchEngine {
       .limit(k)
   }
 
+  /** Reference pagination semantics (O3, SearchServiceImpl.java:247-259),
+    * including its quirk: IF the total result count is <= limit, the
+    * offset is IGNORED and the full list is returned (guard at :248-250).
+    * Compat layer only — the engine itself exposes plain top-k. */
+  def paginate[A](results: Seq[A], offset: Int, limit: Int): Seq[A] =
+    if (results.size <= limit) results
+    else results.slice(offset, offset + limit)
+
   def statsOf(spark: SparkSession, root: String): CorpusStats = {
     val m = graft.index.IndexManifest.read(root).getOrElse(
       throw new IllegalStateException(s"no manifest at $root — index not built"))

@@ -182,6 +182,15 @@ class EngineParitySpec extends AnyFunSuite {
       oracle.docs.count(_.conv_id == "conv-00000001").toLong)
   }
 
+  test("pagination quirk (O3): offset ignored when total <= limit") {
+    val rs = (1 to 7).toVector
+    // reference guard SearchServiceImpl.java:248-250
+    assert(SearchEngine.paginate(rs, offset = 5, limit = 10) == rs)
+    assert(SearchEngine.paginate(rs, offset = 2, limit = 3) == Vector(3, 4, 5))
+    assert(SearchEngine.paginate(rs, offset = 6, limit = 3) == Vector(7))
+    assert(SearchEngine.paginate(Vector.empty[Int], 0, 5) == Vector.empty)
+  }
+
   test("chunking: hot-term lists split at the chunk cap and merge correctly") {
     val postings = IndexBuilder.loadPostings(spark, root)
     val chunks = postings.filter($"term" === "stopish")

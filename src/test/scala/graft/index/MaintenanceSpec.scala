@@ -1,0 +1,137 @@
+package graft.index
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.analysis.Analyzer
+import graft.fixtures.TranscriptGen
+import graft.model.{SearchHit, Turn}
+import graft.query.{Bm25, SearchEngine}
+
+/** Incremental maintenance (reference §3.3 indexPage path): delete /
+  * replace rewrite ONLY the affected shards; the index stays
+  * query-correct against a brute-force scorer over its own docs table
+  * (docIds keep gaps after deletes, like the reference's deleted MySQL
+  * rows — stability over contiguity). */
+class MaintenanceSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def freshIndex(): (String, Vector[Turn]) = {
+    val corpus = TranscriptGen.corpus(seed = 11L, nConvs = 200)
+    val root = SparkTestBase.tmpDir("graft-maint")
+    IndexBuilder.build(spark, spark.createDataset(corpus), root,
+      shards = 8, waveSize = 8, maxChunkPostings = 64)
+    (root, corpus)
+  }
+
+  /** Brute-force BM25 top-k over the index's CURRENT docs table. */
+  private def bruteTopK(root: String, query: String, mode: String,
+                        k: Int): Vector[SearchHit] = {
+    val docs = IndexBuilder.loadDocs(spark, root)
+      .select($"docId", $"text").collect()
+      .map(r => r.getLong(0) -> Analyzer.tokens(r.getString(1)))
+    val n = docs.length.toLong
+    val avgdl = docs.map(_._2.size.toLong).sum.toDouble / n
+    val dfs = scala.collection.mutable.HashMap.empty[String, Long]
+    docs.foreach(_._2.distinct.foreach(t => dfs.update(t, dfs.getOrElse(t, 0L) + 1)))
+    val qTerms0 = Analyzer.analyzeQuery(query).filter(t => dfs.getOrElse(t, 0L) > 0)
+    val capped = qTerms0.filter(t => dfs(t) <= 0.9 * n)
+    val missing = Analyzer.analyzeQuery(query).toSet -- qTerms0.toSet --
+      qTerms0.filter(t => dfs(t) > 0.9 * n).toSet
+    if (capped.isEmpty || (mode == "AND" && missing.nonEmpty)) return Vector.empty
+    val canonical = capped.sortBy(t => (dfs(t), t))
+    val hits = docs.flatMap { case (d, toks) =>
+      val tf = toks.groupBy(identity).map { case (t, xs) => t -> xs.size }
+      val matched = capped.filter(tf.contains)
+      val ok = if (mode == "AND") matched.size == capped.size else matched.nonEmpty
+      if (!ok) None
+      else {
+        var s = 0.0
+        canonical.foreach(t => tf.get(t).foreach(f =>
+          s += Bm25.score(f, dfs(t), toks.size, n, avgdl)))
+        Some(SearchHit(d, s))
+      }
+    }
+    hits.sortBy(h => (-h.score, h.docId)).take(k).toVector
+  }
+
+  test("delete: removed convs vanish, untouched shards keep their manifest entries") {
+    val (root, corpus) = freshIndex()
+    val m0 = IndexManifest.read(root).get
+    val victims = Set("conv-00000003", "conv-00000050", "conv-00000150")
+    val affected = IndexMaintenance.deleteConversations(spark, root, victims)
+    assert(affected.nonEmpty && affected.size < 8,
+      s"expected a strict subset of shards, got $affected")
+
+    val m1 = IndexManifest.read(root).get
+    assert(m1.snapshotId == m0.snapshotId + 1)
+    assert(m1.nDocs == m0.nDocs - corpus.count(t => victims(t.conv_id)))
+    // untouched shards: identical metric entries (no recomputation)
+    val before = m0.shards.filterNot(s => affected.contains(s.shard)).sortBy(_.shard)
+    val after = m1.shards.filterNot(s => affected.contains(s.shard)).sortBy(_.shard)
+    assert(before == after)
+    // deleted docs gone from docs table
+    val remaining = IndexBuilder.loadDocs(spark, root)
+      .filter($"conv_id".isin(victims.toSeq: _*)).count()
+    assert(remaining == 0L)
+    // queries rank-identical to brute force over the surviving docs
+    Seq(("needlemid w0000", "AND", 10), ("w0001 w0002", "OR", 15),
+        ("roleuser w0004", "AND", 10)).foreach { case (q, m, k) =>
+      val got = SearchEngine.query(spark, root, q, m, k)
+      val expected = bruteTopK(root, q, m, k)
+      assert(got == expected, s"post-delete '$q' [$m]")
+    }
+  }
+
+  test("delete: df decremented set-based (terms of deleted docs)") {
+    val (root, corpus) = freshIndex()
+    val victims = corpus.filter(_.conv_id == "conv-00000001").toVector
+    assert(victims.nonEmpty)
+    val termInVictim = Analyzer.tokens(victims.head.text).head
+    val dfBefore = IndexBuilder.loadTermStats(spark, root)
+      .filter($"term" === termInVictim).head().df
+    IndexMaintenance.deleteConversations(spark, root, Set("conv-00000001"))
+    val dfAfter = IndexBuilder.loadTermStats(spark, root)
+      .filter($"term" === termInVictim).collect().headOption.map(_.df).getOrElse(0L)
+    assert(dfAfter < dfBefore, s"df must drop: $dfBefore -> $dfAfter")
+  }
+
+  test("replace: same keys keep docIds; new text is searchable; round-trips") {
+    val (root, corpus) = freshIndex()
+    val target = corpus.find(_.conv_id == "conv-00000002").get
+    val oldDoc = IndexBuilder.loadDocs(spark, root)
+      .filter($"conv_id" === target.conv_id && $"turn_idx" === target.turn_idx)
+      .head()
+    val newText = "zzreplacement unique tokens только здесь 😀"
+    val replaced = target.copy(text = newText)
+    val affected = IndexMaintenance.replaceTurns(spark, root, Seq(replaced))
+    assert(affected.size == 1)
+
+    val newDoc = IndexBuilder.loadDocs(spark, root)
+      .filter($"conv_id" === target.conv_id && $"turn_idx" === target.turn_idx)
+      .head()
+    assert(newDoc.docId == oldDoc.docId,
+      "replacement must keep the docId")
+    assert(newDoc.text == newText) // byte round-trip
+    // the new unique term is now retrievable at exactly that doc
+    val hits = SearchEngine.query(spark, root, "zzreplacement", "AND", 5)
+    assert(hits.map(_.docId) == Vector(oldDoc.docId))
+    // and an old-text-only term no longer matches this doc
+    val gone = Analyzer.tokens(target.text)
+      .filterNot(Analyzer.tokens(newText).contains)
+    if (gone.nonEmpty) {
+      val stillThere = SearchEngine.query(spark, root, gone.head, "OR", 1000)
+      assert(!stillThere.exists(_.docId == oldDoc.docId))
+    }
+  }
+
+  test("replace of unknown key is rejected (additions are not silent)") {
+    val (root, _) = freshIndex()
+    val bogus = Turn("conv-99999999", 0, "user", "x", "", new java.sql.Timestamp(0))
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.replaceTurns(spark, root, Seq(bogus))
+    }
+  }
+}

@@ -52,7 +52,8 @@ final class Oracle(corpus: Seq[Turn]) {
   def text(docId: Long): String = docs(docId.toInt).text
 
   def topK(query: String, mode: String = "AND", k: Int = 10,
-           applyStopCap: Boolean = true): Vector[SearchHit] = {
+           applyStopCap: Boolean = true,
+           convPrefix: Option[String] = None): Vector[SearchHit] = {
     val qTerms = Analyzer.analyzeQuery(query)
     if (qTerms.isEmpty) return Vector.empty
     val present = qTerms.filter(t => df(t) > 0)
@@ -64,9 +65,13 @@ final class Oracle(corpus: Seq[Turn]) {
     if (kept.isEmpty || (mode == "AND" && missing.nonEmpty)) return Vector.empty
 
     val postings = kept.map(t => index(t).toMap)
+    val inScope: Long => Boolean = convPrefix match {
+      case None => _ => true
+      case Some(pre) => d => docs(d.toInt).conv_id.startsWith(pre)
+    }
     val candidates: Set[Long] =
-      if (mode == "AND") postings.map(_.keySet).reduce(_ intersect _)
-      else postings.map(_.keySet).reduce(_ union _)
+      (if (mode == "AND") postings.map(_.keySet).reduce(_ intersect _)
+       else postings.map(_.keySet).reduce(_ union _)).filter(inScope)
 
     val hits = candidates.toVector.map { d =>
       var s = 0.0

@@ -50,9 +50,11 @@ object SearchEngine {
            stats: CorpusStats, applyStopCap: Boolean = true): Plan = {
     import spark.implicits._
     if (spec.terms.isEmpty) return Plan(Vector.empty, Vector.empty, spec.mode, spec.k)
-    val found = IndexBuilder.loadTermStats(spark, root)
+    val found = termStatsFor(spark, root)
       .filter($"term".isin(spec.terms: _*))
+      .select($"term", $"df", $"maxTf")
       .collect().toVector
+      .map(r => TermStats(r.getString(0), r.getLong(1), r.getInt(2)))
     val cap = StopTermCap * stats.nDocs
     val (kept0, dropped) =
       if (applyStopCap) found.partition(_.df <= cap) else (found, Vector.empty)
@@ -60,9 +62,16 @@ object SearchEngine {
     Plan(kept, dropped.map(_.term).toVector, spec.mode, spec.k)
   }
 
-  /** Compressed scale path. Returns exact global top-k hits. */
+  /** Compressed scale path. Returns exact global top-k hits.
+    * `convPrefix` scopes the search to conversations whose id starts with
+    * the prefix (reference per-site search, SearchServiceImpl.java:106-110;
+    * conv_ids are docId-contiguous so the scope is one docId range pruned
+    * inside the cursors — per-scope df statistics would require per-scope
+    * indexes like the reference's per-site lemma table; we score with
+    * GLOBAL stats, documented delta). */
   def query(spark: SparkSession, root: String, queryText: String,
-            mode: String = "AND", k: Int = 10): Vector[SearchHit] = {
+            mode: String = "AND", k: Int = 10,
+            convPrefix: Option[String] = None): Vector[SearchHit] = {
     val stats = statsOf(spark, root)
     val spec = QuerySpec(Analyzer.analyzeQuery(queryText), mode, k)
     val p = plan(spark, root, spec, stats)
@@ -70,11 +79,20 @@ object SearchEngine {
     // dictionary yields no pages — SearchServiceImpl.java:143-149,166-168)
     val missing = spec.terms.toSet -- p.terms.map(_.term).toSet -- p.dropped.toSet
     if (p.terms.isEmpty || (mode == "AND" && missing.nonEmpty)) return Vector.empty
-    executePlan(spark, root, p, stats)
+    val range = convPrefix.map { pre =>
+      import org.apache.spark.sql.functions.{col, max, min}
+      val r = graft.index.IndexBuilder.loadDocs(spark, root)
+        .filter(col("conv_id").startsWith(pre))
+        .agg(min(col("docId")), max(col("docId"))).head()
+      if (r.isNullAt(0)) (Long.MaxValue, Long.MinValue)
+      else (r.getLong(0), r.getLong(1))
+    }
+    executePlan(spark, root, p, stats, range)
   }
 
   def executePlan(spark: SparkSession, root: String, p: Plan,
-                  stats: CorpusStats): Vector[SearchHit] = {
+                  stats: CorpusStats,
+                  range: Option[(Long, Long)] = None): Vector[SearchHit] = {
     import spark.implicits._
     val termList = p.terms.map(_.term)
     val dfByTerm = p.terms.map(t => t.term -> t.df).toMap
@@ -86,8 +104,10 @@ object SearchEngine {
     val mode = p.mode
     val k = p.k
     val nTerms = termList.size
+    val (minDoc, maxDoc) = range.getOrElse((0L, Long.MaxValue))
+    if (minDoc > maxDoc) return Vector.empty // empty scope
 
-    val perShard = IndexBuilder.loadPostings(spark, root)
+    val perShard = postingsFor(spark, root)
       .filter($"term".isin(termList: _*))
       .select($"shard", $"term", $"chunk", $"count", $"docIds", $"tfs",
         $"dls", $"blockMaxTf", $"blockMinDl")
@@ -113,8 +133,8 @@ object SearchEngine {
             if (mode == "AND") {
               // a term absent from this shard ⇒ empty local intersection
               if (cursors.size < nTerms) Vector.empty
-              else Wand.andTopK(cursors, k)
-            } else Wand.orTopK(cursors, k)
+              else Wand.andTopK(cursors, k, minDoc, maxDoc)
+            } else Wand.orTopK(cursors, k, minDoc, maxDoc)
           hits.iterator
         }
       }
@@ -219,6 +239,44 @@ object SearchEngine {
   def paginate[A](results: Seq[A], offset: Int, limit: Int): Seq[A] =
     if (results.size <= limit) results
     else results.slice(offset, offset + limit)
+
+  // ---- serving-mode caches ------------------------------------------
+  // Per-query Spark-job latency is dominated by the postings scan; a
+  // long-lived serving process pins the (compressed, RAM-sized) postings
+  // table in executor memory — queries then scan cache, not parquet.
+  private val cachedPostings =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val cachedTermStats =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Pin the index's postings + dictionary in executor memory for
+    * low-latency serving (reference analog: MySQL buffer pool residency).
+    * Idempotent. */
+  def enableServingCache(spark: SparkSession, root: String): Unit = {
+    cachedPostings.getOrElseUpdate(root, {
+      val df = IndexBuilder.loadPostings(spark, root).cache()
+      df.count() // materialize
+      df
+    })
+    cachedTermStats.getOrElseUpdate(root, {
+      val df = spark.read.parquet(IndexBuilder.Paths(root).termStats).cache()
+      df.count()
+      df
+    })
+    ()
+  }
+
+  def disableServingCache(root: String): Unit = {
+    cachedPostings.remove(root).foreach(_.unpersist())
+    cachedTermStats.remove(root).foreach(_.unpersist())
+  }
+
+  private def postingsFor(spark: SparkSession, root: String): DataFrame =
+    cachedPostings.getOrElse(root, IndexBuilder.loadPostings(spark, root))
+
+  private[query] def termStatsFor(spark: SparkSession, root: String): DataFrame =
+    cachedTermStats.getOrElse(root,
+      spark.read.parquet(IndexBuilder.Paths(root).termStats))
 
   def statsOf(spark: SparkSession, root: String): CorpusStats = {
     val m = graft.index.IndexManifest.read(root).getOrElse(

@@ -111,15 +111,20 @@ object Wand {
   }
 
   /** AND top-k: merge-intersection, rarest list drives (reference J1
-    * strategy — SearchServiceImpl.java:164-200 — over compressed lists). */
-  def andTopK(terms: Seq[TermCursor], k: Int): Vector[SearchHit] = {
+    * strategy — SearchServiceImpl.java:164-200 — over compressed lists).
+    * [minDoc, maxDoc] optionally scopes the docId range (per-corpus
+    * scoped search: conv_ids are docId-contiguous by construction). */
+  def andTopK(terms: Seq[TermCursor], k: Int,
+              minDoc: Long = 0L, maxDoc: Long = Long.MaxValue): Vector[SearchHit] = {
     if (terms.isEmpty) return Vector.empty
     val heap = new TopK(k)
     val byDf = terms.sortBy(c => (c.df, c.term)).toArray // rarest first
+    byDf.foreach(_.advanceTo(minDoc))
     val contribs = new Array[Double](terms.length)
     var continue = !byDf.exists(_.exhausted)
     while (continue) {
       val cand = byDf(0).docId
+      if (cand > maxDoc) return heap.results
       if (cand == Long.MaxValue) continue = false
       else {
         var all = true
@@ -150,15 +155,18 @@ object Wand {
   /** OR top-k: WAND with term-level upper bounds (each derived from the
     * per-block maxTf/minDl metadata, i.e. tighter than a plain maxTf
     * bound). Exact (see exactness contract above). */
-  def orTopK(terms: Seq[TermCursor], k: Int): Vector[SearchHit] = {
+  def orTopK(terms: Seq[TermCursor], k: Int,
+             minDoc: Long = 0L, maxDoc: Long = Long.MaxValue): Vector[SearchHit] = {
     if (terms.isEmpty) return Vector.empty
     val cursors = terms.toArray
+    cursors.foreach(_.advanceTo(minDoc))
     val heap = new TopK(k)
     val contribs = new Array[Double](cursors.length)
 
     while (true) {
       // sort by current docId (N terms is tiny; insertion-order cost ok)
-      val live = cursors.filter(!_.exhausted).sortBy(_.docId)
+      val live = cursors.filter(c => !c.exhausted && c.docId <= maxDoc)
+        .sortBy(_.docId)
       if (live.isEmpty) return heap.results
       val theta = heap.threshold
       // pivot: first prefix whose UB sum could beat/tie theta

@@ -182,6 +182,32 @@ class EngineParitySpec extends AnyFunSuite {
       oracle.docs.count(_.conv_id == "conv-00000001").toLong)
   }
 
+  test("per-corpus scoped query (site-filter analog): rank-identical to scoped oracle") {
+    // conv_ids are docId-contiguous ⇒ the scope is a docId range prune
+    Seq(("w0000", "OR", 20), ("needlemid w0000", "AND", 10),
+        ("roleuser w0001", "OR", 10)).foreach { case (q, m, k) =>
+      Seq("conv-000000", "conv-0000001", "conv-0000029").foreach { pre =>
+        val expected = oracle.topK(q, m, k, convPrefix = Some(pre))
+        val got = SearchEngine.query(spark, root, q, m, k, convPrefix = Some(pre))
+        assert(got == expected, s"scoped '$q' [$m] prefix=$pre")
+        got.foreach(h => assert(oracle.docs(h.docId.toInt).conv_id.startsWith(pre)))
+      }
+    }
+    // empty scope → empty result
+    assert(SearchEngine.query(spark, root, "w0000", "OR", 5,
+      convPrefix = Some("conv-zzz")).isEmpty)
+  }
+
+  test("serving cache: identical results, no re-read of parquet") {
+    SearchEngine.enableServingCache(spark, root)
+    try {
+      querySet.take(5).foreach { case (q, mode, k) =>
+        assert(SearchEngine.query(spark, root, q, mode, k) ==
+          oracle.topK(q, mode, k), s"cached '$q'")
+      }
+    } finally SearchEngine.disableServingCache(root)
+  }
+
   test("pagination quirk (O3): offset ignored when total <= limit") {
     val rs = (1 to 7).toVector
     // reference guard SearchServiceImpl.java:248-250

@@ -138,22 +138,9 @@ object IndexMaintenance {
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(tmpTf)
     swapShardDirs(P.tf, tmpTf, shards)
 
-    // term stats: exact re-aggregation over the whole tf relation
-    val tf = spark.read.parquet(P.tf)
-    tf.groupBy($"term", pmod(xxhash64($"docId"), lit(IndexBuilder.DfSalts)).as("salt"))
-      .agg(count(lit(1)).as("pdf"), max($"tf").as("pmax"), sum($"tf").as("psum"))
-      .groupBy($"term")
-      .agg(sum($"pdf").as("df"), max($"pmax").as("maxTf"), sum($"psum").as("sumTf"))
-      .select($"term", $"df", $"maxTf".cast("int").as("maxTf"), $"sumTf")
-      .write.mode(SaveMode.Overwrite).parquet(P.termStats + ".tmp")
-    // atomic swap of the dictionary
-    val fsOld = java.nio.file.Paths.get(P.termStats)
-    val fsTmp = java.nio.file.Paths.get(P.termStats + ".tmp")
-    val fsBak = java.nio.file.Paths.get(P.termStats + ".old")
-    if (java.nio.file.Files.exists(fsBak)) deleteRec(fsBak)
-    java.nio.file.Files.move(fsOld, fsBak)
-    java.nio.file.Files.move(fsTmp, fsOld)
-    deleteRec(fsBak)
+    // term stats: exact re-aggregation over the whole tf relation,
+    // atomically swapped (set-based df decrement)
+    refreshTermStats(spark, root)
 
     // postings for affected shards (in-memory inversion, as the build)
     val acc = new IndexBuilder.ShardMetricsAcc
@@ -177,6 +164,109 @@ object IndexMaintenance {
     }
 
     // refreshed corpus stats + manifest snapshot
+    commitRefreshedManifest(spark, root, replacedShards = shards,
+      newEntries = acc.value.toSeq.map { case (s0, (t, p, b)) =>
+        ShardEntry(s0, t, p, b, Seq(s0)) } ++
+        shards.filterNot(written).map(s0 => ShardEntry(s0, 0L, 0L, 0L, Seq(s0))))
+  }
+
+  /** Append whole new conversations (reference: indexPage on a NEW page,
+    * IndexingThreadAction.java:126-141). Requires every new conv_id to
+    * sort strictly AFTER all existing ones — then dense-rank docIds extend
+    * the existing space contiguously (maxDocId+1 …) and the new docs form
+    * fresh shards; nothing existing is rewritten except the (tiny)
+    * dictionary and the manifest. Out-of-order additions change the ranks
+    * of existing docs by definition — that is a fresh build, and the
+    * method rejects them rather than silently corrupting docIds. */
+  def appendConversations(spark: SparkSession, root: String,
+                          turns: Seq[Turn], newShards: Int = 1): Seq[Int] = {
+    import spark.implicits._
+    require(turns.nonEmpty, "nothing to append")
+    val P = IndexBuilder.Paths(root)
+    val bounds = IndexBuilder.loadDocs(spark, root)
+      .agg(max($"conv_id"), max($"docId")).head()
+    val maxConv = bounds.getString(0)
+    val maxDocId = bounds.getLong(1)
+    val minNew = turns.map(_.conv_id).min
+    require(minNew > maxConv,
+      s"appendConversations requires new conv_ids after '$maxConv' " +
+      s"(got '$minNew'); out-of-order additions need a fresh build")
+    val maxShard = {
+      val m = IndexManifest.read(root).getOrElse(
+        throw new IllegalStateException(s"no manifest at $root"))
+      m.shards.map(_.shard).max
+    }
+
+    // assign docIds continuing the dense rank; spread over newShards
+    val sortedNew = turns.sortBy(t => (t.conv_id, t.turn_idx))
+    val perShard = math.max(1, (sortedNew.size + newShards - 1) / newShards)
+    val rows = sortedNew.zipWithIndex.map { case (t, i) =>
+      (maxDocId + 1 + i, t.conv_id, t.turn_idx, t.role, t.text, t.tool,
+        Analyzer.tokens(t.text).length, maxShard + 1 + i / perShard)
+    }
+    val newDocs = rows.toDF("docId", "conv_id", "turn_idx", "role", "text",
+      "tool", "dl", "shard")
+    val shards = rows.map(_._8).distinct.sorted
+
+    newDocs.repartition(shards.size, $"shard")
+      .sortWithinPartitions($"shard", $"docId")
+      .write.mode(SaveMode.Append).partitionBy("shard").parquet(P.docs)
+    spark.read.parquet(P.docs).filter($"shard".isin(shards: _*))
+      .select($"docId", $"dl", $"shard",
+        explode(graft.functions.TermCountsExpression.termCountsCol($"text")).as("tc"))
+      .select($"docId", $"tc.term".as("term"), $"tc.tf".as("tf"), $"dl", $"shard")
+      .sortWithinPartitions($"shard", $"docId", $"term")
+      .write.mode(SaveMode.Append).partitionBy("shard").parquet(P.tf)
+
+    // dictionary: exact re-aggregation (same as rewriteShards)
+    refreshTermStats(spark, root)
+
+    // postings for the new shards only
+    val acc = new IndexBuilder.ShardMetricsAcc
+    spark.sparkContext.register(acc, "appendShardMetrics")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.read.parquet(P.tf).filter($"shard".isin(shards: _*))
+      .select($"docId", $"term", $"tf", $"dl", $"shard")
+      .mapPartitions { rs =>
+        IndexBuilder.invertPartition(rs, IndexBuilder.MaxChunkPostings,
+          IndexBuilder.MaxBufferedPostings).map { pl =>
+          acc.add((pl.shard, if (pl.chunk == 0) 1L else 0L, pl.count,
+            pl.docIds.length.toLong + pl.tfs.length + pl.dls.length))
+          pl
+        }
+      }
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(P.postings)
+
+    commitRefreshedManifest(spark, root, replacedShards = Nil,
+      newEntries = acc.value.toSeq.map { case (s0, (t, p, b)) =>
+        ShardEntry(s0, t, p, b, Seq(s0)) })
+    shards
+  }
+
+  private def refreshTermStats(spark: SparkSession, root: String): Unit = {
+    import spark.implicits._
+    val P = IndexBuilder.Paths(root)
+    val tf = spark.read.parquet(P.tf)
+    tf.groupBy($"term", pmod(xxhash64($"docId"), lit(IndexBuilder.DfSalts)).as("salt"))
+      .agg(count(lit(1)).as("pdf"), max($"tf").as("pmax"), sum($"tf").as("psum"))
+      .groupBy($"term")
+      .agg(sum($"pdf").as("df"), max($"pmax").as("maxTf"), sum($"psum").as("sumTf"))
+      .select($"term", $"df", $"maxTf".cast("int").as("maxTf"), $"sumTf")
+      .write.mode(SaveMode.Overwrite).parquet(P.termStats + ".tmp")
+    val fsOld = java.nio.file.Paths.get(P.termStats)
+    val fsTmp = java.nio.file.Paths.get(P.termStats + ".tmp")
+    val fsBak = java.nio.file.Paths.get(P.termStats + ".old")
+    if (java.nio.file.Files.exists(fsBak)) deleteRec(fsBak)
+    java.nio.file.Files.move(fsOld, fsBak)
+    java.nio.file.Files.move(fsTmp, fsOld)
+    deleteRec(fsBak)
+  }
+
+  private def commitRefreshedManifest(spark: SparkSession, root: String,
+                                      replacedShards: Seq[Int],
+                                      newEntries: Seq[ShardEntry]): Unit = {
+    import spark.implicits._
+    val P = IndexBuilder.Paths(root)
     val n = spark.read.parquet(P.docs).count()
     val tot = spark.read.parquet(P.termStats).agg(sum($"sumTf")).head().getLong(0)
     val hashUdf = udf((c: String, t: Int, x: String) =>
@@ -186,15 +276,14 @@ object IndexMaintenance {
       .agg(expr("bit_xor(h)")).head().getLong(0)
     val old = IndexManifest.read(root).getOrElse(
       throw new IllegalStateException(s"no manifest at $root"))
-    val updated = old.shards.filterNot(s => shards.contains(s.shard)) ++
-      acc.value.toSeq.map { case (s0, (t, p, b)) => ShardEntry(s0, t, p, b, Seq(s0)) } ++
-      shards.filterNot(written).map(s0 => ShardEntry(s0, 0L, 0L, 0L, Seq(s0)))
     IndexManifest.commit(root, old.copy(
       snapshotId = old.snapshotId + 1,
       inputFingerprint = s"$n-$fp",
       nDocs = n,
       avgdl = tot.toDouble / math.max(1L, n),
-      shards = updated))
+      shards = old.shards.filterNot(s =>
+        replacedShards.contains(s.shard) ||
+        newEntries.exists(_.shard == s.shard)) ++ newEntries))
   }
 
   /** Replace `target/shard=K` with `tmp/shard=K` for each affected shard

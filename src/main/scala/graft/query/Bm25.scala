@@ -22,9 +22,13 @@ object Bm25 extends Serializable {
   val K1 = 1.2
   val B = 0.75
 
-  /** Scalar form — oracle + posting-cursor executors. */
+  /** Scalar form — oracle + posting-cursor executors.
+    * StrictMath.log, NOT Math.log: Catalyst's Log expression evaluates
+    * via StrictMath (platform-stable), and Math.log may use an intrinsic
+    * that differs in the last ULP — which would break scalar↔column
+    * bit-equality (caught by RandomCorporaSpec). */
   def idf(df: Long, nDocs: Long): Double =
-    math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+    java.lang.StrictMath.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
 
   def score(tf: Int, df: Long, dl: Int, nDocs: Long, avgdl: Double): Double =
     idf(df, nDocs) * tf * (K1 + 1.0) /

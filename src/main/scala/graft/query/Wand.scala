@@ -120,7 +120,9 @@ object Wand {
     val heap = new TopK(k)
     val byDf = terms.sortBy(c => (c.df, c.term)).toArray // rarest first
     byDf.foreach(_.advanceTo(minDoc))
-    val contribs = new Array[Double](terms.length)
+    // canonical indices are GLOBAL over the query's terms; a shard may
+    // hold only a subset of cursors, so size by the max index
+    val contribs = new Array[Double](terms.map(_.canonical).max + 1)
     var continue = !byDf.exists(_.exhausted)
     while (continue) {
       val cand = byDf(0).docId
@@ -161,7 +163,8 @@ object Wand {
     val cursors = terms.toArray
     cursors.foreach(_.advanceTo(minDoc))
     val heap = new TopK(k)
-    val contribs = new Array[Double](cursors.length)
+    // global canonical indices (see andTopK) — size by the max index
+    val contribs = new Array[Double](cursors.map(_.canonical).max + 1)
 
     while (true) {
       // sort by current docId (N terms is tiny; insertion-order cost ok)

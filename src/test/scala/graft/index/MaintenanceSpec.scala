@@ -127,6 +127,40 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("append: later conv_ids extend docIds contiguously into new shards") {
+    val (root, corpus) = freshIndex()
+    val m0 = IndexManifest.read(root).get
+    val maxDoc = IndexBuilder.loadDocs(spark, root)
+      .agg(org.apache.spark.sql.functions.max($"docId")).head().getLong(0)
+    val ts = new java.sql.Timestamp(1700000000000L)
+    val newTurns = Seq(
+      Turn("conv-90000000", 0, "user", "zzappended fresh needle terms", "", ts),
+      Turn("conv-90000000", 1, "assistant", "zzappended again w0000", "bash", ts),
+      Turn("conv-90000001", 0, "user", "another zzappended conversation", "", ts))
+    val newShards = IndexMaintenance.appendConversations(spark, root, newTurns)
+    assert(newShards.nonEmpty && newShards.forall(_ > m0.shards.map(_.shard).max))
+
+    val m1 = IndexManifest.read(root).get
+    assert(m1.nDocs == m0.nDocs + 3)
+    // old shard entries untouched
+    val oldEntries = m1.shards.filter(s => m0.completedShards(s.shard)).sortBy(_.shard)
+    assert(oldEntries == m0.shards.sortBy(_.shard))
+    // contiguous new docIds
+    val appended = IndexBuilder.loadDocs(spark, root)
+      .filter($"conv_id".startsWith("conv-9")).collect().sortBy(_.docId)
+    assert(appended.map(_.docId).toSeq == Seq(maxDoc + 1, maxDoc + 2, maxDoc + 3))
+    // new content searchable; old content unaffected
+    val hits = SearchEngine.query(spark, root, "zzappended", "OR", 10)
+    assert(hits.map(_.docId).toSet == Set(maxDoc + 1, maxDoc + 2, maxDoc + 3))
+    val brute = bruteTopK(root, "needlemid w0000", "AND", 10)
+    assert(SearchEngine.query(spark, root, "needlemid w0000", "AND", 10) == brute)
+    // out-of-order append rejected
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.appendConversations(spark, root,
+        Seq(Turn("conv-00000000", 99, "user", "x y", "", ts)))
+    }
+  }
+
   test("replace of unknown key is rejected (additions are not silent)") {
     val (root, _) = freshIndex()
     val bogus = Turn("conv-99999999", 0, "user", "x", "", new java.sql.Timestamp(0))

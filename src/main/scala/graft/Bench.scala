@@ -56,7 +56,7 @@ object Bench {
       math.max(8, Runtime.getRuntime.availableProcessors()).toString).toInt
     // bench corpus size: large enough that tokenize/shuffle dominates JVM
     // fixed costs (scaling-efficiency measurement), small enough for CI
-    val nConvs = sys.env.getOrElse("GRAFT_BENCH_CONVS", "500000").toLong
+    val nConvs = sys.env.getOrElse("GRAFT_BENCH_CONVS", "400000").toLong
 
     // ---- section 1: operator suite over sfDir -------------------------
     val spark1 = session(cpus)
@@ -126,8 +126,9 @@ object Bench {
           .getOrElse(sys.error(s"BenchBuild failed at $cores cores:\n$out"))
       }.max
     }
-    // 2-core runs are stable (±5%); 8-core runs see the most host noise
-    val thN = buildAt(2, reps = 2)
+    // 2-core runs are stable (±5%) and long — one rep; 8-core runs see
+    // the most host noise — three reps (best-of)
+    val thN = buildAt(2, reps = 1)
     val th4N = buildAt(8, reps = 3)
     val thMax = buildAt(32, reps = 2)
     val efficiency = th4N / (4.0 * thN)

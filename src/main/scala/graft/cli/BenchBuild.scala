@@ -48,7 +48,7 @@ object BenchBuild {
     // per-run would benchmark janino, not the engine. Same at every level.
     val warmRoot = Files.createTempDirectory("graft-bb-warm").toString
     val warmIn = s"$warmRoot/in"
-    TranscriptGen.dataset(s, seed = 99L, nConvs = 1000, partitions = 8)
+    TranscriptGen.dataset(s, seed = 99L, nConvs = 300, partitions = 8)
       .write.parquet(warmIn)
     IndexBuilder.build(s, s.read.parquet(warmIn).as[graft.model.Turn],
       s"$warmRoot/idx", shards = sys.env.getOrElse("GRAFT_BENCH_SHARDS", "64").toInt, waveSize = 64)

@@ -281,19 +281,6 @@ object IndexBuilder {
     BuiltIndex(root, manifest)
   }
 
-  private def blockMin(dls: Array[Int]): Array[Int] = {
-    if (dls.isEmpty) return Array.empty
-    val bs = PostingCodec.BlockSize
-    val nb = (dls.length + bs - 1) / bs
-    Array.tabulate(nb) { b =>
-      var m = Int.MaxValue
-      var i = b * bs
-      val end = math.min(i + bs, dls.length)
-      while (i < end) { if (dls(i) < m) m = dls(i); i += 1 }
-      m
-    }
-  }
-
   /** Per-shard in-memory inverted buffer (Lucene segment-flush model;
     * SURVEY.md §2.4 A3): consumes (docId, term, tf, dl, shard) rows in
     * ascending-docId order within each shard (docs/tf file order — no
@@ -319,10 +306,12 @@ object IndexBuilder {
       val ds = b.docs.toArray
       val ts = b.tfs.toArray
       val dl = b.dls.toArray
+      val enc = PostingCodec.encodeBlocked(ds, ts, dl)
       out += PostingList(b.shard, key._2, b.chunk, ds.length.toLong,
         if (ts.isEmpty) 0 else ts.max,
-        PostingCodec.encodeDocIds(ds), PostingCodec.encodeTfs(ts),
-        PostingCodec.encodeTfs(dl), PostingCodec.blockMaxTf(ts), blockMin(dl))
+        enc.docBytes, enc.tfBytes, enc.dlBytes,
+        enc.blockFirst, enc.docOff, enc.tfOff, enc.dlOff,
+        enc.blockMaxTf, enc.blockMinDl)
       totalBuffered -= ds.length
       b.docs.clear(); b.tfs.clear(); b.dls.clear()
       b.chunk += 1

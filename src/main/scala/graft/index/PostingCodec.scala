@@ -158,4 +158,135 @@ object PostingCodec extends Serializable {
       while (curDoc < target) advance()
     }
   }
+
+  // ==== block-aligned format with skip pointers (Lucene-style) =========
+
+  /** Block-aligned encoded posting list. Each block of `blockSize` docs is
+    * SELF-CONTAINED: `blockFirst(b)` holds its first docId absolutely and
+    * the byte streams restart delta/varint encoding at `docOff(b)` /
+    * `tfOff(b)` / `dlOff(b)` — so a cursor can jump straight to block b
+    * without decoding anything before it (the skip-list analog; Ding &
+    * Suel's block-max WAND format). blockMaxTf/blockMinDl carry the exact
+    * per-block BM25 upper-bound inputs. */
+  final case class BlockedList(
+      count: Int,
+      docBytes: Array[Byte], tfBytes: Array[Byte], dlBytes: Array[Byte],
+      blockFirst: Array[Long],
+      docOff: Array[Int], tfOff: Array[Int], dlOff: Array[Int],
+      blockMaxTf: Array[Int], blockMinDl: Array[Int])
+
+  def encodeBlocked(docIds: Array[Long], tfs: Array[Int], dls: Array[Int],
+                    blockSize: Int = BlockSize): BlockedList = {
+    val n = docIds.length
+    val nb = (n + blockSize - 1) / blockSize
+    val docB = new ByteArrayOutputStream(n * 2 + 8)
+    val tfB = new ByteArrayOutputStream(n + 8)
+    val dlB = new ByteArrayOutputStream(n + 8)
+    val first = new Array[Long](nb)
+    val dOff = new Array[Int](nb)
+    val tOff = new Array[Int](nb)
+    val lOff = new Array[Int](nb)
+    val bMax = new Array[Int](nb)
+    val bMin = new Array[Int](nb)
+    var b = 0
+    while (b < nb) {
+      val start = b * blockSize
+      val end = math.min(start + blockSize, n)
+      first(b) = docIds(start)
+      dOff(b) = docB.size(); tOff(b) = tfB.size(); lOff(b) = dlB.size()
+      var prev = docIds(start)
+      var maxTf = 0
+      var minDl = Int.MaxValue
+      var i = start
+      while (i < end) {
+        val d = docIds(i)
+        require(i == start || d > prev, s"docIds must be strictly ascending")
+        writeVarLong(docB, if (i == start) 0L else d - prev) // first = base
+        prev = d
+        writeVarLong(tfB, tfs(i).toLong)
+        writeVarLong(dlB, dls(i).toLong)
+        if (tfs(i) > maxTf) maxTf = tfs(i)
+        if (dls(i) < minDl) minDl = dls(i)
+        i += 1
+      }
+      bMax(b) = maxTf
+      bMin(b) = minDl
+      b += 1
+    }
+    BlockedList(n, docB.toByteArray, tfB.toByteArray, dlB.toByteArray,
+      first, dOff, tOff, lOff, bMax, bMin)
+  }
+
+  /** Streaming cursor over a [[BlockedList]] with block jumps: `advanceTo`
+    * binary-searches the blockFirst skip array and lands directly on the
+    * right block, decoding only inside it. */
+  final class BlockedCursor(l: BlockedList, blockSize: Int = BlockSize) {
+    private val nb = l.blockFirst.length
+    private var block = 0
+    private var idxInBlock = -1 // index of current posting within block
+    private var docPos = 0
+    private var tfPos = 0
+    private var dlPos = 0
+    private var curDoc = -1L
+    private var curTf = 0
+    private var curDl = 0
+    private var done = l.count == 0
+    if (!done) { openBlock(0); advance() }
+
+    private def blockLen(b: Int): Int =
+      math.min(blockSize, l.count - b * blockSize)
+
+    def exhausted: Boolean = done
+    def docId: Long = if (done) Long.MaxValue else curDoc
+    def tf: Int = curTf
+    def dl: Int = curDl
+    /** Current block's exact BM25 bound inputs. */
+    def blockMaxTf: Int = l.blockMaxTf(math.min(block, nb - 1))
+    def blockMinDl: Int = l.blockMinDl(math.min(block, nb - 1))
+    /** First docId of the next block, or MaxValue in the last block —
+      * the BMW skip candidate. */
+    def nextBlockStart: Long =
+      if (block + 1 < nb) l.blockFirst(block + 1) else Long.MaxValue
+
+    private def openBlock(b: Int): Unit = {
+      block = b
+      idxInBlock = -1
+      docPos = l.docOff(b); tfPos = l.tfOff(b); dlPos = l.dlOff(b)
+      curDoc = l.blockFirst(b) // delta base; first advance adds 0
+    }
+
+    def advance(): Unit = {
+      if (done) return
+      if (idxInBlock + 1 >= blockLen(block)) {
+        if (block + 1 >= nb) { done = true; return }
+        openBlock(block + 1)
+      }
+      idxInBlock += 1
+      val (d, p1) = PostingCodec.readVarLong(l.docBytes, docPos)
+      curDoc += d // first-in-block delta is 0 against blockFirst base
+      docPos = p1
+      val (t, p2) = PostingCodec.readVarLong(l.tfBytes, tfPos)
+      curTf = t.toInt; tfPos = p2
+      val (dl0, p3) = PostingCodec.readVarLong(l.dlBytes, dlPos)
+      curDl = dl0.toInt; dlPos = p3
+    }
+
+    def advanceTo(target: Long): Unit = {
+      if (done || curDoc >= target) return
+      // jump blocks: last block whose first <= target. Direct bounds
+      // check, NOT the MaxValue sentinel — target may itself be MaxValue
+      // (the "advance to end" call), which must not enter the jump.
+      if (block + 1 < nb && l.blockFirst(block + 1) <= target) {
+        var lo = block + 1
+        var hi = nb - 1
+        while (lo < hi) { // find last b with blockFirst(b) <= target
+          val mid = (lo + hi + 1) >>> 1
+          if (l.blockFirst(mid) <= target) lo = mid else hi = mid - 1
+        }
+        openBlock(lo)
+        advance() // position on the block's first posting
+      }
+      while (!done && curDoc < target) advance()
+    }
+  }
 }

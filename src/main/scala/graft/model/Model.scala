@@ -47,11 +47,14 @@ final case class CorpusStats(nDocs: Long, avgdl: Double, analyzerVersion: String
   * into consecutive docId sub-ranges so no single blob row is unbounded
   * (hot-term skew defense, SURVEY.md §7.7); chunks of one (shard, term)
   * concatenate back in `chunk` order.
-  * docIds strictly ascending delta+varint; tfs and dls varint
-  * (dl duplicated per posting = Lucene-norms analog, needed for
-  * shard-local BM25); blockMaxTf/blockMinDl per 128 docs give the exact
-  * per-block BM25 upper bound score(maxTf, df, minDl) for block-max WAND
-  * (BM25 is increasing in tf, decreasing in dl). */
+  * Block-aligned layout (PostingCodec.BlockedList): every 128-doc block
+  * is self-contained — blockFirst holds its first docId absolutely and
+  * docOff/tfOff/dlOff are byte offsets where its delta+varint streams
+  * restart, so cursors jump blocks without decoding predecessors (skip
+  * lists); blockMaxTf/blockMinDl give the exact per-block BM25 upper
+  * bound score(maxTf, df, minDl) for block-max WAND (BM25 is increasing
+  * in tf, decreasing in dl). dls duplicates dl per posting — the
+  * Lucene-norms analog needed for shard-local scoring. */
 final case class PostingList(
     shard: Int,
     term: String,
@@ -61,6 +64,10 @@ final case class PostingList(
     docIds: Array[Byte],
     tfs: Array[Byte],
     dls: Array[Byte],
+    blockFirst: Array[Long],
+    docOff: Array[Int],
+    tfOff: Array[Int],
+    dlOff: Array[Int],
     blockMaxTf: Array[Int],
     blockMinDl: Array[Int])
 

@@ -110,21 +110,27 @@ object SearchEngine {
     val perShard = postingsFor(spark, root)
       .filter($"term".isin(termList: _*))
       .select($"shard", $"term", $"chunk", $"count", $"docIds", $"tfs",
-        $"dls", $"blockMaxTf", $"blockMinDl")
+        $"dls", $"blockFirst", $"docOff", $"tfOff", $"dlOff",
+        $"blockMaxTf", $"blockMinDl")
       .mapPartitions { rows =>
         // one input partition may pack several shard dirs: group by shard
         val byShard = rows.toVector.groupBy(_.getInt(0))
         byShard.iterator.flatMap { case (_, shardRows) =>
           val cursors = shardRows.groupBy(_.getString(1)).map { case (term, rs) =>
-            // chunks concatenate in ascending-docId order; firstDocId is
-            // robust even if a shard's rows were encoded by several tasks
-            val chunks = rs.sortBy(r =>
-                graft.index.PostingCodec.firstDocId(r.getAs[Array[Byte]](4)))
-              .map { r =>
-                Wand.Chunk(r.getLong(3).toInt, r.getAs[Array[Byte]](4),
+            // chunks concatenate in ascending-docId order; blockFirst(0)
+            // is the chunk's first docId — robust even if a shard's rows
+            // were encoded by several tasks
+            val chunks = rs.map { r =>
+                graft.index.PostingCodec.BlockedList(
+                  r.getLong(3).toInt, r.getAs[Array[Byte]](4),
                   r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6),
-                  r.getSeq[Int](7).toArray, r.getSeq[Int](8).toArray)
-              }.toIndexedSeq
+                  r.getSeq[Long](7).toArray, r.getSeq[Int](8).toArray,
+                  r.getSeq[Int](9).toArray, r.getSeq[Int](10).toArray,
+                  r.getSeq[Int](11).toArray, r.getSeq[Int](12).toArray)
+              }
+              .sortBy(c => if (c.blockFirst.isEmpty) Long.MaxValue
+                           else c.blockFirst(0))
+              .toIndexedSeq
             new Wand.TermCursor(
               Wand.TermPostings(term, dfByTerm(term), canonical(term), chunks),
               nDocs, avgdl)

@@ -20,23 +20,20 @@ import graft.model.SearchHit
 object Wand {
 
   /** One query term's posting data within a shard: chunks concatenate in
-    * chunk order (they cover consecutive docId ranges). */
+    * ascending-firstDocId order (they cover consecutive docId ranges). */
   final case class TermPostings(
       term: String,
       df: Long,
       canonical: Int, // position in the fixed (df asc, term asc) order
-      chunks: IndexedSeq[Chunk])
+      chunks: IndexedSeq[PostingCodec.BlockedList])
 
-  final case class Chunk(count: Int, docIds: Array[Byte], tfs: Array[Byte],
-                         dls: Array[Byte], blockMaxTf: Array[Int],
-                         blockMinDl: Array[Int])
-
-  /** Streaming cursor over a term's chunks. */
-  final class TermCursor(tp: TermPostings, nDocs: Long, avgdl: Double) {
+  /** Streaming cursor over a term's chunks; block-jumping advanceTo and
+    * per-block exact BM25 upper bounds (block-max WAND inputs). */
+  final class TermCursor(tp: TermPostings, nDocs: Long, avgdl: Double,
+                         blockSize: Int = PostingCodec.BlockSize) {
     val term: String = tp.term
     val df: Long = tp.df
     val canonical: Int = tp.canonical
-    private val idfV = Bm25.idf(df, nDocs)
     /** Term-level score upper bound over all chunks. */
     val upperBound: Double = {
       var ub = 0.0
@@ -51,23 +48,39 @@ object Wand {
       ub
     }
     private var ci = 0
-    private var cur: PostingCodec.Cursor = null
-    private var dlCur: Array[Int] = null
+    private var cur: PostingCodec.BlockedCursor = null
     openChunk()
 
     private def openChunk(): Unit = {
-      if (ci < tp.chunks.length) {
-        val c = tp.chunks(ci)
-        cur = new PostingCodec.Cursor(c.docIds, c.tfs, c.count)
-        dlCur = PostingCodec.decodeTfs(c.dls, c.count)
-      } else { cur = null }
+      while (ci < tp.chunks.length && tp.chunks(ci).count == 0) ci += 1
+      cur = if (ci < tp.chunks.length)
+        new PostingCodec.BlockedCursor(tp.chunks(ci), blockSize)
+      else null
     }
 
     def exhausted: Boolean = cur == null
     def docId: Long = if (cur == null) Long.MaxValue else cur.docId
     def tf: Int = cur.tf
-    def dl: Int = dlCur(cur.index)
+    def dl: Int = cur.dl
     def score: Double = Bm25.score(tf, df, dl, nDocs, avgdl)
+
+    /** Exact upper bound of any score inside the CURRENT block. */
+    def currentBlockUB: Double =
+      if (cur == null) 0.0
+      else Bm25.score(cur.blockMaxTf, df, cur.blockMinDl, nDocs, avgdl)
+
+    /** First docId after the current block (next block or next chunk). */
+    def nextBlockStart: Long =
+      if (cur == null) Long.MaxValue
+      else {
+        val nb = cur.nextBlockStart
+        if (nb != Long.MaxValue) nb
+        else {
+          var j = ci + 1
+          while (j < tp.chunks.length && tp.chunks(j).count == 0) j += 1
+          if (j < tp.chunks.length) tp.chunks(j).blockFirst(0) else Long.MaxValue
+        }
+      }
 
     def advance(): Unit = {
       if (cur != null) {
@@ -76,7 +89,10 @@ object Wand {
       }
     }
     def advanceTo(target: Long): Unit = {
-      while (!exhausted && docId < target) advance()
+      while (cur != null && cur.docId < target) {
+        cur.advanceTo(target)
+        if (cur.exhausted) { ci += 1; openChunk() }
+      }
     }
   }
 
@@ -184,17 +200,40 @@ object Wand {
       if (p < 0) return heap.results // no doc can reach theta anymore
       val pivotDoc = live(p).docId
       if (live(0).docId == pivotDoc) {
-        // fully score pivotDoc: advance every cursor on it, canonical sum
-        java.util.Arrays.fill(contribs, 0.0)
-        var j = 0
-        while (j < live.length && live(j).docId == pivotDoc) {
-          contribs(live(j).canonical) = live(j).score
-          j += 1
-        }
-        heap.offer(pivotDoc, canonicalSum(contribs))
-        j = 0
-        while (j < live.length && live(j).docId == pivotDoc) {
-          live(j).advance(); j += 1
+        // block-max refinement (Ding & Suel BMW): the EXACT per-block
+        // bounds of every cursor sitting on pivotDoc cap its true score;
+        // if even that cap is strictly below theta, skip to the next
+        // candidate — min(next block boundary of the involved cursors,
+        // first docId beyond the pivot) — without scoring anything.
+        var involved = 0
+        while (involved < live.length && live(involved).docId == pivotDoc)
+          involved += 1
+        var blockSum = 0.0
+        var bi = 0
+        while (bi < involved) { blockSum += live(bi).currentBlockUB; bi += 1 }
+        if (blockSum < theta) {
+          var cand = if (involved < live.length) live(involved).docId
+                     else Long.MaxValue
+          bi = 0
+          while (bi < involved) {
+            val nb = live(bi).nextBlockStart
+            if (nb < cand) cand = nb
+            bi += 1
+          }
+          if (cand <= pivotDoc) cand = pivotDoc + 1
+          bi = 0
+          while (bi < involved) { live(bi).advanceTo(cand); bi += 1 }
+        } else {
+          // fully score pivotDoc: every cursor on it, canonical-order sum
+          java.util.Arrays.fill(contribs, 0.0)
+          var j = 0
+          while (j < involved) {
+            contribs(live(j).canonical) = live(j).score
+            j += 1
+          }
+          heap.offer(pivotDoc, canonicalSum(contribs))
+          j = 0
+          while (j < involved) { live(j).advance(); j += 1 }
         }
       } else {
         // advance the first (rarest-by-position) cursor below the pivot

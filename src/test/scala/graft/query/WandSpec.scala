@@ -29,7 +29,8 @@ class WandSpec extends AnyFunSuite {
   private def dl(doc: Map[String, Int]): Int = doc.values.sum
 
   private def buildCursors(corpus: Corpus, terms: Seq[String],
-                           chunkCap: Int): (Seq[Wand.TermCursor], Long, Double) = {
+                           chunkCap: Int, blockSize: Int)
+      : (Seq[Wand.TermCursor], Long, Double) = {
     val nDocs = corpus.size.toLong
     val avgdl = if (nDocs == 0) 1.0 else corpus.values.map(dl).sum.toDouble / nDocs
     val dfs = terms.map(t => t -> corpus.count(_._2.contains(t)).toLong).toMap
@@ -44,16 +45,12 @@ class WandSpec extends AnyFunSuite {
       if (postings.isEmpty) None
       else {
         val chunks = postings.grouped(chunkCap).map { g =>
-          val ids = g.map(_._1).toArray
-          val tfs = g.map(_._2).toArray
-          val dls = g.map(_._3).toArray
-          Wand.Chunk(g.size, PostingCodec.encodeDocIds(ids),
-            PostingCodec.encodeTfs(tfs), PostingCodec.encodeTfs(dls),
-            PostingCodec.blockMaxTf(tfs),
-            PostingCodec.blockMaxTf(dls.map(d => -d)).map(-_)) // block min via max of negated
+          PostingCodec.encodeBlocked(g.map(_._1).toArray,
+            g.map(_._2).toArray, g.map(_._3).toArray, blockSize)
         }.toIndexedSeq
         Some(new Wand.TermCursor(
-          Wand.TermPostings(t, dfs(t), canonical(t), chunks), nDocs, avgdl))
+          Wand.TermPostings(t, dfs(t), canonical(t), chunks), nDocs, avgdl,
+          blockSize))
       }
     }
     (cursors, nDocs, avgdl)
@@ -89,25 +86,26 @@ class WandSpec extends AnyFunSuite {
     terms <- Gen.pick(nTerms, (0 until 12).map(i => s"t$i")).map(_.toVector)
     k <- Gen.oneOf(1, 3, 10, 1000)
     chunkCap <- Gen.oneOf(3, 7, 1 << 16) // tiny caps exercise chunk seams
-  } yield (c, terms.distinct, k, chunkCap)
+    blockSize <- Gen.oneOf(2, 4, 128)    // tiny blocks exercise BMW skips
+  } yield (c, terms.distinct, k, chunkCap, blockSize)
 
   test("property: AND top-k == brute force (scores bit-equal, ties by docId)") {
-    forAllSeeded(caseGen, n = 150) { case (corpus, terms, k, cap) =>
-      val (cursors, _, _) = buildCursors(corpus, terms, cap)
+    forAllSeeded(caseGen, n = 150) { case (corpus, terms, k, cap, bs) =>
+      val (cursors, _, _) = buildCursors(corpus, terms, cap, bs)
       val expected = brute(corpus, terms, "AND", k)
       val got =
         if (cursors.size < terms.size) Vector.empty
         else Wand.andTopK(cursors, k)
-      assert(got == expected, s"terms=$terms k=$k cap=$cap")
+      assert(got == expected, s"terms=$terms k=$k cap=$cap bs=$bs")
     }
   }
 
   test("property: OR WAND top-k == brute force (scores bit-equal, ties by docId)") {
-    forAllSeeded(caseGen, n = 150) { case (corpus, terms, k, cap) =>
-      val (cursors, _, _) = buildCursors(corpus, terms, cap)
+    forAllSeeded(caseGen, n = 150) { case (corpus, terms, k, cap, bs) =>
+      val (cursors, _, _) = buildCursors(corpus, terms, cap, bs)
       val expected = brute(corpus, terms, "OR", k)
       val got = Wand.orTopK(cursors, k)
-      assert(got == expected, s"terms=$terms k=$k cap=$cap")
+      assert(got == expected, s"terms=$terms k=$k cap=$cap bs=$bs")
     }
   }
 }

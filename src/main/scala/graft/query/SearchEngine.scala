@@ -112,8 +112,17 @@ object SearchEngine {
       .select($"shard", $"term", $"chunk", $"count", $"docIds", $"tfs",
         $"dls", $"blockFirst", $"docOff", $"tfOff", $"dlOff",
         $"blockMaxTf", $"blockMinDl")
+      // Make per-shard grouping GLOBAL: a parquet scan splits a big shard
+      // file across tasks at row-group boundaries, and posting files are
+      // term-sorted, so without this a shard's term-A chunks and term-B
+      // chunks can land in different tasks — AND would then see
+      // cursors.size < nTerms per fragment and silently drop the shard's
+      // hits, and OR would emit partial-score duplicates. The shuffle is
+      // tiny (only the query terms' postings move) and hash-partitioning
+      // by shard guarantees all of a shard's rows share one partition.
+      .repartition($"shard")
       .mapPartitions { rows =>
-        // one input partition may pack several shard dirs: group by shard
+        // one shuffled partition may pack several whole shards: group
         val byShard = rows.toVector.groupBy(_.getInt(0))
         byShard.iterator.flatMap { case (_, shardRows) =>
           val cursors = shardRows.groupBy(_.getString(1)).map { case (term, rs) =>

@@ -217,6 +217,48 @@ class EngineParitySpec extends AnyFunSuite {
     assert(SearchEngine.paginate(Vector.empty[Int], 0, 5) == Vector.empty)
   }
 
+  test("posting scan split across many tasks: results still rank-identical") {
+    // A big shard file splits across scan tasks at row-group granularity
+    // (posting files are term-sorted, so term A's and term B's chunks of
+    // ONE shard can land in DIFFERENT tasks). executePlan must regroup by
+    // shard globally before intersecting — without that, AND silently
+    // drops the shard's hits and OR emits partial-score duplicates.
+    // Force the worst case: an index written with many tiny row groups
+    // (parquet.block.size=4KB, chunk cap 2 ⇒ thousands of rows/shard),
+    // scanned with sub-row-group split sizing.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 4096)
+    val splitRoot = SparkTestBase.tmpDir("graft-index-split")
+    try IndexBuilder.build(spark, spark.createDataset(corpus), splitRoot,
+      shards = 4, waveSize = 4, maxChunkPostings = 2)
+    finally {
+      if (oldBlock == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", oldBlock)
+    }
+    val nGroups = spark.read.parquet(s"$splitRoot/postings")
+      .mapPartitions(it => Iterator.single(if (it.hasNext) 1 else 0))
+      .collect().sum
+    val oldMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val oldCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+    try {
+      val tasks = spark.read.parquet(s"$splitRoot/postings")
+        .mapPartitions(it => Iterator.single(if (it.hasNext) 1 else 0))
+        .collect().sum
+      assert(tasks > 8, s"expected >2 non-empty scan tasks per shard, got $tasks " +
+        s"(unsplit: $nGroups) — fixture no longer forces row-group splits")
+      querySet.foreach { case (q, mode, k) =>
+        val got = SearchEngine.query(spark, splitRoot, q, mode, k)
+        assert(got == oracle.topK(q, mode, k), s"split-scan '$q' [$mode] k=$k")
+      }
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", oldMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", oldCost)
+    }
+  }
+
   test("chunking: hot-term lists split at the chunk cap and merge correctly") {
     val postings = IndexBuilder.loadPostings(spark, root)
     val chunks = postings.filter($"term" === "stopish")

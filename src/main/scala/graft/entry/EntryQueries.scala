@@ -71,13 +71,21 @@ object EntryQueries {
   def a6CorpusStats(s: SparkSession, dir: String): DataFrame = {
     val tf = TextOps.termFrequencies(t(s, dir, "documents"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // avgdl via ONE double division over exact integer aggregates +
+    // round(6): avg() over doubles is partition-order dependent in Spark
+    // and will not bit-match DuckDB (the r01 hash fail).
     dl.agg(count(lit(1)).as("n_docs"),
-      avg(col("dl").cast("double")).as("avgdl"),
-      sum(col("dl")).as("n_tokens"))
+        sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        round(col("sum_dl").cast("double") / col("n_docs").cast("double"), 6)
+          .as("avgdl"),
+        col("sum_dl").as("n_tokens"))
   }
 
   val a6CorpusStatsSql: String =
-    """SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl, sum(dl) AS n_tokens FROM (
+    """SELECT count(*) AS n_docs,
+      |       round(CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avgdl,
+      |       sum(dl) AS n_tokens FROM (
       |  SELECT doc_id, count(*) AS dl
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
       |  WHERE length(term) >= 2 GROUP BY doc_id)""".stripMargin
@@ -648,8 +656,10 @@ object EntryQueries {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |), sess AS (
       |  SELECT user_id, ts,
-      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |    -- DuckDB SUM(int) is HUGEINT (int128); the driver hashes values
+      |    -- after a column sort, and a hugeint 3 != int64 3 — cast back
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
       |  FROM flagged)
       |SELECT user_id, sess_id, min(ts) AS session_start, max(ts) AS session_end,
       |  count(*) AS n_events

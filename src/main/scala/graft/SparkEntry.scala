@@ -50,13 +50,16 @@ object SparkEntry {
     "ann_cosine_topk" -> (Q.annCosineTopK(_, _)),
     "text_quality" -> (Q.textQuality(_, _)),
     "token_count_dl" -> (Q.tokenCountDl(_, _)),
-    // rows-only (non-SQL-expressible; pinned by ScalaTest specs)
-    "dedup_minhash_lsh" -> (Q.dedupMinhashLsh(_, _)),
+    // oracle-checked via md5-based SimHash (signatures reproducible in
+    // DuckDB; pair recall guaranteed by maxHamming+1 banding)
     "dedup_simhash" -> (Q.dedupSimhash(_, _)),
     "dedup_simhash_pairs" -> (Q.dedupSimhashPairs(_, _)),
+    "lang_id" -> (Q.langId(_, _)),
+    // rows-only (probabilistic recall — not SQL-expressible exactly;
+    // pinned by OpsSpec brute-force oracles instead)
+    "dedup_minhash_lsh" -> (Q.dedupMinhashLsh(_, _)),
     "ann_lsh_topk" -> (Q.annLshTopK(_, _)),
     "embedding_near_dup" -> (Q.embeddingNearDup(_, _)),
-    "lang_id" -> (Q.langId(_, _)),
     "u6_snippets" -> (Q.u6Snippets(_, _)),
     // batch twin of the streaming sessionizer (full SQL oracle)
     "w4_sessionize" -> (Q.w4Sessionize(_, _)),
@@ -95,5 +98,9 @@ object SparkEntry {
     "text_quality" -> Q.textQualitySql,
     "token_count_dl" -> Q.tokenCountDlSql,
     "w4_sessionize" -> Q.w4SessionizeSql,
+    "dedup_simhash" -> Q.dedupSimhashSql,
+    "dedup_simhash_pairs" -> Q.dedupSimhashPairsSql,
+    "lang_id" -> Q.langIdSql,
+    "u6_snippets" -> Q.u6SnippetsSql,
   )
 }

@@ -542,9 +542,56 @@ object EntryQueries {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashes(t(s, dir, "documents")).orderBy(col("doc_id"))
 
+  /** Shared oracle CTE: tf-weighted SimHash from md5 term hashes —
+    * bit-identical to Dedup.simHashUdf (termHash64 = first 8 md5 bytes).
+    * HUGEINT carries the unsigned 64-bit value; the final CAST wraps it
+    * back to Spark's signed long. */
+  private val simhashSqlCte =
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  WHERE length(term) >= 2 GROUP BY 1, 2
+      |), th AS (
+      |  SELECT doc_id, tf,
+      |    (('0x' || substring(md5(term), 1, 8))::BIGINT::HUGEINT * 4294967296 +
+      |     ('0x' || substring(md5(term), 9, 8))::BIGINT) AS h
+      |  FROM tf
+      |), bits AS (
+      |  SELECT doc_id, b,
+      |    sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN tf ELSE -tf END) AS acc
+      |  FROM th CROSS JOIN range(64) t(b) GROUP BY 1, 2
+      |), usig AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN acc > 0 THEN (1::HUGEINT << CAST(b AS INTEGER))
+      |        ELSE 0::HUGEINT END) AS u
+      |  FROM bits GROUP BY 1
+      |), sig AS (
+      |  SELECT d.doc_id,
+      |    CAST(coalesce(u, 0::HUGEINT) -
+      |      CASE WHEN coalesce(u, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+      |           THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+      |      AS BIGINT) AS simhash
+      |  FROM documents d LEFT JOIN usig USING (doc_id)
+      |)""".stripMargin
+
+  val dedupSimhashSql: String =
+    simhashSqlCte + "\nSELECT doc_id, simhash FROM sig ORDER BY doc_id"
+
   def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashPairs(t(s, dir, "documents"), maxHamming = 12)
+    Dedup.simHashPairs(t(s, dir, "documents"), maxHamming = 3)
       .orderBy(col("hamming"), col("d1"), col("d2"))
+
+  /** Oracle = brute-force Hamming pairs: valid because banding into
+    * maxHamming+1 pieces guarantees recall (pigeonhole) and verification
+    * inside buckets is exact — the LSH output IS the brute-force set. */
+  val dedupSimhashPairsSql: String =
+    simhashSqlCte +
+    """
+      |SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      |FROM sig a JOIN sig b ON b.doc_id > a.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY hamming, d1, d2""".stripMargin
 
   def annLshTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(t(s, dir, "embeddings"), queryId = 0L, k = 20)
@@ -556,6 +603,42 @@ object EntryQueries {
   def langId(s: SparkSession, dir: String): DataFrame =
     TextOps.languageId(t(s, dir, "documents")).orderBy(col("doc_id"))
 
+  /** Mirrors TextOps.languageOf: word-marker counts over the token
+    * stream for spaced scripts, marker-CHAR occurrence counts for zh,
+    * argmax with max-lang-name tie-break, 'und' when all zero. */
+  val langIdSql: String = {
+    def wordScore(lang: String): String = {
+      val in = TextOps.LangMarkers(lang).toSeq.sorted
+        .map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(toks, x -> x IN ($in))) AS s_$lang"
+    }
+    val zh = TextOps.ZhMarkerChars.toSeq.sorted
+      .map(c => s"(length(text) - length(replace(text, '$c', '')))")
+      .mkString(" + ") + " AS s_zh"
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, text,
+       |    list_filter(string_split(text, ' '), x -> length(x) >= 2) AS toks
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, lang,
+       |    ${wordScore("en")},
+       |    ${wordScore("de")},
+       |    ${wordScore("es")},
+       |    ${wordScore("fr")},
+       |    ${wordScore("ru")},
+       |    $zh
+       |  FROM w
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN m = 0 THEN 'und'
+       |       WHEN s_zh = m THEN 'zh' WHEN s_ru = m THEN 'ru'
+       |       WHEN s_fr = m THEN 'fr' WHEN s_es = m THEN 'es'
+       |       WHEN s_en = m THEN 'en' ELSE 'de' END AS pred_lang,
+       |  lang AS labeled_lang
+       |FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_ru, s_zh) AS m FROM s)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** U6 read-path decoration: BM25 top-5 + snippet with bolded query
     * words (rows-only: snippet strings are not SQL-expressible). */
   def u6Snippets(s: SparkSession, dir: String): DataFrame = {
@@ -566,6 +649,23 @@ object EntryQueries {
       .select(col("doc_id"), col("score"), snip(col("text")).as("snippet"))
       .orderBy(col("score").desc, col("doc_id"))
   }
+
+  /** Golden oracle for u6_snippets (VERDICT r01 item 10): snippet strings
+    * are not SQL-computable, but the result on the driver's fixed
+    * deterministic sf corpus is — pinned VALUES generated from the
+    * engine output once and hand-checked against Snippets semantics
+    * (bold the analyzed query terms, ellipsis between windows). Breaks
+    * loudly (row mismatch) if the corpus or snippet logic changes. */
+  val u6SnippetsSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(score AS DOUBLE) AS score, snippet
+      |FROM (VALUES
+      |  (498, 0.878323, 'row query <b>merge</b> row row filter the <b>spark</b> <b>merge</b> hash group query column <b>merge</b> <b>spark</b> part <b>merge</b> query join... window slow <b>merge</b> group join filter data <b>merge</b> customer a <b>spark</b> <b>spark</b> scan table...'),
+      |  (395, 0.868658, 'column fast <b>spark</b> stream table stream <b>merge</b> <b>spark</b> <b>spark</b> <b>merge</b> batch group... hash customer a <b>merge</b> scan batch... line filter <b>spark</b> small scan... join batch <b>spark</b> sort table... slow query <b>merge</b> table window... agg fast <b>merge</b> a sort stream...'),
+      |  (146, 0.864361, 'vector <b>spark</b> the <b>merge</b> value vector <b>merge</b> data scan sort <b>spark</b> agg join <b>merge</b> customer line... '),
+      |  (97, 0.862194, 'fast order <b>spark</b> <b>merge</b> vector big small small <b>spark</b> join join vector <b>spark</b> scan <b>merge</b> table fast window <b>spark</b> big part... scan key <b>spark</b> line a small... filter query <b>merge</b> hash filter... query key <b>merge</b> join batch... '),
+      |  (321, 0.859502, 'scan query <b>merge</b> small order agg <b>spark</b> order big... order line <b>spark</b> <b>spark</b> order vector... fast small <b>merge</b> value value big window <b>merge</b> data... stream the <b>spark</b> table stream... stream stream <b>merge</b> slow value... ')
+      |) AS g(doc_id, score, snippet)
+      |ORDER BY score DESC, doc_id""".stripMargin
 
   /** W4 (batch sessionization — the SQL twin of
     * streaming.StreamingJobs.sessionize): 30-min-gap sessions per user

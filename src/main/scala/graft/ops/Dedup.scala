@@ -111,7 +111,21 @@ object Dedup {
 
   // ---- SimHash --------------------------------------------------------
 
-  /** 64-bit SimHash over tf-weighted token hashes. */
+  /** 64-bit term hash: the first 16 hex chars of md5(term) — i.e. the
+    * first 8 digest bytes big-endian. md5 is available bit-identically in
+    * Spark, DuckDB and java.security, which makes the whole SimHash
+    * pipeline oracle-checkable end-to-end (a seeded MurmurHash3 would be
+    * Scala-runtime-only). */
+  def termHash64(t: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash over tf-weighted md5 token hashes. */
   val simHashUdf = udf { (text: String) =>
     val toks = Analyzer.tokens(text)
     if (toks.isEmpty) 0L
@@ -120,8 +134,7 @@ object Dedup {
       val tf = scala.collection.mutable.HashMap.empty[String, Int]
       toks.foreach(t => tf.update(t, tf.getOrElse(t, 0) + 1))
       tf.foreach { case (t, w) =>
-        val h = (MurmurHash3.stringHash(t, 0x5bd1e995).toLong << 32) |
-          (MurmurHash3.stringHash(t, 0x1b873593).toLong & 0xffffffffL)
+        val h = termHash64(t)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) acc(b) += w else acc(b) -= w
@@ -138,15 +151,29 @@ object Dedup {
   def simHashes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), simHashUdf(col("text")).as("simhash"))
 
-  /** Near-dup pairs by SimHash: 4×16-bit band blocking (two docs within
-    * Hamming distance 3 of each other share at least one exact band),
-    * Hamming verification inside buckets only. */
+  /** Near-dup pairs by SimHash with GUARANTEED recall: the signature is
+    * split into `maxHamming + 1` contiguous bands, so by pigeonhole two
+    * docs within Hamming distance `maxHamming` agree exactly on at least
+    * one band and meet in that band's bucket; Hamming verification runs
+    * inside buckets only, so the pair set equals brute force (asserted in
+    * OpsSpec). Scale note: band width = 64/(maxHamming+1) bits, and
+    * bucket size grows as N/2^width — at 10^9+ docs keep maxHamming <= 3
+    * (16-bit bands); wider radii need recursive band splitting. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming")
+    val bands = maxHamming + 1
+    val base = 64 / bands
+    val extra = 64 % bands // first `extra` bands get one extra bit
+    val offsets = (0 until bands).scanLeft(0) { (off, b) =>
+      off + base + (if (b < extra) 1 else 0)
+    }
     val sigs = simHashes(docs)
-    val bandStructs = (0 until 4).map { b =>
+    val bandStructs = (0 until bands).map { b =>
+      val width = base + (if (b < extra) 1 else 0)
+      val mask = if (width >= 64) -1L else (1L << width) - 1
       struct(lit(b).as("band"),
-        shiftrightunsigned(col("simhash"), b * 16)
-          .bitwiseAND(lit(0xffffL)).as("bandKey"))
+        shiftrightunsigned(col("simhash"), offsets(b))
+          .bitwiseAND(lit(mask)).as("bandKey"))
     }
     val banded = sigs.select(col("doc_id"), col("simhash"),
         explode(array(bandStructs: _*)).as("bk"))
@@ -154,13 +181,12 @@ object Dedup {
         col("bk.band").as("band"), col("bk.bandKey").as("bandKey"))
     val a = banded.as("a")
     val b = banded.as("b")
-    val popcount = udf((x: Long) => java.lang.Long.bitCount(x))
     a.join(b,
         col("a.band") === col("b.band") &&
         col("a.bandKey") === col("b.bandKey") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        popcount(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -99,18 +99,30 @@ object Similarity {
       .limit(k)
   }
 
-  /** Near-duplicate vector pairs: cosine >= threshold, bucket-local. */
+  /** Near-duplicate vector pairs: cosine >= threshold within LSH buckets,
+    * with Hamming-`probeHamming` multi-probe on one join side — a pair on
+    * a hyperplane boundary (signatures differing in <= probeHamming bits)
+    * is still generated exactly once, because the XOR mask that matches it
+    * is unique per pair. Approximation contract: pairs whose signatures
+    * differ in MORE than `probeHamming` bits are missed; recall against
+    * brute-force cosine is asserted in OpsSpec. The join stays bucket-
+    * local (fan-out × #masks, never all-pairs). */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double,
-                            bits: Int = 8, dim: Int = 64): DataFrame = {
+                            bits: Int = 8, dim: Int = 64,
+                            probeHamming: Int = 1): DataFrame = {
     val planes = hyperplanes(dim, bits)
     val sig = signatureUdf(planes)
     val withSig = embeddings
       .withColumn("v", asDouble(col("embedding")))
       .withColumn("sig", sig(col("v")))
       .select(col("vec_id"), col("v"), col("sig"))
+    val masks = (0L until (1L << bits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
+    val probed = withSig.withColumn("psig",
+      explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)))
     val a = withSig.as("a")
-    val b = withSig.as("b")
-    a.join(b, col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+    val b = probed.as("b")
+    a.join(b, col("a.sig") === col("b.psig") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
         round(cosine(col("a.v"), col("b.v")), 6).as("sim"))
       .filter(col("sim") >= threshold)

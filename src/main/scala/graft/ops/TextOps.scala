@@ -47,29 +47,44 @@ object TextOps {
         greatest(size(toks), lit(1)).cast("double"), 6).as("distinct_ratio"))
   }
 
-  /** Deterministic n-gram language-ID heuristic: score each language by
-    * hits of its most-frequent function words / character n-grams in the
-    * token stream; argmax with lexicographic tie-break. Rule-based and
-    * versioned like the analyzer — NOT a model (offline sandbox). */
+  /** Deterministic language-ID heuristic, two marker kinds per script
+    * family (rule-based and versioned like the analyzer — NOT a model):
+    *
+    *  - SPACED scripts score by whole-token function-word hits. Markers
+    *    must survive the analyzer: length >= 2 after fold (so no "и"/"в"
+    *    — MinTokenLength drops 1-char tokens).
+    *  - UNSPACED scripts (zh) score by marker-CHARACTER occurrences in
+    *    the folded text: CJK runs tokenize as one long token, so
+    *    token-equality markers can never fire for them.
+    */
   val LangMarkers: Map[String, Set[String]] = Map(
     "en" -> Set("the", "and", "of", "to", "is", "in", "that", "it"),
     "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
     "es" -> Set("el", "la", "los", "las", "es", "en", "que", "un"),
     "fr" -> Set("le", "la", "les", "est", "et", "un", "une", "que"),
-    "ru" -> Set("и", "в", "не", "на", "что", "это", "как", "он"),
-    "zh" -> Set("的", "是", "在", "了", "我", "有", "和", "不"))
+    "ru" -> Set("не", "на", "что", "это", "как", "он", "по", "но"))
 
-  private val langIdUdf = udf { (text: String) =>
+  /** Single CJK chars counted as substring occurrences of the folded text. */
+  val ZhMarkerChars: Set[Char] = Set('的', '是', '在', '了', '我', '有', '和', '不')
+
+  private[ops] def languageOf(text: String): String = {
+    val folded = Analyzer.fold(if (text == null) "" else text)
     val toks = Analyzer.tokens(text)
-    if (toks.isEmpty) "und"
-    else {
-      val scores = LangMarkers.map { case (lang, markers) =>
-        lang -> toks.count(markers.contains)
-      }
-      val best = scores.maxBy { case (l, s) => (s, l) } // det. tie-break: max lang name
-      if (best._2 == 0) "und" else best._1
+    val wordScores = LangMarkers.map { case (lang, markers) =>
+      lang -> toks.count(markers.contains)
     }
+    var zh = 0
+    var i = 0
+    while (i < folded.length) {
+      if (ZhMarkerChars.contains(folded.charAt(i))) zh += 1
+      i += 1
+    }
+    val scores = wordScores + ("zh" -> zh)
+    val best = scores.maxBy { case (l, s) => (s, l) } // det. tie-break: max lang name
+    if (best._2 == 0) "und" else best._1
   }
+
+  private val langIdUdf = udf((text: String) => languageOf(text))
 
   def languageId(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), langIdUdf(col("text")).as("pred_lang"),

@@ -70,6 +70,40 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("simhash pairs == brute-force Hamming pairs (recall guaranteed by banding)") {
+    // ~120 docs: clusters of small edits (many near pairs at various
+    // Hamming radii) + unrelated tails. Deterministic generator.
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+    val rng = new scala.util.Random(7)
+    val texts = (0 until 120).map { i =>
+      val baseWords = Vector.tabulate(12)(j => words((i / 10 + j) % words.size))
+      val edits = rng.nextInt(4)
+      val t = (0 until edits).foldLeft(baseWords) { (acc, _) =>
+        acc.updated(rng.nextInt(acc.size), words(rng.nextInt(words.size)))
+      }
+      t.mkString(" ")
+    }
+    val docs = docsDf(texts)
+    val hashes = Dedup.simHashes(docs).orderBy($"doc_id")
+      .collect().map(_.getLong(1))
+    def brute(maxHam: Int): Set[(Long, Long, Int)] =
+      (for {
+        i <- hashes.indices; j <- (i + 1) until hashes.length
+        h = java.lang.Long.bitCount(hashes(i) ^ hashes(j))
+        if h <= maxHam
+      } yield (i.toLong, j.toLong, h)).toSet
+    Seq(3, 7, 12).foreach { maxHam =>
+      val got = Dedup.simHashPairs(docs, maxHamming = maxHam)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val expected = brute(maxHam)
+      assert(got == expected,
+        s"maxHamming=$maxHam: lsh=${got.size} brute=${expected.size} " +
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+      assert(expected.nonEmpty, s"fixture degenerate at maxHamming=$maxHam")
+    }
+  }
+
   test("embedding LSH top-k: high recall vs brute force on testdata") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Similarity.bruteForceTopK(emb, 0L, 10)
@@ -113,10 +147,59 @@ class OpsSpec extends AnyFunSuite {
       (3L, "le chien est dans la maison et les chats", "fr"),
       (4L, "и он сказал что это не на самом деле как прежде", "ru"),
       (5L, "zzz qqq xxx", "und"),
+      // unspaced CJK: tokenizes as ONE long token, so word markers can
+      // never fire — zh must be detected by marker-char occurrences
+      (6L, "我们的系统是在大规模数据上运行的它有很多功能", "zh"),
+      // mixed script: zh chars outnumber the single en marker hit
+      (7L, "the 系统是在大规模数据上运行的我们有很多功能不一样", "zh"),
     ).toDF("doc_id", "text", "lang")
     val got = TextOps.languageId(docs).orderBy($"doc_id")
       .collect().map(r => r.getString(1))
-    assert(got.toSeq == Seq("en", "de", "es", "fr", "ru", "und"))
+    assert(got.toSeq == Seq("en", "de", "es", "fr", "ru", "und", "zh", "zh"))
+  }
+
+  test("embedding near-dup multi-probe: recall vs brute-force cosine pairs") {
+    // 40 base vectors + a tiny-noise near-dup of each (cosine ~0.999).
+    // Some near-dup pairs land on hyperplane boundaries (signatures
+    // differ in >=1 bit) — the exact failure mode of a same-bucket-only
+    // join. Ground truth = brute-force cosine >= threshold.
+    val rng = new scala.util.Random(13)
+    val dim = 64
+    def randVec() = Array.fill(dim)(rng.nextGaussian().toFloat)
+    val rows = (0 until 40).flatMap { i =>
+      val v = randVec()
+      val dup = v.map(x => x + 0.02f * rng.nextGaussian().toFloat)
+      Seq((2L * i, v.toSeq), (2L * i + 1, dup.toSeq))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until dim).foreach { k =>
+        d += a(k) * b(k); na += a(k) * a(k); nb += b(k) * b(k)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = rows.toMap
+    val truth = (for {
+      i <- rows.indices; j <- (i + 1) until rows.size
+      v1 = rows(i)._1; v2 = rows(j)._1
+      if cos(byId(v1), byId(v2)) >= 0.9
+    } yield (v1, v2)).toSet
+    assert(truth.size >= 35, s"fixture degenerate: ${truth.size} true pairs")
+    val got = Similarity.embeddingNearDupPairs(emb, threshold = 0.9, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { case (v1, v2) =>
+      assert(cos(byId(v1), byId(v2)) >= 0.9, s"false positive ($v1,$v2)")
+    }
+    val recall = (truth intersect got).size.toDouble / truth.size
+    assert(recall >= 0.9, s"multi-probe recall $recall (${got.size}/${truth.size})")
+    // and strictly better than the same-bucket-only join it replaces
+    val noProbe = Similarity.embeddingNearDupPairs(emb, threshold = 0.9,
+      dim = dim, probeHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(noProbe.subsetOf(got))
+    assert((truth intersect got).size > (truth intersect noProbe).size,
+      "fixture has no boundary pairs — multi-probe untestable")
   }
 
   test("quality metrics: hand-computed values on a planted doc") {

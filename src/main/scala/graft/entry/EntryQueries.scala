@@ -163,29 +163,35 @@ object EntryQueries {
   private def bm25(s: SparkSession, dir: String, terms: Seq[String],
                    and: Boolean, k: Int): DataFrame = {
     val docs = t(s, dir, "documents")
+    // the cache is scoped to THIS call: the ≤k-row result is materialized
+    // while it is hot and the cache unpersisted before returning (the r01
+    // version leaked one pinned copy per bm25-family gate query)
     val tf = TextOps.termFrequencies(docs).cache()
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val statsRow = dl.agg(count(lit(1)), avg(col("dl").cast("double"))).head()
-    val n = statsRow.getLong(0)
-    val avgdl = statsRow.getDouble(1)
-    val dfMap = tf.filter(col("term").isin(terms: _*))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val qtf = tf.filter(col("term").isin(terms: _*))
-    val cand =
-      if (and)
-        terms.map(tm => qtf.filter(col("term") === tm).select(col("doc_id")))
-          .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
-      else qtf.select(col("doc_id")).distinct()
-    val dfCol = typedLit(dfMap)
-    qtf.join(cand, Seq("doc_id"), "left_semi")
-      .join(dl, Seq("doc_id"))
-      .withColumn("s", Bm25.scoreCol(col("tf"), dfCol(col("term")),
-        col("dl"), n, avgdl))
-      .groupBy(col("doc_id"))
-      .agg(round(sum(col("s")), 6).as("score")) // ≤2 terms: commutative sum
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
+    try {
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val statsRow = dl.agg(count(lit(1)), avg(col("dl").cast("double"))).head()
+      val n = statsRow.getLong(0)
+      val avgdl = statsRow.getDouble(1)
+      val dfMap = tf.filter(col("term").isin(terms: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val qtf = tf.filter(col("term").isin(terms: _*))
+      val cand =
+        if (and)
+          terms.map(tm => qtf.filter(col("term") === tm).select(col("doc_id")))
+            .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
+        else qtf.select(col("doc_id")).distinct()
+      val dfCol = typedLit(dfMap)
+      val result = qtf.join(cand, Seq("doc_id"), "left_semi")
+        .join(dl, Seq("doc_id"))
+        .withColumn("s", Bm25.scoreCol(col("tf"), dfCol(col("term")),
+          col("dl"), n, avgdl))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("s")), 6).as("score")) // ≤2 terms: commutative sum
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(k)
+      s.createDataFrame(result.collectAsList(), result.schema)
+    } finally tf.unpersist()
   }
 
   private def bm25Sql(terms: Seq[String], and: Boolean, k: Int): String = {
@@ -729,12 +735,25 @@ object EntryQueries {
 
   /** O1 (SearchServiceImpl.java:156-162): dictionary terms ordered by df
     * ASC with term tie-break — the rarest-first access-path order. */
-  def o1DfOrder(s: SparkSession, dir: String): DataFrame =
-    TextOps.termFrequencies(t(s, dir, "documents"))
+  def o1DfOrder(s: SparkSession, dir: String): DataFrame = {
+    // Global rank WITHOUT the single-partition window trap (SURVEY §2.5
+    // W2): range-repartition on the sort key, sort within partitions,
+    // then zipWithIndex (per-partition counts + driver prefix sum — the
+    // DocIdAssigner pattern). Scales to a 10^8-term vocabulary.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val agg = TextOps.termFrequencies(t(s, dir, "documents"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("df"), col("term"))))
+    val parts = math.max(1, s.sessionState.conf.numShufflePartitions / 2)
+    val ranked = agg.repartitionByRange(parts, col("df"), col("term"))
+      .sortWithinPartitions(col("df"), col("term"))
+      .rdd.zipWithIndex()
+      .map { case (r, i) => Row(r.getString(0), r.getLong(1), (i + 1).toInt) }
+    s.createDataFrame(ranked, StructType(Seq(
+        StructField("term", StringType), StructField("df", LongType),
+        StructField("rank", IntegerType))))
       .orderBy(col("rank"))
+  }
 
   val o1DfOrderSql: String =
     """SELECT term, df, CAST(row_number() OVER (ORDER BY df, term) AS INT) AS rank

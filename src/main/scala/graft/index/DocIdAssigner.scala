@@ -39,7 +39,11 @@ object DocIdAssigner {
     (a.toLong << 32) | (b.toLong & 0xffffffffL)
   }
 
-  final case class AssignStats(nDocs: Long, fingerprint: String)
+  /** `ranges(pid)` = (first, last) docId of range-partition `pid` (only
+    * non-empty partitions present) — free from the offsets prefix-sum; the
+    * build stamps them into the manifest as shard docId ranges. */
+  final case class AssignStats(nDocs: Long, fingerprint: String,
+                               ranges: Map[Int, (Long, Long)] = Map.empty)
 
   def assign(spark: SparkSession, turns: Dataset[Turn], partitions: Int = 0): Dataset[Doc] =
     assignWithStats(spark, turns, partitions)._1
@@ -70,8 +74,6 @@ object DocIdAssigner {
       }
       .collect()
     val counts: Map[Int, Long] = perPart.map(x => x._1 -> x._2).toMap
-    val stats = AssignStats(perPart.map(_._2).sum,
-      s"${perPart.map(_._2).sum}-${perPart.map(_._3).foldLeft(0L)(_ ^ _)}")
 
     val nParts = sorted.rdd.getNumPartitions
     val offsets = new Array[Long](nParts)
@@ -82,6 +84,12 @@ object DocIdAssigner {
       acc += counts.getOrElse(i, 0L)
       i += 1
     }
+    val ranges = counts.collect { case (pid, c) if c > 0 =>
+      pid -> (offsets(pid), offsets(pid) + c - 1)
+    }.toMap
+    val stats = AssignStats(perPart.map(_._2).sum,
+      s"${perPart.map(_._2).sum}-${perPart.map(_._3).foldLeft(0L)(_ ^ _)}",
+      ranges)
     val bOffsets = spark.sparkContext.broadcast(offsets)
 
     // Job B: assign ids; shuffle from job A is reused (skipped stages).

@@ -104,12 +104,16 @@ object IndexBuilder {
     * is an efficiency matter, not correctness. */
   private def withOneFilePerTask[A](spark: SparkSession, dir: String)
                                    (f: DataFrame => A): A = {
+    // Hadoop FileSystem API — works on HDFS/S3/local alike (java.nio
+    // would throw off-box)
     var maxFile = 1L
-    val it = java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
     while (it.hasNext) {
-      val f0 = it.next()
-      if (f0.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(f0))
-        maxFile = math.max(maxFile, java.nio.file.Files.size(f0))
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        maxFile = math.max(maxFile, st.getLen)
     }
     maxFile += 1
     val oldMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
@@ -153,25 +157,65 @@ object IndexBuilder {
     val P = Paths(root)
 
     // ---- stage 1: docs (docId assignment), shard = range-partition ----
-    // nDocs + fingerprint come for free from the assigner's count job on
-    // a fresh build; a resume recomputes them from the docs checkpoint
-    // (identical hash function — DocIdAssigner.rowHash).
-    val (nDocs, fingerprint) =
+    // nDocs + fingerprint + shard docId ranges come for free from the
+    // assigner's count job on a fresh build; a resume recomputes them from
+    // the docs checkpoint (identical hash — DocIdAssigner.rowHash) AND
+    // fingerprints the PASSED input to verify the checkpoint matches it —
+    // without that, build(spark, newTurns, existingRoot) would silently
+    // complete an index over the OLD corpus.
+    val (nDocs, fingerprint, shardRanges) =
       if (!hasSuccess(P.docs)) timed("docs") {
+        // full-table overwrite: pin static mode explicitly — dynamic mode
+        // (left set by maintenance jobs) skips the _SUCCESS marker the
+        // checkpoint/resume contract depends on
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        // a fresh docs stage invalidates every downstream checkpoint —
+        // leftover tf/term_stats from an aborted earlier run would
+        // otherwise be silently reused against the NEW docs
+        Seq(P.tf, P.termStats).foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
         val (df, st) = DocIdAssigner.assignWithShard(spark, turns, shards)
         // ordering (shard, docId) satisfies the partitioned-write's
         // required ordering, so no extra sort is inserted and file rows
         // stay docId-ascending (the postings pass depends on that)
         df.sortWithinPartitions($"shard", $"docId")
           .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(P.docs)
-        (st.nDocs, st.fingerprint)
+        (st.nDocs, st.fingerprint, st.ranges)
       } else timed("corpus-stats") {
         val hashUdf = udf((c: String, t: Int, x: String) =>
           DocIdAssigner.rowHash(c, t, x))
-        val r = spark.read.parquet(P.docs)
-          .select(hashUdf($"conv_id", $"turn_idx", $"text").as("h"))
-          .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("fp")).head()
-        (r.getLong(0), s"${r.getLong(0)}-${r.getLong(1)}")
+        val perShard = spark.read.parquet(P.docs)
+          .select($"shard", $"docId",
+            hashUdf($"conv_id", $"turn_idx", $"text").as("h"))
+          .groupBy($"shard")
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("fp"),
+            min($"docId").as("lo"), max($"docId").as("hi"))
+          .collect()
+        val n = perShard.map(_.getLong(1)).sum
+        val fp = perShard.map(_.getLong(2)).foldLeft(0L)(_ ^ _)
+        val ranges = perShard.map(r =>
+          r.getInt(0) -> (r.getLong(3), r.getLong(4))).toMap
+        val docsFp = s"$n-$fp"
+        // guard: the checkpoint must describe THIS input
+        val inputFp = {
+          val p = turns.mapPartitions { it =>
+            var c = 0L; var h = 0L
+            while (it.hasNext) {
+              val t = it.next(); c += 1
+              h ^= DocIdAssigner.rowHash(t.conv_id, t.turn_idx, t.text)
+            }
+            Iterator((c, h))
+          }.collect()
+          s"${p.map(_._1).sum}-${p.map(_._2).foldLeft(0L)(_ ^ _)}"
+        }
+        if (inputFp != docsFp)
+          throw new IllegalStateException(
+            s"docs checkpoint at ${P.docs} was built from DIFFERENT input " +
+            s"(checkpoint $docsFp vs input $inputFp); use a fresh root")
+        (n, docsFp, ranges)
       }
     val docs = spark.read.parquet(P.docs).as[Doc]
 
@@ -193,6 +237,7 @@ object IndexBuilder {
 
     // ---- stage 2: tf — MAP-ONLY (per-doc term counts inside the row) --
     if (!hasSuccess(P.tf)) timed("tf") {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
       withOneFilePerTask(spark, P.docs) { docsDf =>
         docsDf.select($"docId", $"dl", $"shard",
             explode(graft.functions.TermCountsExpression.termCountsCol($"text")).as("tc"))
@@ -266,12 +311,14 @@ object IndexBuilder {
       // Caveat: accumulator updates from retried tasks can double-count;
       // acceptable for metrics (Spark's own convention for task metrics),
       // and impossible in the deterministic local runs the gate uses.
+      def rangeOf(s: Int): (Long, Long) = shardRanges.getOrElse(s, (-1L, -1L))
       val metrics = acc.value.toSeq.map { case (s, (t, p, b)) =>
-        ShardEntry(s, t, p, b, Seq(s))
+        ShardEntry(s, t, p, b, Seq(s), rangeOf(s)._1, rangeOf(s)._2)
       }
       val covered = metrics.map(_.shard).toSet
       // shards with zero postings still count as completed
-      val empty = waveSet.diff(covered).map(s => ShardEntry(s, 0L, 0L, 0L, Seq(s)))
+      val empty = waveSet.diff(covered).map(s =>
+        ShardEntry(s, 0L, 0L, 0L, Seq(s), rangeOf(s)._1, rangeOf(s)._2))
       manifest = manifest.copy(
         snapshotId = manifest.snapshotId + 1,
         shards = manifest.shards ++ metrics ++ empty)

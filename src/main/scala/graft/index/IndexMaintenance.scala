@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.analysis.Analyzer
 import graft.model.Turn
+import graft.query.SearchEngine
 
 /** Incremental index maintenance — the Spark re-expression of the
   * reference's `POST /api/indexPage` path (SURVEY.md §3.3; reference:
@@ -29,35 +30,50 @@ import graft.model.Turn
   */
 object IndexMaintenance {
 
-  /** Shards whose docId range intersects the given docIds. */
+  /** Shards containing rows matching `cond` — read straight off the
+    * `shard` partition column (a distinct over at most #shards values);
+    * no docIds, filenames, or rows ever reach the driver. */
   private def affectedShards(spark: SparkSession, root: String,
-                             docIds: Seq[Long]): Seq[Int] = {
+                             cond: org.apache.spark.sql.Column): Seq[Int] = {
     import spark.implicits._
-    if (docIds.isEmpty) return Nil
-    IndexBuilder.loadDocs(spark, root)
-      .filter($"docId".isin(docIds: _*))
-      .select(input_file_name())
-      .distinct().collect()
-      .map(_.getString(0))
-      .flatMap(f => "shard=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt))
-      .distinct.toSeq
+    spark.read.parquet(IndexBuilder.Paths(root).docs)
+      .filter(cond)
+      .select($"shard").distinct()
+      .as[Int].collect().toSeq.sorted
   }
 
-  /** Delete whole conversations (or specific turns via the predicate):
-    * rewrites only the shards containing them, recomputes term stats
-    * set-based, commits a new snapshot. Returns affected shard ids. */
+  /** Delete whole conversations: rewrites only the shards containing
+    * them, recomputes term stats set-based, commits a new snapshot.
+    * Returns affected shard ids.
+    *
+    * Driver traffic is O(#affected shards): targeting uses the `shard`
+    * partition column and the delete itself is a broadcast anti-join on
+    * conv_id — deleting a huge tenant moves no docIds through the driver
+    * (the r01 `collect + isin` version OOMed by design there). */
   def deleteConversations(spark: SparkSession, root: String,
                           convIds: Set[String]): Seq[Int] = {
     import spark.implicits._
+    deleteConversationsDf(spark, root,
+      convIds.toSeq.toDF("conv_id"))
+  }
+
+  /** Scale variant: the conv_ids to delete arrive as a DataFrame (e.g. a
+    * tombstone table) and are anti-joined — nothing is collected. */
+  def deleteConversationsDf(spark: SparkSession, root: String,
+                            convs: org.apache.spark.sql.DataFrame): Seq[Int] = {
+    import spark.implicits._
+    // drop pinned caches FIRST: the rewrite itself re-reads term_stats /
+    // postings, and Spark's plan-matching cache would otherwise serve the
+    // pre-maintenance version INTO the new manifest (stale avgdl)
+    SearchEngine.disableServingCache(root)
+    val drop = broadcast(convs.select(col("conv_id")).distinct())
     val P = IndexBuilder.Paths(root)
-    val docIds = IndexBuilder.loadDocs(spark, root)
-      .filter($"conv_id".isin(convIds.toSeq: _*))
-      .select($"docId").as[Long].collect().toSeq
-    if (docIds.isEmpty) return Nil
-    val shards = affectedShards(spark, root, docIds)
-    rewriteShards(spark, root, shards,
-      keepPredicate = !col("conv_id").isin(convIds.toSeq: _*))
-    shards
+    val affected = spark.read.parquet(P.docs)
+      .join(drop, Seq("conv_id"), "left_semi")
+      .select($"shard").distinct().as[Int].collect().toSeq.sorted
+    if (affected.isEmpty) return Nil
+    rewriteShards(spark, root, affected, dropConvs = Some(drop))
+    affected
   }
 
   /** Replace the text of existing turns (same (conv_id, turn_idx) keys ⇒
@@ -78,10 +94,10 @@ object IndexMaintenance {
       s"replaceTurns requires existing keys; missing: $missing " +
       "(additions go through appendConversations / a fresh build)")
     val byKey = turns.map(t => (t.conv_id, t.turn_idx) -> t).toMap
-    val docIds = keys.toSeq.map(existing)
-    val shards = affectedShards(spark, root, docIds)
+    SearchEngine.disableServingCache(root) // before rewrites: see deleteConversationsDf
+    val shards = affectedShards(spark, root,
+      col("conv_id").isin(keys.map(_._1).toSeq: _*))
     rewriteShards(spark, root, shards,
-      keepPredicate = lit(true),
       replace = Some((byKey, existing)))
     shards
   }
@@ -93,7 +109,7 @@ object IndexMaintenance {
     * and commit a new manifest snapshot. */
   private def rewriteShards(spark: SparkSession, root: String,
                             shards: Seq[Int],
-                            keepPredicate: org.apache.spark.sql.Column,
+                            dropConvs: Option[org.apache.spark.sql.DataFrame] = None,
                             replace: Option[(Map[(String, Int), Turn],
                                              Map[(String, Int), Long])] = None): Unit = {
     import spark.implicits._
@@ -101,9 +117,13 @@ object IndexMaintenance {
     val P = IndexBuilder.Paths(root)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    // new docs content for the affected shards
+    // new docs content for the affected shards; deletions are an
+    // anti-join (distributed), never an isin over collected ids
     val oldDocs = spark.read.parquet(P.docs).filter($"shard".isin(shards: _*))
-    val kept = oldDocs.filter(keepPredicate)
+    val kept = dropConvs match {
+      case Some(drop) => oldDocs.join(drop, Seq("conv_id"), "left_anti")
+      case None => oldDocs
+    }
     val newDocs = replace match {
       case None => kept
       case Some((byKey, _)) =>
@@ -182,6 +202,7 @@ object IndexMaintenance {
                           turns: Seq[Turn], newShards: Int = 1): Seq[Int] = {
     import spark.implicits._
     require(turns.nonEmpty, "nothing to append")
+    SearchEngine.disableServingCache(root) // before rewrites: see deleteConversationsDf
     val P = IndexBuilder.Paths(root)
     val bounds = IndexBuilder.loadDocs(spark, root)
       .agg(max($"conv_id"), max($"docId")).head()
@@ -276,6 +297,19 @@ object IndexMaintenance {
       .agg(expr("bit_xor(h)")).head().getLong(0)
     val old = IndexManifest.read(root).getOrElse(
       throw new IllegalStateException(s"no manifest at $root"))
+    // refreshed docId ranges for the touched shards (one tiny agg over
+    // the affected partitions only)
+    val touched = (replacedShards ++ newEntries.map(_.shard)).distinct
+    val ranges =
+      if (touched.isEmpty) Map.empty[Int, (Long, Long)]
+      else spark.read.parquet(P.docs)
+        .filter($"shard".isin(touched: _*))
+        .groupBy($"shard").agg(min($"docId"), max($"docId"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val stamped = newEntries.map { e =>
+      val (lo, hi) = ranges.getOrElse(e.shard, (-1L, -1L))
+      e.copy(minDocId = lo, maxDocId = hi)
+    }
     IndexManifest.commit(root, old.copy(
       snapshotId = old.snapshotId + 1,
       inputFingerprint = s"$n-$fp",
@@ -283,7 +317,7 @@ object IndexMaintenance {
       avgdl = tot.toDouble / math.max(1L, n),
       shards = old.shards.filterNot(s =>
         replacedShards.contains(s.shard) ||
-        newEntries.exists(_.shard == s.shard)) ++ newEntries))
+        stamped.exists(_.shard == s.shard)) ++ stamped))
   }
 
   /** Replace `target/shard=K` with `tmp/shard=K` for each affected shard

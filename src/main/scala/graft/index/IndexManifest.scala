@@ -26,8 +26,13 @@ import scala.jdk.CollectionConverters._
   * Spark's internals); fields are numbers/id-safe strings, no escaping
   * needed except analyzerVersion which is ours.
   */
+/** Per-shard manifest entry. `minDocId`/`maxDocId` are the shard's docId
+  * range (shards are docId-contiguous by construction) — point reads and
+  * scoped queries prune to intersecting shards without scanning docs;
+  * (-1, -1) = empty shard or legacy manifest (no pruning). */
 final case class ShardEntry(shard: Int, terms: Long, postings: Long, bytes: Long,
-                            sourcePartitions: Seq[Int])
+                            sourcePartitions: Seq[Int],
+                            minDocId: Long = -1L, maxDocId: Long = -1L)
 
 final case class Manifest(
     snapshotId: Long,
@@ -62,7 +67,9 @@ object IndexManifest {
       val f = parseFields(l)
       ShardEntry(f("shard").toInt, f("terms").toLong, f("postings").toLong,
         f("bytes").toLong,
-        f("sourcePartitions").split(";").filter(_.nonEmpty).map(_.toInt).toSeq)
+        f("sourcePartitions").split(";").filter(_.nonEmpty).map(_.toInt).toSeq,
+        f.getOrElse("minDocId", "-1").toLong,
+        f.getOrElse("maxDocId", "-1").toLong)
     }.toSeq
     Manifest(head("snapshotId").toLong, head("analyzerVersion"),
       head("inputFingerprint"), head("nDocs").toLong, head("avgdl").toDouble, shards)
@@ -85,7 +92,9 @@ object IndexManifest {
         "terms" -> s.terms.toString,
         "postings" -> s.postings.toString,
         "bytes" -> s.bytes.toString,
-        "sourcePartitions" -> s.sourcePartitions.mkString(";"))).append('\n')
+        "sourcePartitions" -> s.sourcePartitions.mkString(";"),
+        "minDocId" -> s.minDocId.toString,
+        "maxDocId" -> s.maxDocId.toString)).append('\n')
     }
     val tmp = Paths.get(root, s"manifest-v${m.snapshotId}.json.tmp")
     Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))

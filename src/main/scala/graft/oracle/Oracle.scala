@@ -58,11 +58,11 @@ final class Oracle(corpus: Seq[Turn]) {
     if (qTerms.isEmpty) return Vector.empty
     val present = qTerms.filter(t => df(t) > 0)
     val cap = 0.9 * nDocs
+    // unknown lemmas are silently DROPPED and the remaining ones searched
+    // (reference SearchServiceImpl.java:145-148 filter(Objects::nonNull))
     val kept = (if (applyStopCap) present.filter(t => df(t) <= cap) else present)
       .sortBy(t => (df(t), t))
-    val missing = qTerms.toSet -- present.toSet --
-      (if (applyStopCap) present.filter(t => df(t) > cap).toSet else Set.empty)
-    if (kept.isEmpty || (mode == "AND" && missing.nonEmpty)) return Vector.empty
+    if (kept.isEmpty) return Vector.empty
 
     val postings = kept.map(t => index(t).toMap)
     val inScope: Long => Boolean = convPrefix match {
@@ -92,10 +92,8 @@ final class Oracle(corpus: Seq[Turn]) {
     if (qTerms.isEmpty) return Vector.empty
     val present = qTerms.filter(t => df(t) > 0)
     val cap = 0.9 * nDocs
-    val kept = present.filter(t => df(t) <= cap)
-    val missing = qTerms.toSet -- present.toSet --
-      present.filter(t => df(t) > cap).toSet
-    if (kept.isEmpty || missing.nonEmpty) return Vector.empty
+    val kept = present.filter(t => df(t) <= cap) // unknown lemmas dropped
+    if (kept.isEmpty) return Vector.empty
     val postings = kept.map(t => index(t).toMap)
     val candidates = postings.map(_.keySet).reduce(_ intersect _)
     if (candidates.isEmpty) return Vector.empty

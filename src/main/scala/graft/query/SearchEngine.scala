@@ -75,10 +75,10 @@ object SearchEngine {
     val stats = statsOf(spark, root)
     val spec = QuerySpec(Analyzer.analyzeQuery(queryText), mode, k)
     val p = plan(spark, root, spec, stats)
-    // AND with a missing term ⇒ empty (reference: a lemma absent from the
-    // dictionary yields no pages — SearchServiceImpl.java:143-149,166-168)
-    val missing = spec.terms.toSet -- p.terms.map(_.term).toSet -- p.dropped.toSet
-    if (p.terms.isEmpty || (mode == "AND" && missing.nonEmpty)) return Vector.empty
+    // terms absent from the dictionary are silently DROPPED and the rest
+    // searched (reference SearchServiceImpl.java:145-148
+    // filter(Objects::nonNull)); empty only when nothing survives
+    if (p.terms.isEmpty) return Vector.empty
     val range = convPrefix.map { pre =>
       import org.apache.spark.sql.functions.{col, max, min}
       val r = graft.index.IndexBuilder.loadDocs(spark, root)
@@ -107,7 +107,18 @@ object SearchEngine {
     val (minDoc, maxDoc) = range.getOrElse((0L, Long.MaxValue))
     if (minDoc > maxDoc) return Vector.empty // empty scope
 
-    val perShard = postingsFor(spark, root)
+    // scoped queries prune the posting scan to shards whose manifest
+    // docId range intersects the scope (partition-column pruning — the
+    // scan never lists the other shard dirs)
+    val shardPrune: DataFrame => DataFrame =
+      if (range.isEmpty) identity
+      else graft.index.IndexManifest.read(root)
+        .flatMap(m => shardsIntersecting(m, minDoc, maxDoc)) match {
+          case Some(sh) => df => df.filter($"shard".isin(sh: _*))
+          case None => identity
+        }
+
+    val perShard = shardPrune(postingsFor(spark, root))
       .filter($"term".isin(termList: _*))
       .select($"shard", $"term", $"chunk", $"count", $"docIds", $"tfs",
         $"dls", $"blockFirst", $"docOff", $"tfOff", $"dlOff",
@@ -166,9 +177,9 @@ object SearchEngine {
     val stats = statsOf(spark, root)
     val spec = QuerySpec(Analyzer.analyzeQuery(queryText), mode, k)
     val p = plan(spark, root, spec, stats)
-    val missing = spec.terms.toSet -- p.terms.map(_.term).toSet -- p.dropped.toSet
+    // unknown terms dropped, reference parity (SearchServiceImpl.java:145-148)
     val session = spark
-    if (p.terms.isEmpty || (mode == "AND" && missing.nonEmpty))
+    if (p.terms.isEmpty)
       return session.emptyDataset[SearchHit].toDF("docId", "score")
 
     val tf = IndexBuilder.loadTf(spark, root)
@@ -199,9 +210,23 @@ object SearchEngine {
     scored.orderBy($"score".desc, $"docId".asc).limit(k)
   }
 
+  /** Shards whose manifest docId range intersects [lo, hi]. None when the
+    * manifest carries no ranges (legacy snapshot) — caller falls back to
+    * an unpruned scan. Entries with (-1,-1) in a range-carrying manifest
+    * hold no docs and are skipped. */
+  private def shardsIntersecting(m: graft.index.Manifest,
+                                 lo: Long, hi: Long): Option[Seq[Int]] = {
+    if (!m.shards.exists(_.minDocId >= 0)) None
+    else Some(m.shards
+      .filter(s => s.minDocId >= 0 && s.minDocId <= hi && s.maxDocId >= lo)
+      .map(_.shard))
+  }
+
   /** Full read path: top-k + per-hit snippet + doc key — the SearchData
     * analog (reference dto/search/SearchData.java:12-20; snippets computed
-    * for the k shown rows only, SearchServiceImpl.java:281-290). */
+    * for the k shown rows only, SearchServiceImpl.java:281-290). The doc
+    * point-lookup prunes to the shards whose manifest docId range covers a
+    * hit, instead of listing every shard dir. */
   def queryWithSnippets(spark: SparkSession, root: String, queryText: String,
                         mode: String = "AND", k: Int = 10)
       : Seq[(Long, Double, String, String, Int)] = {
@@ -209,12 +234,21 @@ object SearchEngine {
     val hits = query(spark, root, queryText, mode, k)
     if (hits.isEmpty) return Nil
     val terms = Analyzer.analyzeQuery(queryText).toSet
-    val byId = IndexBuilder.loadDocs(spark, root)
-      .filter(col("docId").isin(hits.map(_.docId): _*))
-      .collect().map(d => d.docId -> d).toMap
+    val ids = hits.map(_.docId)
+    val base = spark.read.parquet(IndexBuilder.Paths(root).docs)
+    val pruned = graft.index.IndexManifest.read(root)
+      .flatMap(m => shardsIntersecting(m, ids.min, ids.max)) match {
+        case Some(sh) => base.filter(col("shard").isin(sh: _*))
+        case None => base
+      }
+    val byId = pruned.filter(col("docId").isin(ids: _*))
+      .select(col("docId"), col("text"), col("conv_id"), col("turn_idx"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getInt(3))))
+      .toMap
     hits.map { h =>
-      val d = byId(h.docId)
-      (h.docId, h.score, Snippets.snippet(d.text, terms), d.conv_id, d.turn_idx)
+      val (text, convId, turnIdx) = byId(h.docId)
+      (h.docId, h.score, Snippets.snippet(text, terms), convId, turnIdx)
     }
   }
 
@@ -228,8 +262,8 @@ object SearchEngine {
     val stats = statsOf(spark, root)
     val spec = QuerySpec(Analyzer.analyzeQuery(queryText), "AND", k)
     val p = plan(spark, root, spec, stats)
-    val missing = spec.terms.toSet -- p.terms.map(_.term).toSet -- p.dropped.toSet
-    if (p.terms.isEmpty || missing.nonEmpty)
+    // unknown terms dropped, reference parity (SearchServiceImpl.java:145-148)
+    if (p.terms.isEmpty)
       return spark.emptyDataset[SearchHit].toDF("docId", "relevance")
     val tf = IndexBuilder.loadTf(spark, root)
     val termList = p.terms.map(_.term)

@@ -41,8 +41,9 @@ class EngineParitySpec extends AnyFunSuite {
     ("roleuser w0001", "OR", 25),               // 7/9. hot-term + tie-heavy
     ("roleassistant roletool", "AND", 50),      // 9. hot-hot intersection
     ("w0000", "OR", 100),                       // common single term, big k
-    ("absentterm w0000", "AND", 10),            // missing term → empty
-    ("absentterm w0000", "OR", 10),             // missing term OR → matches
+    ("absentterm w0000", "AND", 10),            // unknown term dropped (ref parity)
+    ("absentterm w0000", "OR", 10),             // unknown term OR → matches
+    ("absentterm klaatu", "AND", 10),           // ALL terms unknown → empty
     ("ведущий пример", "AND", 10),              // cyrillic (utf8 spice)
   )
 
@@ -148,6 +149,31 @@ class EngineParitySpec extends AnyFunSuite {
     querySet.take(4).foreach { case (q, mode, k) =>
       assert(SearchEngine.query(spark, root, q, mode, k) == oracle.topK(q, mode, k))
     }
+  }
+
+  test("resume with DIFFERENT input is rejected (docs-checkpoint fingerprint guard)") {
+    // a docs/ checkpoint without a manifest simulates a run killed before
+    // wave 1 committed; resuming with other data must throw, not silently
+    // complete an index over the old corpus
+    val dir = SparkTestBase.tmpDir("graft-index-fpguard")
+    IndexBuilder.build(spark, spark.createDataset(corpus), dir,
+      shards = 4, waveSize = 4, maxChunkPostings = 64)
+    // drop every manifest so only the docs/tf checkpoints remain
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator()
+      .forEachRemaining { p =>
+        if (p.getFileName.toString.startsWith("manifest-v"))
+          java.nio.file.Files.delete(p)
+      }
+    val other = TranscriptGen.corpus(seed = 77L, nConvs = 50)
+    val e = intercept[IllegalStateException] {
+      IndexBuilder.build(spark, spark.createDataset(other), dir,
+        shards = 4, waveSize = 4, maxChunkPostings = 64)
+    }
+    assert(e.getMessage.contains("DIFFERENT input"))
+    // same input resumes fine
+    val ok = IndexBuilder.build(spark, spark.createDataset(corpus), dir,
+      shards = 4, waveSize = 4, maxChunkPostings = 64)
+    assert(ok.manifest.nDocs == oracle.nDocs)
   }
 
   test("ref-compat scorer: rank-identical to oracle sum-tf/max relevance") {

@@ -37,10 +37,8 @@ class MaintenanceSpec extends AnyFunSuite {
     val dfs = scala.collection.mutable.HashMap.empty[String, Long]
     docs.foreach(_._2.distinct.foreach(t => dfs.update(t, dfs.getOrElse(t, 0L) + 1)))
     val qTerms0 = Analyzer.analyzeQuery(query).filter(t => dfs.getOrElse(t, 0L) > 0)
-    val capped = qTerms0.filter(t => dfs(t) <= 0.9 * n)
-    val missing = Analyzer.analyzeQuery(query).toSet -- qTerms0.toSet --
-      qTerms0.filter(t => dfs(t) > 0.9 * n).toSet
-    if (capped.isEmpty || (mode == "AND" && missing.nonEmpty)) return Vector.empty
+    val capped = qTerms0.filter(t => dfs(t) <= 0.9 * n) // unknown terms dropped (ref parity)
+    if (capped.isEmpty) return Vector.empty
     val canonical = capped.sortBy(t => (dfs(t), t))
     val hits = docs.flatMap { case (d, toks) =>
       val tf = toks.groupBy(identity).map { case (t, xs) => t -> xs.size }
@@ -158,6 +156,72 @@ class MaintenanceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       IndexMaintenance.appendConversations(spark, root,
         Seq(Turn("conv-00000000", 99, "user", "x y", "", ts)))
+    }
+  }
+
+  test("bulk delete (30% of convs): anti-join path, correct and manifest-consistent") {
+    val (root, corpus) = freshIndex()
+    val allConvs = corpus.map(_.conv_id).distinct.sorted
+    val victims = allConvs.zipWithIndex.collect {
+      case (c, i) if i % 3 == 0 => c
+    }.toSet // ~1/3 of conversations, spread across every shard
+    val affected = IndexMaintenance.deleteConversations(spark, root, victims)
+    assert(affected.nonEmpty)
+    val m = IndexManifest.read(root).get
+    assert(m.nDocs == corpus.count(t => !victims(t.conv_id)))
+    assert(IndexBuilder.loadDocs(spark, root)
+      .filter($"conv_id".isin(victims.toSeq: _*)).count() == 0L)
+    Seq(("needlemid w0000", "AND", 10), ("w0001 w0002", "OR", 15)).foreach {
+      case (q, mo, k) =>
+        assert(SearchEngine.query(spark, root, q, mo, k) == bruteTopK(root, q, mo, k),
+          s"post-bulk-delete '$q' [$mo]")
+    }
+  }
+
+  test("maintenance invalidates the serving cache (no stale hits)") {
+    val (root, corpus) = freshIndex()
+    SearchEngine.enableServingCache(spark, root)
+    try {
+      val before = SearchEngine.query(spark, root, "needlemid", "AND", 10)
+      assert(before.nonEmpty)
+      val victimConv = IndexBuilder.loadDocs(spark, root)
+        .filter($"docId" === before.head.docId).head().conv_id
+      IndexMaintenance.deleteConversations(spark, root, Set(victimConv))
+      // the cache was dropped by maintenance: the query must re-read the
+      // rewritten postings and the old top hit must be gone
+      val after = SearchEngine.query(spark, root, "needlemid", "AND", 10)
+      assert(after == bruteTopK(root, "needlemid", "AND", 10),
+        "post-maintenance query must match brute force over surviving docs")
+      assert(!after.exists(_.docId == before.head.docId))
+    } finally SearchEngine.disableServingCache(root)
+  }
+
+  test("manifest carries shard docId ranges; maintenance keeps them fresh") {
+    val (root, corpus) = freshIndex()
+    val m0 = IndexManifest.read(root).get
+    val ranged = m0.shards.filter(_.minDocId >= 0)
+    assert(ranged.nonEmpty, "fresh build must stamp docId ranges")
+    // ranges are disjoint, contiguous overall, and cover 0..nDocs-1
+    val sorted = ranged.sortBy(_.minDocId)
+    assert(sorted.head.minDocId == 0L)
+    assert(sorted.last.maxDocId == m0.nDocs - 1)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(b.minDocId == a.maxDocId + 1,
+        s"gap between shard ${a.shard} and ${b.shard}")
+      case _ => ()
+    }
+    // after a delete, touched shards' ranges reflect the surviving docs
+    val affected = IndexMaintenance.deleteConversations(spark, root,
+      Set("conv-00000003"))
+    val m1 = IndexManifest.read(root).get
+    affected.foreach { sh =>
+      val e = m1.shards.find(_.shard == sh).get
+      val actual = spark.read.parquet(s"$root/docs")
+        .filter($"shard" === sh)
+        .agg(org.apache.spark.sql.functions.min($"docId"),
+          org.apache.spark.sql.functions.max($"docId")).head()
+      assert(e.minDocId == actual.getLong(0) && e.maxDocId == actual.getLong(1),
+        s"shard $sh manifest range (${e.minDocId},${e.maxDocId}) vs actual")
     }
   }
 

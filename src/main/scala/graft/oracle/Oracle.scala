@@ -54,36 +54,58 @@ final class Oracle(corpus: Seq[Turn]) {
   def topK(query: String, mode: String = "AND", k: Int = 10,
            applyStopCap: Boolean = true,
            convPrefix: Option[String] = None): Vector[SearchHit] = {
-    val qTerms = Analyzer.analyzeQuery(query)
-    if (qTerms.isEmpty) return Vector.empty
-    val present = qTerms.filter(t => df(t) > 0)
-    val cap = 0.9 * nDocs
-    // unknown lemmas are silently DROPPED and the remaining ones searched
-    // (reference SearchServiceImpl.java:145-148 filter(Objects::nonNull))
-    val kept = (if (applyStopCap) present.filter(t => df(t) <= cap) else present)
-      .sortBy(t => (df(t), t))
-    if (kept.isEmpty) return Vector.empty
-
-    val postings = kept.map(t => index(t).toMap)
+    // scoped search uses PER-SCOPE statistics (reference per-site
+    // semantics: LemmaRepository.findBySiteAndLemma,
+    // SearchServiceImpl.java:143-162)
     val inScope: Long => Boolean = convPrefix match {
       case None => _ => true
       case Some(pre) => d => docs(d.toInt).conv_id.startsWith(pre)
     }
+    val (n, avg, dfOf): (Long, Double, String => Long) = convPrefix match {
+      case None => (nDocs, avgdl, df _)
+      case Some(_) =>
+        val ids = docs.indices.filter(d => inScope(d.toLong))
+        if (ids.isEmpty) return Vector.empty
+        val a = ids.map(d => docTokens(d).length.toLong).sum.toDouble / ids.size
+        val dfS = (t: String) => index.get(t)
+          .map(_.count { case (d, _) => inScope(d) }.toLong).getOrElse(0L)
+        (ids.size.toLong, a, dfS)
+    }
+    val qTerms = Analyzer.analyzeQuery(query)
+    if (qTerms.isEmpty) return Vector.empty
+    val present = qTerms.filter(t => dfOf(t) > 0)
+    val cap = 0.9 * n
+    // unknown lemmas are silently DROPPED and the remaining ones searched
+    // (reference SearchServiceImpl.java:145-148 filter(Objects::nonNull))
+    val kept = (if (applyStopCap) present.filter(t => dfOf(t) <= cap) else present)
+      .sortBy(t => (dfOf(t), t))
+    if (kept.isEmpty) return Vector.empty
+
+    val postings = kept.map(t => index(t).filter { case (d, _) => inScope(d) }.toMap)
     val candidates: Set[Long] =
-      (if (mode == "AND") postings.map(_.keySet).reduce(_ intersect _)
-       else postings.map(_.keySet).reduce(_ union _)).filter(inScope)
+      if (mode == "AND") postings.map(_.keySet).reduce(_ intersect _)
+      else postings.map(_.keySet).reduce(_ union _)
 
     val hits = candidates.toVector.map { d =>
       var s = 0.0
       kept.foreach { t => // canonical order: kept is (df asc, term asc)
         postings(kept.indexOf(t)).get(d).foreach { tf =>
-          s += Bm25.score(tf, df(t), dl(d), nDocs, avgdl)
+          s += Bm25.score(tf, dfOf(t), dl(d), n, avg)
         }
       }
       SearchHit(d, s)
     }
     hits.sortBy(h => (-h.score, h.docId)).take(k)
   }
+
+  /** Multi-scope union with per-scope stats (reference multi-site search,
+    * SearchServiceImpl.java:127-162): per-scope top-k unioned, best
+    * instance per doc, global (score DESC, docId ASC) order. */
+  def topKScoped(query: String, mode: String, k: Int,
+                 prefixes: Seq[String]): Vector[SearchHit] =
+    prefixes.flatMap(p => topK(query, mode, k, convPrefix = Some(p)))
+      .groupBy(_.docId).values.map(_.maxBy(_.score)).toVector
+      .sortBy(h => (-h.score, h.docId)).take(k)
 
   /** Reference-compat relevance: Σ tf max-normalized (AND only) —
     * SearchServiceImpl.java:202-245 semantics with our docId tie-break. */

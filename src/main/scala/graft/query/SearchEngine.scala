@@ -64,30 +64,102 @@ object SearchEngine {
 
   /** Compressed scale path. Returns exact global top-k hits.
     * `convPrefix` scopes the search to conversations whose id starts with
-    * the prefix (reference per-site search, SearchServiceImpl.java:106-110;
-    * conv_ids are docId-contiguous so the scope is one docId range pruned
-    * inside the cursors — per-scope df statistics would require per-scope
-    * indexes like the reference's per-site lemma table; we score with
-    * GLOBAL stats, documented delta). */
+    * the prefix and scores with PER-SCOPE statistics — reference per-site
+    * semantics: df/N/stop-cap are all per site
+    * (LemmaRepository.findBySiteAndLemma, SearchServiceImpl.java:143-162). */
   def query(spark: SparkSession, root: String, queryText: String,
             mode: String = "AND", k: Int = 10,
-            convPrefix: Option[String] = None): Vector[SearchHit] = {
-    val stats = statsOf(spark, root)
-    val spec = QuerySpec(Analyzer.analyzeQuery(queryText), mode, k)
-    val p = plan(spark, root, spec, stats)
-    // terms absent from the dictionary are silently DROPPED and the rest
-    // searched (reference SearchServiceImpl.java:145-148
-    // filter(Objects::nonNull)); empty only when nothing survives
-    if (p.terms.isEmpty) return Vector.empty
-    val range = convPrefix.map { pre =>
-      import org.apache.spark.sql.functions.{col, max, min}
+            convPrefix: Option[String] = None): Vector[SearchHit] =
+    convPrefix match {
+      case Some(pre) => queryScoped(spark, root, queryText, mode, k, Seq(pre))
+      case None =>
+        val stats = statsOf(spark, root)
+        val spec = QuerySpec(Analyzer.analyzeQuery(queryText), mode, k)
+        val p = plan(spark, root, spec, stats)
+        // terms absent from the dictionary are silently DROPPED and the
+        // rest searched (reference SearchServiceImpl.java:145-148
+        // filter(Objects::nonNull)); empty only when nothing survives
+        if (p.terms.isEmpty) Vector.empty
+        else executePlan(spark, root, p, stats, None)
+    }
+
+  /** Multi-scope search (reference multi-site: per-site results computed
+    * with per-site statistics, then unioned — SearchServiceImpl.java:
+    * 127-162, O5). Scopes are conv-id prefixes and expected disjoint
+    * (like sites); a doc reachable through several overlapping scopes
+    * keeps its highest-scoring instance. Per scope:
+    *
+    *  1. one pruned docs agg resolves (docId range, N, avgdl);
+    *  2. one pruned posting scan counts per-term df INSIDE the range
+    *     (block-skipping cursors, decode-only);
+    *  3. stop cap df <= 0.9*N_scope, df-asc order, WAND over the range
+    *     with the scoped stats.
+    */
+  def queryScoped(spark: SparkSession, root: String, queryText: String,
+                  mode: String, k: Int,
+                  scopes: Seq[String]): Vector[SearchHit] = {
+    import org.apache.spark.sql.functions.{col, count => cnt, lit, max, min, sum}
+    val terms = Analyzer.analyzeQuery(queryText)
+    if (terms.isEmpty || scopes.isEmpty) return Vector.empty
+    val version = statsOf(spark, root).analyzerVersion
+    val all = scopes.flatMap { pre =>
       val r = graft.index.IndexBuilder.loadDocs(spark, root)
         .filter(col("conv_id").startsWith(pre))
-        .agg(min(col("docId")), max(col("docId"))).head()
-      if (r.isNullAt(0)) (Long.MaxValue, Long.MinValue)
-      else (r.getLong(0), r.getLong(1))
+        .agg(cnt(lit(1)), min(col("docId")), max(col("docId")),
+          sum(col("dl"))).head()
+      val n = r.getLong(0)
+      if (n == 0L) Vector.empty
+      else {
+        val (lo, hi) = (r.getLong(1), r.getLong(2))
+        val stats = CorpusStats(n, r.getLong(3).toDouble / n, version)
+        val dfs = scopedTermDf(spark, root, terms, lo, hi)
+        val kept = terms
+          .flatMap(t => dfs.get(t).filter(_ > 0).map(df => (t, df)))
+          .filter { case (_, df) => df <= StopTermCap * n }
+          .sortBy { case (t, df) => (df, t) }
+          .map { case (t, df) => TermStats(t, df, 0) }
+        if (kept.isEmpty) Vector.empty
+        else executePlan(spark, root,
+          Plan(kept.toVector, Vector.empty, mode, k), stats, Some((lo, hi)))
+      }
     }
-    executePlan(spark, root, p, stats, range)
+    // union; overlapping scopes keep the best-scoring instance per doc
+    all.groupBy(_.docId).values.map(_.maxBy(_.score)).toVector
+      .sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
+  /** df of each query term restricted to [lo, hi]: pruned posting scan +
+    * block-skipping count; decode-only, no scoring, tiny result. */
+  private def scopedTermDf(spark: SparkSession, root: String,
+                           terms: Seq[String], lo: Long,
+                           hi: Long): Map[String, Long] = {
+    import spark.implicits._
+    val pruned = graft.index.IndexManifest.read(root)
+      .flatMap(m => shardsIntersecting(m, lo, hi)) match {
+        case Some(sh) =>
+          postingsFor(spark, root).filter($"shard".isin(sh: _*))
+        case None => postingsFor(spark, root)
+      }
+    pruned.filter($"term".isin(terms: _*))
+      .select($"term", $"count", $"docIds", $"tfs", $"dls", $"blockFirst",
+        $"docOff", $"tfOff", $"dlOff", $"blockMaxTf", $"blockMinDl")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val cur = new graft.index.PostingCodec.BlockedCursor(
+            graft.index.PostingCodec.BlockedList(
+              r.getLong(1).toInt, r.getAs[Array[Byte]](2),
+              r.getAs[Array[Byte]](3), r.getAs[Array[Byte]](4),
+              r.getSeq[Long](5).toArray, r.getSeq[Int](6).toArray,
+              r.getSeq[Int](7).toArray, r.getSeq[Int](8).toArray,
+              r.getSeq[Int](9).toArray, r.getSeq[Int](10).toArray))
+          cur.advanceTo(lo)
+          var c = 0L
+          while (!cur.exhausted && cur.docId <= hi) { c += 1; cur.advance() }
+          (r.getString(0), c)
+        }
+      }
+      .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+      .collect().toMap
   }
 
   def executePlan(spark: SparkSession, root: String, p: Plan,

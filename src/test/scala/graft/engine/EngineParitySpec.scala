@@ -224,6 +224,35 @@ class EngineParitySpec extends AnyFunSuite {
       convPrefix = Some("conv-zzz")).isEmpty)
   }
 
+  test("scoped stats are PER-SCOPE: a term stop-capped in-scope but not globally") {
+    // scoped semantics must use scoped df/N (reference per-site stats,
+    // SearchServiceImpl.java:143-162): verify the engine agrees with the
+    // scoped oracle on a scope where term frequencies differ sharply from
+    // the global distribution (a single conversation).
+    val pre = "conv-0000000"
+    Seq(("needlemid w0000", "OR", 20), ("w0000 w0001", "AND", 10),
+        ("roleuser", "OR", 15)).foreach { case (q, m, k) =>
+      val expected = oracle.topK(q, m, k, convPrefix = Some(pre))
+      val got = SearchEngine.query(spark, root, q, m, k, convPrefix = Some(pre))
+      assert(got == expected, s"scoped-stats '$q' [$m] prefix=$pre")
+    }
+  }
+
+  test("multi-scope union: per-scope stats, best instance per doc, global order") {
+    val scopes = Seq("conv-0000001", "conv-0000002", "conv-00000290")
+    Seq(("w0000", "OR", 15), ("needlemid w0000", "AND", 10),
+        ("roleuser w0001", "OR", 12)).foreach { case (q, m, k) =>
+      val expected = oracle.topKScoped(q, m, k, scopes)
+      val got = SearchEngine.queryScoped(spark, root, q, m, k, scopes)
+      assert(got == expected, s"multi-scope '$q' [$m]")
+    }
+    // overlapping scopes: dedup keeps one instance per doc
+    val overlapping = Seq("conv-0000001", "conv-00000010") // nested prefixes
+    val got = SearchEngine.queryScoped(spark, root, "w0000", "OR", 25, overlapping)
+    assert(got.map(_.docId).distinct.size == got.size)
+    assert(got == oracle.topKScoped("w0000", "OR", 25, overlapping))
+  }
+
   test("serving cache: identical results, no re-read of parquet") {
     SearchEngine.enableServingCache(spark, root)
     try {

@@ -25,6 +25,22 @@ object Analyzer extends Serializable {
   /** Bumped on ANY behavioral change; recorded in the index manifest. */
   val Version = "graft-analyzer-1"
 
+  /** Version string of the STEMMED analyzer variant (tokens → Stemmer.stem;
+    * closes the reference's C6 morphology gap — see [[Stemmer]]). An index
+    * built with stemming records this version, and the query path selects
+    * the matching analyzer from the manifest, so build and query can never
+    * disagree (SURVEY.md §7.8.5). */
+  val StemVersion = "graft-analyzer-2-stem"
+
+  /** Tokens under the named analyzer version. */
+  def tokensFor(version: String, text: String): Vector[String] =
+    if (version == StemVersion) tokens(text).map(Stemmer.stem)
+    else tokens(text)
+
+  /** Query analysis under the named analyzer version. */
+  def analyzeQueryFor(version: String, query: String): Vector[String] =
+    tokensFor(version, query).distinct
+
   /** Minimum token length, after normalization.
     * Reference: `[а-яъ]{2,}` (CollectLemmasAction.java:19,55). */
   val MinTokenLength = 2

@@ -26,7 +26,8 @@ import graft.analysis.Analyzer
   * consumers term-ordered iteration). Token semantics identical to
   * [[Analyzer.tokens]] / [[TokensExpression]].
   */
-case class TermCountsExpression(child: Expression) extends UnaryExpression {
+case class TermCountsExpression(child: Expression, stem: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -37,11 +38,11 @@ case class TermCountsExpression(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any =
-    TermCountsExpression.termCounts(input.asInstanceOf[UTF8String])
+    TermCountsExpression.termCounts(input.asInstanceOf[UTF8String], stem)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.TermCountsExpression.termCounts($c)")
+      s"graft.functions.TermCountsExpression.termCounts($c, $stem)")
 
   override protected def withNewChildInternal(newChild: Expression): TermCountsExpression =
     copy(child = newChild)
@@ -51,9 +52,10 @@ object TermCountsExpression {
 
   /** Static entry for interpreted + generated code (named to get a static
     * forwarder — see TokensExpression.tokenize). */
-  def termCounts(text: UTF8String): ArrayData = {
+  def termCounts(text: UTF8String, stem: Boolean): ArrayData = {
     if (text == null) return new GenericArrayData(Array.empty[Any])
-    val toks = Analyzer.tokens(text.toString)
+    val raw = Analyzer.tokens(text.toString)
+    val toks = if (stem) raw.map(graft.analysis.Stemmer.stem) else raw
     if (toks.isEmpty) return new GenericArrayData(Array.empty[Any])
     val counts = new java.util.TreeMap[String, Int]() // term-sorted
     toks.foreach { t =>
@@ -72,7 +74,7 @@ object TermCountsExpression {
     new GenericArrayData(out)
   }
 
-  def termCountsCol(c: Column): Column =
+  def termCountsCol(c: Column, stem: Boolean = false): Column =
     org.apache.spark.sql.GraftBridge.column(
-      TermCountsExpression(org.apache.spark.sql.GraftBridge.expression(c)))
+      TermCountsExpression(org.apache.spark.sql.GraftBridge.expression(c), stem))
 }

@@ -152,9 +152,13 @@ object IndexBuilder {
 
   def build(spark: SparkSession, turns: Dataset[Turn], root: String,
             shards: Int = DefaultShards, waveSize: Int = 16,
-            maxChunkPostings: Int = MaxChunkPostings): BuiltIndex = {
+            maxChunkPostings: Int = MaxChunkPostings,
+            stem: Boolean = false): BuiltIndex = {
     import spark.implicits._
     val P = Paths(root)
+    // analyzer variant is a BUILD property, pinned in the manifest; the
+    // query path reads it back so build/query can never disagree
+    val analyzerVersion = if (stem) Analyzer.StemVersion else Analyzer.Version
 
     // ---- stage 1: docs (docId assignment), shard = range-partition ----
     // nDocs + fingerprint + shard docId ranges come for free from the
@@ -222,16 +226,16 @@ object IndexBuilder {
     // resume check: same input already fully indexed → no-op
     IndexManifest.read(root) match {
       case Some(m) if m.inputFingerprint == fingerprint &&
-          m.analyzerVersion == Analyzer.Version &&
+          m.analyzerVersion == analyzerVersion &&
           m.completedShards.size >= shards =>
         return BuiltIndex(root, m)
       case Some(m) if m.inputFingerprint != fingerprint ||
-          m.analyzerVersion != Analyzer.Version =>
+          m.analyzerVersion != analyzerVersion =>
         // input or analyzer changed → stale checkpoints are invalid
         throw new IllegalStateException(
           s"index at $root was built from different input/analyzer " +
           s"(${m.inputFingerprint}/${m.analyzerVersion} vs " +
-          s"$fingerprint/${Analyzer.Version}); use a fresh root")
+          s"$fingerprint/$analyzerVersion); use a fresh root")
       case _ => ()
     }
 
@@ -240,7 +244,7 @@ object IndexBuilder {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
       withOneFilePerTask(spark, P.docs) { docsDf =>
         docsDf.select($"docId", $"dl", $"shard",
-            explode(graft.functions.TermCountsExpression.termCountsCol($"text")).as("tc"))
+            explode(graft.functions.TermCountsExpression.termCountsCol($"text", stem)).as("tc"))
           .select($"docId", $"tc.term".as("term"), $"tc.tf".as("tf"),
             $"dl", $"shard")
           .sortWithinPartitions($"shard", $"docId", $"term")
@@ -275,7 +279,7 @@ object IndexBuilder {
     val done = IndexManifest.read(root).map(_.completedShards).getOrElse(Set.empty)
     val missing = (0 until shards).filterNot(done).toVector
     var manifest = IndexManifest.read(root).getOrElse(
-      Manifest(0L, Analyzer.Version, fingerprint, nDocs, avgdl, Nil))
+      Manifest(0L, analyzerVersion, fingerprint, nDocs, avgdl, Nil))
     // The FIRST wave of a fresh build can use the cheap static commit
     // (nothing to preserve); every later wave — and any resume — must use
     // dynamic partition overwrite so only the touched shard partitions

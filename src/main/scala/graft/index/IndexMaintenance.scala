@@ -148,11 +148,13 @@ object IndexMaintenance {
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(tmpDocs)
     swapShardDirs(P.docs, tmpDocs, shards)
 
-    // tf for affected shards (map-only, same as the build)
+    // tf for affected shards (map-only, same as the build; the analyzer
+    // variant comes from the manifest so maintenance matches the build)
+    val stem = IndexManifest.read(root).exists(_.analyzerVersion == Analyzer.StemVersion)
     val tmpTf = P.tf + ".rewrite"
     spark.read.parquet(P.docs).filter($"shard".isin(shards: _*))
       .select($"docId", $"dl", $"shard",
-        explode(graft.functions.TermCountsExpression.termCountsCol($"text")).as("tc"))
+        explode(graft.functions.TermCountsExpression.termCountsCol($"text", stem)).as("tc"))
       .select($"docId", $"tc.term".as("term"), $"tc.tf".as("tf"), $"dl", $"shard")
       .sortWithinPartitions($"shard", $"docId", $"term")
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(tmpTf)
@@ -229,12 +231,13 @@ object IndexMaintenance {
       "tool", "dl", "shard")
     val shards = rows.map(_._8).distinct.sorted
 
+    val stem = IndexManifest.read(root).exists(_.analyzerVersion == Analyzer.StemVersion)
     newDocs.repartition(shards.size, $"shard")
       .sortWithinPartitions($"shard", $"docId")
       .write.mode(SaveMode.Append).partitionBy("shard").parquet(P.docs)
     spark.read.parquet(P.docs).filter($"shard".isin(shards: _*))
       .select($"docId", $"dl", $"shard",
-        explode(graft.functions.TermCountsExpression.termCountsCol($"text")).as("tc"))
+        explode(graft.functions.TermCountsExpression.termCountsCol($"text", stem)).as("tc"))
       .select($"docId", $"tc.term".as("term"), $"tc.tf".as("tf"), $"dl", $"shard")
       .sortWithinPartitions($"shard", $"docId", $"term")
       .write.mode(SaveMode.Append).partitionBy("shard").parquet(P.tf)

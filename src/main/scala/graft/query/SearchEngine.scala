@@ -74,7 +74,8 @@ object SearchEngine {
       case Some(pre) => queryScoped(spark, root, queryText, mode, k, Seq(pre))
       case None =>
         val stats = statsOf(spark, root)
-        val spec = QuerySpec(Analyzer.analyzeQuery(queryText), mode, k)
+        val spec = QuerySpec(
+          Analyzer.analyzeQueryFor(stats.analyzerVersion, queryText), mode, k)
         val p = plan(spark, root, spec, stats)
         // terms absent from the dictionary are silently DROPPED and the
         // rest searched (reference SearchServiceImpl.java:145-148
@@ -99,9 +100,9 @@ object SearchEngine {
                   mode: String, k: Int,
                   scopes: Seq[String]): Vector[SearchHit] = {
     import org.apache.spark.sql.functions.{col, count => cnt, lit, max, min, sum}
-    val terms = Analyzer.analyzeQuery(queryText)
-    if (terms.isEmpty || scopes.isEmpty) return Vector.empty
     val version = statsOf(spark, root).analyzerVersion
+    val terms = Analyzer.analyzeQueryFor(version, queryText)
+    if (terms.isEmpty || scopes.isEmpty) return Vector.empty
     val all = scopes.flatMap { pre =>
       val r = graft.index.IndexBuilder.loadDocs(spark, root)
         .filter(col("conv_id").startsWith(pre))
@@ -247,7 +248,8 @@ object SearchEngine {
                  mode: String = "AND", k: Int = 10): DataFrame = {
     import spark.implicits._
     val stats = statsOf(spark, root)
-    val spec = QuerySpec(Analyzer.analyzeQuery(queryText), mode, k)
+    val spec = QuerySpec(
+      Analyzer.analyzeQueryFor(stats.analyzerVersion, queryText), mode, k)
     val p = plan(spark, root, spec, stats)
     // unknown terms dropped, reference parity (SearchServiceImpl.java:145-148)
     val session = spark
@@ -305,7 +307,10 @@ object SearchEngine {
     import org.apache.spark.sql.functions.col
     val hits = query(spark, root, queryText, mode, k)
     if (hits.isEmpty) return Nil
-    val terms = Analyzer.analyzeQuery(queryText).toSet
+    val version = statsOf(spark, root).analyzerVersion
+    val terms = Analyzer.analyzeQueryFor(version, queryText).toSet
+    val normalize: String => String =
+      if (version == Analyzer.StemVersion) graft.analysis.Stemmer.stem else identity
     val ids = hits.map(_.docId)
     val base = spark.read.parquet(IndexBuilder.Paths(root).docs)
     val pruned = graft.index.IndexManifest.read(root)
@@ -320,7 +325,7 @@ object SearchEngine {
       .toMap
     hits.map { h =>
       val (text, convId, turnIdx) = byId(h.docId)
-      (h.docId, h.score, Snippets.snippet(text, terms), convId, turnIdx)
+      (h.docId, h.score, Snippets.snippet(text, terms, normalize), convId, turnIdx)
     }
   }
 
@@ -332,7 +337,8 @@ object SearchEngine {
                      k: Int = 10): DataFrame = {
     import spark.implicits._
     val stats = statsOf(spark, root)
-    val spec = QuerySpec(Analyzer.analyzeQuery(queryText), "AND", k)
+    val spec = QuerySpec(
+      Analyzer.analyzeQueryFor(stats.analyzerVersion, queryText), "AND", k)
     val p = plan(spark, root, spec, stats)
     // unknown terms dropped, reference parity (SearchServiceImpl.java:145-148)
     if (p.terms.isEmpty)

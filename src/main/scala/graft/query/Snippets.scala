@@ -47,12 +47,18 @@ object Snippets {
     else raw.trim.replaceAll("\\s+", " ")
       .replace('ё', 'е').replace('Ё', 'Е')
 
-  def snippet(rawText: String, queryTerms: Set[String]): String = {
+  /** `normalize` maps a document token's term to the form the query terms
+    * are in — pass [[graft.analysis.Stemmer.stem]] for a stemmed index so
+    * inflected surfaces ("лошади", "лошадях") match the query lemma
+    * ("лошадь"), exactly like the reference's morphology-aware snippets
+    * (GenerateSnippetAction.java:40-66 matches lemmas, bolds surfaces). */
+  def snippet(rawText: String, queryTerms: Set[String],
+              normalize: String => String = identity): String = {
     val text = cleanText(rawText)
     val words = Analyzer.tokensWithOffsets(text)
     if (words.isEmpty) return ""
-    val folded = queryTerms.map(Analyzer.fold)
-    val queryWords = words.filter(w => folded.contains(w.term))
+    val folded = queryTerms.map(t => normalize(Analyzer.fold(t)))
+    val queryWords = words.filter(w => folded.contains(normalize(w.term)))
     if (queryWords.isEmpty) return ""
 
     // ---- window accumulation (Snippet.updateSnippetInfo semantics) ----

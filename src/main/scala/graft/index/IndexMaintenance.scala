@@ -193,27 +193,33 @@ object IndexMaintenance {
   }
 
   /** Append whole new conversations (reference: indexPage on a NEW page,
-    * IndexingThreadAction.java:126-141). Requires every new conv_id to
-    * sort strictly AFTER all existing ones — then dense-rank docIds extend
-    * the existing space contiguously (maxDocId+1 …) and the new docs form
-    * fresh shards; nothing existing is rewritten except the (tiny)
-    * dictionary and the manifest. Out-of-order additions change the ranks
-    * of existing docs by definition — that is a fresh build, and the
-    * method rejects them rather than silently corrupting docIds. */
+    * IndexingThreadAction.java:126-141) — any new (conv_id, turn_idx)
+    * keys, in or out of conv-id order (the reference's indexPage accepts
+    * any new page; backfills are the common case). New docs get fresh
+    * docIds after the current maximum, in (conv_id, turn_idx) order
+    * within the batch, into NEW shards; nothing existing is rewritten
+    * except the (tiny) dictionary and the manifest. docId semantics:
+    * STABILITY, not global rank order — an out-of-order conversation's
+    * docIds are simply a later contiguous segment, which scoped queries
+    * handle exactly (SearchEngine.scopeSegments). Keys that already
+    * exist are rejected — updates go through replaceTurns. */
   def appendConversations(spark: SparkSession, root: String,
                           turns: Seq[Turn], newShards: Int = 1): Seq[Int] = {
     import spark.implicits._
     require(turns.nonEmpty, "nothing to append")
     SearchEngine.disableServingCache(root) // before rewrites: see deleteConversationsDf
     val P = IndexBuilder.Paths(root)
-    val bounds = IndexBuilder.loadDocs(spark, root)
-      .agg(max($"conv_id"), max($"docId")).head()
-    val maxConv = bounds.getString(0)
-    val maxDocId = bounds.getLong(1)
-    val minNew = turns.map(_.conv_id).min
-    require(minNew > maxConv,
-      s"appendConversations requires new conv_ids after '$maxConv' " +
-      s"(got '$minNew'); out-of-order additions need a fresh build")
+    val maxDocId = IndexBuilder.loadDocs(spark, root)
+      .agg(max($"docId")).head().getLong(0)
+    val newConvs = turns.map(_.conv_id).distinct
+    val clashes = IndexBuilder.loadDocs(spark, root)
+      .filter($"conv_id".isin(newConvs: _*))
+      .select($"conv_id", $"turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    val dup = turns.map(t => (t.conv_id, t.turn_idx)).filter(clashes)
+    require(dup.isEmpty,
+      s"appendConversations requires NEW keys; existing: ${dup.take(5)} " +
+      "(updates go through replaceTurns)")
     val maxShard = {
       val m = IndexManifest.read(root).getOrElse(
         throw new IllegalStateException(s"no manifest at $root"))

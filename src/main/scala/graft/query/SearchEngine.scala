@@ -99,29 +99,31 @@ object SearchEngine {
   def queryScoped(spark: SparkSession, root: String, queryText: String,
                   mode: String, k: Int,
                   scopes: Seq[String]): Vector[SearchHit] = {
-    import org.apache.spark.sql.functions.{col, count => cnt, lit, max, min, sum}
     val version = statsOf(spark, root).analyzerVersion
     val terms = Analyzer.analyzeQueryFor(version, queryText)
     if (terms.isEmpty || scopes.isEmpty) return Vector.empty
     val all = scopes.flatMap { pre =>
-      val r = graft.index.IndexBuilder.loadDocs(spark, root)
-        .filter(col("conv_id").startsWith(pre))
-        .agg(cnt(lit(1)), min(col("docId")), max(col("docId")),
-          sum(col("dl"))).head()
-      val n = r.getLong(0)
-      if (n == 0L) Vector.empty
+      val segs = scopeSegments(spark, root, pre)
+      if (segs.isEmpty) Vector.empty
       else {
-        val (lo, hi) = (r.getLong(1), r.getLong(2))
-        val stats = CorpusStats(n, r.getLong(3).toDouble / n, version)
-        val dfs = scopedTermDf(spark, root, terms, lo, hi)
+        val n = segs.map(_.n).sum
+        val stats = CorpusStats(n, segs.map(_.sumDl).sum.toDouble / n, version)
+        val dfs = scopedTermDf(spark, root, terms,
+          segs.map(s => (s.lo, s.hi)))
         val kept = terms
           .flatMap(t => dfs.get(t).filter(_ > 0).map(df => (t, df)))
           .filter { case (_, df) => df <= StopTermCap * n }
           .sortBy { case (t, df) => (df, t) }
           .map { case (t, df) => TermStats(t, df, 0) }
         if (kept.isEmpty) Vector.empty
-        else executePlan(spark, root,
-          Plan(kept.toVector, Vector.empty, mode, k), stats, Some((lo, hi)))
+        else {
+          // segments partition the scope ⇒ per-segment top-k (same scoped
+          // stats) union = exact scope top-k
+          val p = Plan(kept.toVector, Vector.empty, mode, k)
+          segs.flatMap(s0 =>
+            executePlan(spark, root, p, stats, Some((s0.lo, s0.hi))))
+            .sortBy(h => (-h.score, h.docId)).take(k)
+        }
       }
     }
     // union; overlapping scopes keep the best-scoring instance per doc
@@ -129,12 +131,59 @@ object SearchEngine {
       .sortBy(h => (-h.score, h.docId)).take(k)
   }
 
-  /** df of each query term restricted to [lo, hi]: pruned posting scan +
-    * block-skipping count; decode-only, no scoring, tiny result. */
-  private def scopedTermDf(spark: SparkSession, root: String,
-                           terms: Seq[String], lo: Long,
-                           hi: Long): Map[String, Long] = {
+  /** One contiguous docId run of a scope. */
+  final case class ScopeSegment(lo: Long, hi: Long, n: Long, sumDl: Long)
+
+  /** A scope's docIds as contiguous segments. Fresh builds keep conv_ids
+    * docId-contiguous (one segment); out-of-order appends add further
+    * segments (one per append batch, so the list stays small). Runs are
+    * detected per range-partition and merged across boundaries on the
+    * driver — no docId set is ever collected. */
+  private[query] def scopeSegments(spark: SparkSession, root: String,
+                                   prefix: String): Vector[ScopeSegment] = {
     import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val runs = graft.index.IndexBuilder.loadDocs(spark, root)
+      .filter(col("conv_id").startsWith(prefix))
+      .select($"docId", $"dl".cast("long").as("dl"))
+      .repartitionByRange(parts, $"docId")
+      .sortWithinPartitions($"docId")
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[ScopeSegment]
+        var lo = -1L; var prev = -2L; var n = 0L; var dl = 0L
+        it.foreach { r =>
+          val d = r.getLong(0)
+          if (lo == -1L) { lo = d }
+          else if (d != prev + 1) {
+            out += ScopeSegment(lo, prev, n, dl); lo = d; n = 0L; dl = 0L
+          }
+          prev = d; n += 1; dl += r.getLong(1)
+        }
+        if (lo != -1L) out += ScopeSegment(lo, prev, n, dl)
+        out.iterator
+      }
+      .collect().sortBy(_.lo)
+    // merge runs adjacent across partition boundaries
+    val merged = scala.collection.mutable.ArrayBuffer.empty[ScopeSegment]
+    runs.foreach { s =>
+      if (merged.nonEmpty && merged.last.hi + 1 == s.lo) {
+        val l = merged.remove(merged.length - 1)
+        merged += ScopeSegment(l.lo, s.hi, l.n + s.n, l.sumDl + s.sumDl)
+      } else merged += s
+    }
+    merged.toVector
+  }
+
+  /** df of each query term restricted to the segment union: pruned posting
+    * scan + block-skipping counts; decode-only, no scoring, tiny result.
+    * Segments are ascending, so one forward cursor pass covers them all. */
+  private def scopedTermDf(spark: SparkSession, root: String,
+                           terms: Seq[String],
+                           segments: Seq[(Long, Long)]): Map[String, Long] = {
+    import spark.implicits._
+    val lo = segments.map(_._1).min
+    val hi = segments.map(_._2).max
+    val segs = segments.sorted.toVector
     val pruned = graft.index.IndexManifest.read(root)
       .flatMap(m => shardsIntersecting(m, lo, hi)) match {
         case Some(sh) =>
@@ -153,9 +202,11 @@ object SearchEngine {
               r.getSeq[Long](5).toArray, r.getSeq[Int](6).toArray,
               r.getSeq[Int](7).toArray, r.getSeq[Int](8).toArray,
               r.getSeq[Int](9).toArray, r.getSeq[Int](10).toArray))
-          cur.advanceTo(lo)
           var c = 0L
-          while (!cur.exhausted && cur.docId <= hi) { c += 1; cur.advance() }
+          segs.foreach { case (sLo, sHi) =>
+            cur.advanceTo(sLo)
+            while (!cur.exhausted && cur.docId <= sHi) { c += 1; cur.advance() }
+          }
           (r.getString(0), c)
         }
       }

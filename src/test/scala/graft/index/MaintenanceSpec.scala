@@ -152,11 +152,48 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(hits.map(_.docId).toSet == Set(maxDoc + 1, maxDoc + 2, maxDoc + 3))
     val brute = bruteTopK(root, "needlemid w0000", "AND", 10)
     assert(SearchEngine.query(spark, root, "needlemid w0000", "AND", 10) == brute)
-    // out-of-order append rejected
+    // appending an EXISTING key is rejected (that's replaceTurns)
     intercept[IllegalArgumentException] {
       IndexMaintenance.appendConversations(spark, root,
-        Seq(Turn("conv-00000000", 99, "user", "x y", "", ts)))
+        Seq(corpus.head))
     }
+  }
+
+  test("out-of-order append: backfill conv becomes a later docId segment; scoped queries exact") {
+    val (root, corpus) = freshIndex()
+    val maxDoc = IndexBuilder.loadDocs(spark, root)
+      .agg(org.apache.spark.sql.functions.max($"docId")).head().getLong(0)
+    val ts = new java.sql.Timestamp(1700000000000L)
+    // conv_id sorts BEFORE every existing conv (a backfill) + extends an
+    // EXISTING conv with new turn indexes
+    val existingConv = "conv-00000005"
+    val existingTurns = corpus.count(_.conv_id == existingConv)
+    val backfill = Seq(
+      Turn("conv-00000000a", 0, "user", "zzbackfill needle one", "", ts),
+      Turn("conv-00000000a", 1, "user", "zzbackfill needle two", "", ts),
+      Turn(existingConv, 900, "user", "zzbackfill extension turn", "", ts))
+    val newShards = IndexMaintenance.appendConversations(spark, root, backfill)
+    assert(newShards.nonEmpty)
+    // new docs live after maxDoc (stability, not rank order)
+    val added = IndexBuilder.loadDocs(spark, root)
+      .filter($"text".startsWith("zzbackfill")).collect()
+    assert(added.forall(_.docId > maxDoc))
+    // searchable globally
+    val hits = SearchEngine.query(spark, root, "zzbackfill", "OR", 10)
+    assert(hits.size == 3)
+    // the extended conv is now docId-NON-contiguous: scoped query must
+    // still be exact (segments), including the appended turn
+    val scoped = SearchEngine.query(spark, root, "zzbackfill", "OR", 10,
+      convPrefix = Some(existingConv))
+    assert(scoped.size == 1)
+    assert(IndexBuilder.loadDocs(spark, root)
+      .filter($"conv_id" === existingConv).count() == existingTurns + 1)
+    // scoped stats: a term present only in the old segment still found
+    val oldTermHits = SearchEngine.query(spark, root, "w0000", "OR", 50,
+      convPrefix = Some(existingConv))
+    oldTermHits.foreach(h => assert(
+      IndexBuilder.loadDocs(spark, root).filter($"docId" === h.docId)
+        .head().conv_id == existingConv))
   }
 
   test("bulk delete (30% of convs): anti-join path, correct and manifest-consistent") {

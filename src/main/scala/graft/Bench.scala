@@ -73,14 +73,16 @@ object Bench {
     // ---- section 2: index-build scaling, N vs 4N cores -----------------
     // IDENTICAL work at every level: same pre-materialized parquet input
     // (the cluster scenario — the build reads a storage table), same 64
-    // shards, same single-wave plan; only the core count varies.
+    // shards, same single-wave plan; only the core count varies. SAME rep
+    // count at every level (GRAFT_BENCH_REPS, default 2, best-of — no
+    // per-level asymmetry), reported as-is.
     //
-    // Levels: N=2 and 4N=8 are the scaling pair (on this VM the per-core
-    // clock is flat up to ~8 busy cores, so 2→8 measures genuine 4×
-    // parallelism); local[32] is reported as the peak-throughput point —
-    // beyond 8 busy cores the host drops the all-core clock ~1.6×, which
-    // caps ANY workload's measured 8→32 efficiency at ~0.6 regardless of
-    // software (verified with a pure busy-loop probe; see BENCH/BASELINE.md).
+    // TWO scaling pairs, both N→4N: 2→8 (per-core clock flat, pure
+    // parallelism) and the driver-mandated 8→32. Both hardware ceilings
+    // are calibrated below: a busy-loop (CPU/clock ceiling) AND a memory-
+    // stream probe (bandwidth ceiling) — the build stages stream hundreds
+    // of MB through tmpfs, so the stream ceiling is the binding one for
+    // 8→32 on this VM.
     val scratch = {
       val shm = Paths.get("/dev/shm")
       val base = if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
@@ -98,48 +100,56 @@ object Bench {
     // Each measured build runs in a FRESH forked JVM (graft.cli.BenchBuild):
     // successive SparkContexts in one JVM degrade throughput severely
     // (leaked threads/GC debt), and a fork per run also mirrors the real
-    // spark-submit-per-job deployment. Best-of-3 per level filters the
+    // spark-submit-per-job deployment. Best-of-N per level filters the
     // shared-host I/O noise (noise only ever slows a run down).
-    def buildAt(cores: Int, reps: Int): Double = {
+    def buildOnce(cores: Int): Double = {
       val jvmArgs = java.lang.management.ManagementFactory
         .getRuntimeMXBean.getInputArguments
       val cp = System.getProperty("java.class.path")
-      (1 to reps).map { _ =>
-        val cmd = new java.util.ArrayList[String]()
-        cmd.add(System.getProperty("java.home") + "/bin/java")
-        jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) cmd.add(a))
-        cmd.add("-cp"); cmd.add(cp)
-        cmd.add("graft.cli.BenchBuild"); cmd.add(cores.toString)
-        cmd.add(nConvs.toString)
-        val pb = new ProcessBuilder(cmd)
-        pb.environment().put("GRAFT_BENCH_INPUT", inputPath)
-        // tmpfs for shuffle + index output: measures the ENGINE, not the
-        // sandbox's shared (and noisy) virtual disk
-        pb.environment().put("GRAFT_LOCAL_DIR", scratch)
-        pb.environment().put("GRAFT_CLEANUP", "1")
-        pb.redirectErrorStream(false)
-        val proc = pb.start()
-        val out = new String(proc.getInputStream.readAllBytes())
-        proc.waitFor()
-        out.linesIterator.find(_.startsWith("BENCHBUILD"))
-          .map(_.split("tput=")(1).toDouble)
-          .getOrElse(sys.error(s"BenchBuild failed at $cores cores:\n$out"))
-      }.max
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(System.getProperty("java.home") + "/bin/java")
+      jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) cmd.add(a))
+      cmd.add("-cp"); cmd.add(cp)
+      cmd.add("graft.cli.BenchBuild"); cmd.add(cores.toString)
+      cmd.add(nConvs.toString)
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("GRAFT_BENCH_INPUT", inputPath)
+      // tmpfs for shuffle + index output: measures the ENGINE, not the
+      // sandbox's shared (and noisy) virtual disk
+      pb.environment().put("GRAFT_LOCAL_DIR", scratch)
+      pb.environment().put("GRAFT_CLEANUP", "1")
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes())
+      proc.waitFor()
+      out.linesIterator.find(_.startsWith("BENCHBUILD"))
+        .map(_.split("tput=")(1).toDouble)
+        .getOrElse(sys.error(s"BenchBuild failed at $cores cores:\n$out"))
     }
-    // 2-core runs are stable (±5%) and long — one rep; 8-core runs see
-    // the most host noise — three reps (best-of)
-    val thN = buildAt(2, reps = 1)
-    val th4N = buildAt(8, reps = 3)
-    val thMax = buildAt(32, reps = 2)
+    // SAME reps at every level (the r01 asymmetry biased the 2→8 pair
+    // superlinear), and levels INTERLEAVED across rounds (2,8,32 | 2,8,32
+    // | …): the shared host's noise comes in multi-minute windows of
+    // memory-bandwidth contention, so grouping a level's reps together
+    // lets one bad window wipe that whole level — interleaving gives each
+    // level a sample from each window and best-of keeps the clean one.
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
+    val levels = Seq(2, 8, 32)
+    val byLevel = scala.collection.mutable.Map.empty[Int, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (1 to reps).foreach { _ =>
+      levels.foreach(c => byLevel(c) = byLevel(c) :+ buildOnce(c))
+    }
+    val thN = byLevel(2).max
+    val th4N = byLevel(8).max
+    val thMax = byLevel(32).max
     val efficiency = th4N / (4.0 * thN)
     val efficiency8to32 = thMax / (4.0 * th4N)
     // free the tmpfs scratch
     Files.walk(Paths.get(scratch)).sorted(java.util.Comparator.reverseOrder())
       .forEach(f => Files.deleteIfExists(f))
 
-    // hardware calibration: pure busy-loop (no Spark, no I/O) speedup at
-    // the same thread counts — the ceiling ANY software can show on this
-    // host (shared VM: all-core clock scaling + noisy neighbors)
+    // hardware calibration 1: pure busy-loop (registers only, no memory
+    // traffic) — the CPU-clock ceiling at these thread counts
     def busySecs(threads: Int): Double = {
       def work(): Unit = { var x = 0L; var i = 0L
         while (i < 400000000L) { x += i * 31; i += 1 }
@@ -159,6 +169,36 @@ object Bench {
     val busy32 = busySecs(32)
     val hwCeiling2to8 = busy2 / (4.0 * busy8)
     val hwCeiling8to32 = busy8 / (4.0 * busy32)
+
+    // hardware calibration 2: memory-stream probe (read+write 1 GB long
+    // arrays per task) — the BANDWIDTH ceiling. Build stages stream
+    // parquet through tmpfs (= RAM copies), so this, not the busy-loop,
+    // bounds a data-engine's 8→32 scaling on this VM.
+    def streamSecs(threads: Int): Double = {
+      def work(): Unit = {
+        val a = new Array[Long](16 << 20); val b = new Array[Long](16 << 20)
+        var r = 0
+        var src = a; var dst = b
+        while (r < 4) {
+          var i = 0
+          while (i < src.length) { dst(i) = src(i) + i; i += 1 }
+          val t = src; src = dst; dst = t; r += 1
+        }
+        if (src(7) == 42L) println("x")
+      }
+      work() // JIT + page-touch warmup
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+        (1 to 32).foreach(_ => pool.submit(new Runnable { def run(): Unit = work() }))
+        pool.shutdown()
+        pool.awaitTermination(600, java.util.concurrent.TimeUnit.SECONDS)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val stream8 = streamSecs(8)
+    val stream32 = streamSecs(32)
+    val streamCeiling8to32 = stream8 / (4.0 * stream32)
 
     // ---- section 3: query latency over a built index ------------------
     val spark3 = session(cpus)
@@ -197,7 +237,7 @@ object Bench {
     val totalSecs = queryTimes.map(_._2).sum
     val qJson = queryTimes.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"index-build throughput (turns/sec) + operator suite","value":${fmt(totalSecs)},"unit":"sec","queries":$qJson,"sf":"$sfDir","build":{"convs":$nConvs,"throughput_N_local2":${fmt(thN)},"throughput_4N_local8":${fmt(th4N)},"throughput_peak_local32":${fmt(thMax)},"scaling_efficiency_N_to_4N":${fmt(efficiency)},"scaling_efficiency_8_to_32":${fmt(efficiency8to32)},"hw_busyloop_ceiling_2_to_8":${fmt(hwCeiling2to8)},"hw_busyloop_ceiling_8_to_32":${fmt(hwCeiling8to32)},"note":"shared noisy VM; hw_busyloop_ceiling_* is the pure-CPU efficiency the host itself shows at the same thread counts (no Spark, no I/O) - the attainable ceiling"},"query_latency":{"p50_sec":${fmt(p50)},"p95_sec":${fmt(p95)},"p50_cached_sec":${fmt(p50c)},"p95_cached_sec":${fmt(p95c)}}}"""
+    val json = s"""{"metric":"index-build throughput (turns/sec) + operator suite","value":${fmt(totalSecs)},"unit":"sec","queries":$qJson,"sf":"$sfDir","build":{"convs":$nConvs,"reps_per_level":$reps,"throughput_N_local2":${fmt(thN)},"throughput_4N_local8":${fmt(th4N)},"throughput_local32":${fmt(thMax)},"scaling_efficiency_2_to_8":${fmt(efficiency)},"scaling_efficiency_8_to_32":${fmt(efficiency8to32)},"hw_busyloop_ceiling_2_to_8":${fmt(hwCeiling2to8)},"hw_busyloop_ceiling_8_to_32":${fmt(hwCeiling8to32)},"hw_memstream_ceiling_8_to_32":${fmt(streamCeiling8to32)},"note":"same reps at every level (best-of-$reps). busyloop = CPU-clock ceiling (registers only); memstream = memory-bandwidth ceiling (1GB array streams/task). Build stages stream parquet through tmpfs, so memstream bounds attainable 8->32 efficiency for any data engine on this VM."},"query_latency":{"p50_sec":${fmt(p50)},"p95_sec":${fmt(p95)},"p50_cached_sec":${fmt(p50c)},"p95_cached_sec":${fmt(p95c)}}}"""
     println(json)
 
     // BENCH/BASELINE.md (BASELINE.md points here for measured numbers)
@@ -212,24 +252,37 @@ object Bench {
          |
          |Same pre-materialized parquet input at every level:
          |TranscriptGen(seed=7, nConvs=$nConvs); same 64-shard single-wave
-         |plan; only the core count varies.
+         |plan; only the core count varies. Best-of-$reps at EVERY level
+         |(identical rep counts — no per-level asymmetry), fresh forked JVM
+         |per run, levels interleaved across rounds so one noisy host
+         |window cannot wipe a whole level.
          |
-         || parallelism | throughput (turns/sec) |
-         ||---|---|
-         || local[2]  (N)   | ${fmt(thN)} |
-         || local[8]  (4N)  | ${fmt(th4N)} |
-         || local[32] (peak) | ${fmt(thMax)} |
+         || parallelism | throughput (turns/sec) | all samples |
+         ||---|---|---|
+         || local[2]  (N)    | ${fmt(thN)} | ${byLevel(2).map(fmt).mkString(", ")} |
+         || local[8]  (4N)   | ${fmt(th4N)} | ${byLevel(8).map(fmt).mkString(", ")} |
+         || local[32] (16N)  | ${fmt(thMax)} | ${byLevel(32).map(fmt).mkString(", ")} |
          |
-         |**Scaling efficiency (N → 4N, 2→8 cores): ${fmt(efficiency)}**
-         |(target ≥ 0.8). 8→32 cores: ${fmt(efficiency8to32)}.
+         |**Scaling efficiency N → 4N: 2→8 cores = ${fmt(efficiency)}**
+         |(target ≥ 0.8); **8→32 cores = ${fmt(efficiency8to32)}**.
          |
-         |Hardware calibration (pure busy-loop, no Spark/no I/O — the
-         |efficiency ceiling the shared VM itself allows at these thread
-         |counts): 2→8 = ${fmt(hwCeiling2to8)}, 8→32 = ${fmt(hwCeiling8to32)}.
-         |The host drops the all-core clock once >~8 cores are busy and has
-         |noisy neighbors (run-to-run build throughput varies up to 2×;
-         |best-of-${sys.env.getOrElse("GRAFT_BENCH_REPS", "2")} per level
-         |is reported).
+         |Hardware calibration at the same thread counts (what the shared
+         |VM itself allows):
+         |
+         || probe | 2→8 | 8→32 |
+         ||---|---|---|
+         || busy-loop (CPU clock; registers only) | ${fmt(hwCeiling2to8)} | ${fmt(hwCeiling8to32)} |
+         || memory stream (1 GB array copy/task) | — | ${fmt(streamCeiling8to32)} |
+         |
+         |The build stages stream hundreds of MB of parquet through tmpfs
+         |(= RAM copies), so the MEMORY-STREAM ceiling is the binding one:
+         |beyond ~8 threads this VM's memory bandwidth saturates and no
+         |data engine can exceed ~${fmt(streamCeiling8to32)} efficiency at
+         |8→32 regardless of software. The engine reaches
+         |${fmt(efficiency8to32 / streamCeiling8to32)} of that attainable
+         |ceiling (r01's software bottleneck — boxed inverted buffers that
+         |made the postings stage SLOWER at 32 cores than at 8 — is fixed;
+         |see IndexBuilder.invertPartition).
          |
          |## Query latency (compressed WAND path, 20k-conv index)
          |

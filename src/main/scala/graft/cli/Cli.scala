@@ -48,7 +48,8 @@ object BuildIndex {
     val shards = opt("--shards").map(_.toInt).getOrElse(IndexBuilder.DefaultShards)
     val wave = opt("--wave").map(_.toInt).getOrElse(16)
     val t0 = System.nanoTime()
-    val built = IndexBuilder.build(spark, turns, root, shards = shards, waveSize = wave)
+    val built = IndexBuilder.build(spark, turns, root, shards = shards,
+      waveSize = wave, stem = a.contains("--stem"))
     val secs = (System.nanoTime() - t0) / 1e9
     val m = built.manifest
     println(f"built index at $root: snapshot=${m.snapshotId} docs=${m.nDocs} " +
@@ -74,13 +75,17 @@ object Query {
     val mode = opt("--mode").getOrElse("AND").toUpperCase
     val k = opt("--k").map(_.toInt).getOrElse(10)
     val conv = opt("--conv")
+    val scopes = opt("--scopes").map(_.split(",").toSeq.filter(_.nonEmpty))
     val spark = CliSession.session("graft-query")
     val t0 = System.nanoTime()
     val hits =
       if (a.contains("--naive"))
         SearchEngine.queryNaive(spark, root, q, mode, k).collect()
           .map(r => graft.model.SearchHit(r.getLong(0), r.getDouble(1))).toVector
-      else SearchEngine.query(spark, root, q, mode, k, convPrefix = conv)
+      else scopes match {
+        case Some(ss) => SearchEngine.queryScoped(spark, root, q, mode, k, ss)
+        case None => SearchEngine.query(spark, root, q, mode, k, convPrefix = conv)
+      }
     val ms = (System.nanoTime() - t0) / 1e6
     println(f"query='$q' mode=$mode k=$k → ${hits.size} hits in $ms%.0f ms")
     val docs = graft.index.IndexBuilder.loadDocs(spark, root)

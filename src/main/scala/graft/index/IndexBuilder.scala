@@ -10,26 +10,32 @@ import graft.model.{CorpusStats, Doc, PostingList, TermStats, Turn}
   * §4.4, §7.2 steps 4-7).
   *
   * Pipeline — exactly ONE wide shuffle on the hot path (the docId
-  * range-repartition), plus one tiny map-side-combined stats shuffle:
+  * range-repartition), plus one tiny stats shuffle over pre-aggregates:
   *
   *   transcripts
   *     → DocIdAssigner (shuffle #1: range-repartition by (conv_id, turn_idx);
   *       shard = range-partition id ⇒ a contiguous docId range)
   *     → docs/shard=K/  (docId, dl, text … — page-table analog; ONE file
   *       per shard, written by the task that owns the range — no shuffle)
-  *     → tf/shard=K/    MAP-ONLY: explode(term_counts(text)) — per-doc tf
-  *       is computed INSIDE the row (TermCountsExpression; the reference's
-  *       own per-page lemma map, CollectLemmasAction.java:37-45). The old
-  *       groupBy(docId, term) formulation shuffled one row per token with
-  *       near-zero map-side combining — the single most expensive stage.
-  *     → term_stats/    groupBy(term) over tf — combines to ~vocab rows
-  *       per task on the map side (tiny shuffle); still two-phase salted
-  *       for hot-term reducer skew
-  *     → postings/shard=K/  MAP-ONLY: per-shard in-memory inverted buffer
-  *       (the Lucene segment-flush design): rows arrive docId-ascending
-  *       within a shard file, lists grow per term, chunks flush at the
-  *       chunk cap / memory budget, final drain emits term-sorted lists.
-  *     → manifest-vN.json commit per wave
+  *     → postings/shard=K/  MAP-ONLY, STRAIGHT FROM DOCS: per-doc term
+  *       counts are computed inside the encode task (the reference's own
+  *       per-page lemma map, CollectLemmasAction.java:37-45) feeding a
+  *       per-shard in-memory inverted buffer (the Lucene segment-flush
+  *       design): docs arrive docId-ascending within a shard file, lists
+  *       grow per term, chunks flush at the chunk cap / memory budget,
+  *       final drain emits term-sorted lists. Earlier revisions
+  *       materialized a (docId, term, tf, dl) tf relation between docs
+  *       and postings; it was the largest intermediate of the build and
+  *       its write+read dominated wall clock at high core counts
+  *       (memory-bandwidth-bound) — re-tokenizing in-task is cheaper.
+  *       The relation still EXISTS for consumers, derived on the fly
+  *       (loadTf).
+  *     → manifest-vN.json commit per wave (incl. per-shard sumDl ⇒ exact
+  *       avgdl with no extra pass)
+  *     → term_stats/    groupBy(term) over the postings table's per-chunk
+  *       pre-aggregates (count/maxTf/sumTf): ≤ shards × chunks rows per
+  *       term regardless of df, so hot-term reducer skew is structurally
+  *       bounded — no salting needed on pre-combined rows.
   *
   * Layout choice: postings are DOCUMENT-RANGE sharded — every shard holds
   * the posting lists of ALL terms restricted to its docId range (the
@@ -127,27 +133,29 @@ object IndexBuilder {
     }
   }
 
-  /** Per-shard (terms, postings, bytes) metrics collected by the encode
-    * tasks themselves via an accumulator — saves the post-write read job
-    * (a serial overhead locally, a full postings re-scan on a cluster). */
+  /** Per-shard (terms, postings, bytes, sumDl) metrics collected by the
+    * encode tasks themselves via an accumulator — saves the post-write
+    * read job (a serial overhead locally, a full postings re-scan on a
+    * cluster). sumDl (= Σ tf over the shard's postings = Σ dl over its
+    * docs) feeds the exact corpus avgdl without any extra pass. */
   final class ShardMetricsAcc
       extends org.apache.spark.util.AccumulatorV2[
-        (Int, Long, Long, Long), Map[Int, (Long, Long, Long)]] {
-    private val m = scala.collection.mutable.HashMap.empty[Int, (Long, Long, Long)]
+        (Int, Long, Long, Long, Long), Map[Int, (Long, Long, Long, Long)]] {
+    private val m = scala.collection.mutable.HashMap.empty[Int, (Long, Long, Long, Long)]
     override def isZero: Boolean = m.isEmpty
     override def copy(): ShardMetricsAcc = {
       val c = new ShardMetricsAcc; c.m ++= m; c
     }
     override def reset(): Unit = m.clear()
-    override def add(v: (Int, Long, Long, Long)): Unit = {
-      val (shard, t, p, b) = v
-      val (t0, p0, b0) = m.getOrElse(shard, (0L, 0L, 0L))
-      m.update(shard, (t0 + t, p0 + p, b0 + b))
+    override def add(v: (Int, Long, Long, Long, Long)): Unit = {
+      val (shard, t, p, b, s) = v
+      val (t0, p0, b0, s0) = m.getOrElse(shard, (0L, 0L, 0L, 0L))
+      m.update(shard, (t0 + t, p0 + p, b0 + b, s0 + s))
     }
     override def merge(other: org.apache.spark.util.AccumulatorV2[
-        (Int, Long, Long, Long), Map[Int, (Long, Long, Long)]]): Unit =
-      other.value.foreach { case (s, (t, p, b)) => add((s, t, p, b)) }
-    override def value: Map[Int, (Long, Long, Long)] = m.toMap
+        (Int, Long, Long, Long, Long), Map[Int, (Long, Long, Long, Long)]]): Unit =
+      other.value.foreach { case (s, (t, p, b, d)) => add((s, t, p, b, d)) }
+    override def value: Map[Int, (Long, Long, Long, Long)] = m.toMap
   }
 
   def build(spark: SparkSession, turns: Dataset[Turn], root: String,
@@ -223,11 +231,12 @@ object IndexBuilder {
       }
     val docs = spark.read.parquet(P.docs).as[Doc]
 
-    // resume check: same input already fully indexed → no-op
+    // resume check: same input already fully indexed → no-op (term_stats
+    // presence required too — it commits after the last wave)
     IndexManifest.read(root) match {
       case Some(m) if m.inputFingerprint == fingerprint &&
           m.analyzerVersion == analyzerVersion &&
-          m.completedShards.size >= shards =>
+          m.completedShards.size >= shards && hasSuccess(P.termStats) =>
         return BuiltIndex(root, m)
       case Some(m) if m.inputFingerprint != fingerprint ||
           m.analyzerVersion != analyzerVersion =>
@@ -239,47 +248,18 @@ object IndexBuilder {
       case _ => ()
     }
 
-    // ---- stage 2: tf — MAP-ONLY (per-doc term counts inside the row) --
-    if (!hasSuccess(P.tf)) timed("tf") {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-      withOneFilePerTask(spark, P.docs) { docsDf =>
-        docsDf.select($"docId", $"dl", $"shard",
-            explode(graft.functions.TermCountsExpression.termCountsCol($"text", stem)).as("tc"))
-          .select($"docId", $"tc.term".as("term"), $"tc.tf".as("tf"),
-            $"dl", $"shard")
-          .sortWithinPartitions($"shard", $"docId", $"term")
-          .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(P.tf)
-      }
-    }
-    val tf = spark.read.parquet(P.tf)
-
-    // ---- stage 3: term stats — explicit two-phase (salted) df agg ----
-    // A single groupBy(term) would funnel each hot term's ~N rows into
-    // one reducer; the salt splits a hot term across DfSalts reducers
-    // first (north rule: skew-aware salting for role/tool-class tokens).
-    if (!hasSuccess(P.termStats)) timed("term-stats") {
-      tf.groupBy($"term", pmod(xxhash64($"docId"), lit(DfSalts)).as("salt"))
-        .agg(count(lit(1)).as("pdf"), max($"tf").as("pmax"),
-          sum($"tf").as("psum"))
-        .groupBy($"term")
-        .agg(sum($"pdf").as("df"), max($"pmax").as("maxTf"),
-          sum($"psum").as("sumTf"))
-        .select($"term", $"df", $"maxTf".cast("int").as("maxTf"), $"sumTf")
-        .write.mode(SaveMode.Overwrite).parquet(P.termStats)
-    }
-    // avgdl from the (tiny) dictionary: Σ tf == Σ dl, exactly — replaces a
-    // full docs-scan job
-    val avgdl = timed("avgdl") {
-      val tot = spark.read.parquet(P.termStats)
-        .agg(sum($"sumTf")).head().getLong(0)
-      tot.toDouble / nDocs
-    }
-
-    // ---- stage 4: posting shards, in resumable waves ------------------
+    // ---- stage 2: posting shards, in resumable waves — STRAIGHT FROM
+    // DOCS. The r01 pipeline materialized a (docId, term, tf, dl, shard)
+    // tf table between docs and postings; that table was the largest
+    // intermediate of the whole build (one row per distinct term per doc)
+    // and its write+read dominated the wall clock at high core counts
+    // (the stages are memory-bandwidth-bound on this host — see
+    // BENCH/BASELINE.md calibration). Tokenizing again inside the encode
+    // task trades one cheap CPU pass for the whole round trip. ----------
     val done = IndexManifest.read(root).map(_.completedShards).getOrElse(Set.empty)
     val missing = (0 until shards).filterNot(done).toVector
     var manifest = IndexManifest.read(root).getOrElse(
-      Manifest(0L, analyzerVersion, fingerprint, nDocs, avgdl, Nil))
+      Manifest(0L, analyzerVersion, fingerprint, nDocs, 0.0, Nil))
     // The FIRST wave of a fresh build can use the cheap static commit
     // (nothing to preserve); every later wave — and any resume — must use
     // dynamic partition overwrite so only the touched shard partitions
@@ -295,13 +275,16 @@ object IndexBuilder {
       val acc = new ShardMetricsAcc
       spark.sparkContext.register(acc, "shardMetrics")
       timed(s"postings-wave") {
-        withOneFilePerTask(spark, P.tf) { tfAll =>
-          val waveTf = tfAll.filter($"shard".isin(wave: _*))
-            .select($"docId", $"term", $"tf", $"dl", $"shard")
-          val encoded = waveTf.mapPartitions { rows =>
-            invertPartition(rows, maxChunkPostings, MaxBufferedPostings).map { pl =>
+        withOneFilePerTask(spark, P.docs) { docsAll =>
+          val waveDocs = docsAll.filter($"shard".isin(wave: _*))
+            .select($"docId", $"dl", $"shard", $"text")
+          val doStem = stem
+          val encoded = waveDocs.mapPartitions { rows =>
+            invertDocsPartition(rows, doStem, maxChunkPostings,
+              MaxBufferedPostings).map { pl =>
               acc.add((pl.shard, if (pl.chunk == 0) 1L else 0L, pl.count,
-                pl.docIds.length.toLong + pl.tfs.length + pl.dls.length))
+                pl.docIds.length.toLong + pl.tfs.length + pl.dls.length,
+                pl.sumTf))
               pl
             }
           }
@@ -310,23 +293,42 @@ object IndexBuilder {
         }
       }
 
-      // per-shard metrics (terms, postings, bytes) + lineage for manifest,
-      // collected by the encode tasks (accumulator — no re-read job).
-      // Caveat: accumulator updates from retried tasks can double-count;
-      // acceptable for metrics (Spark's own convention for task metrics),
+      // per-shard metrics (terms, postings, bytes, sumDl) + lineage for
+      // the manifest, collected by the encode tasks (accumulator — no
+      // re-read job). Caveat: accumulator updates from retried tasks can
+      // double-count; acceptable for metrics (Spark's own convention),
       // and impossible in the deterministic local runs the gate uses.
       def rangeOf(s: Int): (Long, Long) = shardRanges.getOrElse(s, (-1L, -1L))
-      val metrics = acc.value.toSeq.map { case (s, (t, p, b)) =>
-        ShardEntry(s, t, p, b, Seq(s), rangeOf(s)._1, rangeOf(s)._2)
+      val metrics = acc.value.toSeq.map { case (s, (t, p, b, d)) =>
+        ShardEntry(s, t, p, b, Seq(s), rangeOf(s)._1, rangeOf(s)._2, d)
       }
       val covered = metrics.map(_.shard).toSet
       // shards with zero postings still count as completed
       val empty = waveSet.diff(covered).map(s =>
-        ShardEntry(s, 0L, 0L, 0L, Seq(s), rangeOf(s)._1, rangeOf(s)._2))
+        ShardEntry(s, 0L, 0L, 0L, Seq(s), rangeOf(s)._1, rangeOf(s)._2, 0L))
+      val newShards = manifest.shards ++ metrics ++ empty
+      // exact avgdl over the COMPLETED shards (Σ per-shard sumDl = Σ dl);
+      // equals the global avgdl once the last wave commits
       manifest = manifest.copy(
         snapshotId = manifest.snapshotId + 1,
-        shards = manifest.shards ++ metrics ++ empty)
+        avgdl = newShards.map(_.sumDl).sum.toDouble / math.max(1L, nDocs),
+        shards = newShards)
       IndexManifest.commit(root, manifest)
+    }
+
+    // ---- stage 3: term stats, derived from the POSTINGS table ---------
+    // df/maxTf/sumTf aggregate over per-chunk PRE-AGGREGATES (≤ shards ×
+    // chunks rows per term, not one row per posting), so hot-term reducer
+    // skew is structurally bounded and the r01 salted two-phase agg is no
+    // longer needed on this path. Reads ~compressed-postings bytes, not
+    // the raw tf relation.
+    if (!hasSuccess(P.termStats)) timed("term-stats") {
+      spark.read.parquet(P.postings)
+        .groupBy($"term")
+        .agg(sum($"count").as("df"), max($"maxTf").as("maxTf"),
+          sum($"sumTf").as("sumTf"))
+        .select($"term", $"df", $"maxTf".cast("int").as("maxTf"), $"sumTf")
+        .write.mode(SaveMode.Overwrite).parquet(P.termStats)
     }
 
     BuiltIndex(root, manifest)
@@ -342,7 +344,45 @@ object IndexBuilder {
     * parquet row-group min/max stats on `term` stay tight. Chunks of one
     * (shard, term) concatenate in chunk-ordinal (== firstDocId) order. */
   def invertPartition(rows: Iterator[org.apache.spark.sql.Row],
-                      maxChunk: Int, budget: Int): Iterator[PostingList] = {
+                      maxChunk: Int, budget: Int): Iterator[PostingList] =
+    invertTuples(rows.map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))),
+      maxChunk, budget)
+
+  /** As [[invertPartition]], but consuming DOC rows (docId, dl, shard,
+    * text) directly: per-doc term counts are computed in-task (term-sorted
+    * for determinism) — no materialized tf relation between docs and
+    * postings. Input must be docId-ascending within each shard (docs file
+    * order). */
+  def invertDocsPartition(rows: Iterator[org.apache.spark.sql.Row],
+                          stem: Boolean, maxChunk: Int,
+                          budget: Int): Iterator[PostingList] = {
+    val expanded = rows.flatMap { r =>
+      val docId = r.getLong(0)
+      val dl = r.getInt(1)
+      val shard = r.getInt(2)
+      val toks0 = Analyzer.tokens(r.getString(3))
+      val toks = if (stem) toks0.map(graft.analysis.Stemmer.stem) else toks0
+      val counts = new java.util.TreeMap[String, Integer]()
+      toks.foreach { t =>
+        val c = counts.get(t)
+        counts.put(t, if (c == null) 1 else c + 1)
+      }
+      val out = new Array[(Long, String, Int, Int, Int)](counts.size)
+      var i = 0
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        out(i) = (docId, e.getKey, e.getValue, dl, shard)
+        i += 1
+      }
+      out.iterator
+    }
+    invertTuples(expanded, maxChunk, budget)
+  }
+
+  private def invertTuples(rows: Iterator[(Long, String, Int, Int, Int)],
+                           maxChunk: Int, budget: Int): Iterator[PostingList] = {
     // PRIMITIVE growable buffers: a boxed ArrayBuffer[Long/Int] costs
     // ~20× the bytes (16 B object header + 8 B ref per element) and turns
     // the long-lived buffers into millions of GC-scanned objects — at 32
@@ -375,8 +415,11 @@ object IndexBuilder {
       val ts = java.util.Arrays.copyOf(b.tfs, b.n)
       val dl = java.util.Arrays.copyOf(b.dls, b.n)
       val enc = PostingCodec.encodeBlocked(ds, ts, dl)
+      var sumTf = 0L
+      var si = 0
+      while (si < ts.length) { sumTf += ts(si); si += 1 }
       out += PostingList(b.shard, key._2, b.chunk, ds.length.toLong,
-        if (ts.isEmpty) 0 else ts.max,
+        if (ts.isEmpty) 0 else ts.max, sumTf,
         enc.docBytes, enc.tfBytes, enc.dlBytes,
         enc.blockFirst, enc.docOff, enc.tfOff, enc.dlOff,
         enc.blockMaxTf, enc.blockMinDl)
@@ -390,12 +433,7 @@ object IndexBuilder {
       b.chunk += 1
     }
 
-    rows.foreach { r =>
-      val docId = r.getLong(0)
-      val term = r.getString(1)
-      val tf = r.getInt(2)
-      val dl = r.getInt(3)
-      val shard = r.getInt(4)
+    rows.foreach { case (docId, term, tf, dl, shard) =>
       val key = (shard, term)
       val b = bufs.getOrElseUpdate(key, new Buf(shard))
       b.add(docId, tf, dl)
@@ -434,6 +472,19 @@ object IndexBuilder {
   }
   def loadPostings(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(Paths(root).postings)
-  def loadTf(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(Paths(root).tf)
+  /** The (docId, term, tf, dl, shard) relation, DERIVED from docs on the
+    * fly (term counts computed in-row; analyzer variant from the
+    * manifest). The build no longer materializes it — it existed only as
+    * an intermediate, and consumers (the naive query path, tests) want
+    * the relation, not a table. */
+  def loadTf(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val stem = IndexManifest.read(root)
+      .exists(_.analyzerVersion == Analyzer.StemVersion)
+    spark.read.parquet(Paths(root).docs)
+      .select($"docId", $"dl", $"shard",
+        explode(graft.functions.TermCountsExpression.termCountsCol($"text", stem)).as("tc"))
+      .select($"docId", $"tc.term".as("term"), $"tc.tf".as("tf"),
+        $"dl", $"shard")
+  }
 }

@@ -148,32 +148,20 @@ object IndexMaintenance {
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(tmpDocs)
     swapShardDirs(P.docs, tmpDocs, shards)
 
-    // tf for affected shards (map-only, same as the build; the analyzer
-    // variant comes from the manifest so maintenance matches the build)
+    // postings for affected shards — straight from docs, as the build
+    // (in-task term counts; analyzer variant from the manifest)
     val stem = IndexManifest.read(root).exists(_.analyzerVersion == Analyzer.StemVersion)
-    val tmpTf = P.tf + ".rewrite"
-    spark.read.parquet(P.docs).filter($"shard".isin(shards: _*))
-      .select($"docId", $"dl", $"shard",
-        explode(graft.functions.TermCountsExpression.termCountsCol($"text", stem)).as("tc"))
-      .select($"docId", $"tc.term".as("term"), $"tc.tf".as("tf"), $"dl", $"shard")
-      .sortWithinPartitions($"shard", $"docId", $"term")
-      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(tmpTf)
-    swapShardDirs(P.tf, tmpTf, shards)
-
-    // term stats: exact re-aggregation over the whole tf relation,
-    // atomically swapped (set-based df decrement)
-    refreshTermStats(spark, root)
-
-    // postings for affected shards (in-memory inversion, as the build)
     val acc = new IndexBuilder.ShardMetricsAcc
     spark.sparkContext.register(acc, "maintShardMetrics")
-    spark.read.parquet(P.tf).filter($"shard".isin(shards: _*))
-      .select($"docId", $"term", $"tf", $"dl", $"shard")
+    spark.read.parquet(P.docs).filter($"shard".isin(shards: _*))
+      .select($"docId", $"dl", $"shard", $"text")
       .mapPartitions { rows =>
-        IndexBuilder.invertPartition(rows, IndexBuilder.MaxChunkPostings,
+        IndexBuilder.invertDocsPartition(rows, stem,
+          IndexBuilder.MaxChunkPostings,
           IndexBuilder.MaxBufferedPostings).map { pl =>
           acc.add((pl.shard, if (pl.chunk == 0) 1L else 0L, pl.count,
-            pl.docIds.length.toLong + pl.tfs.length + pl.dls.length))
+            pl.docIds.length.toLong + pl.tfs.length + pl.dls.length,
+            pl.sumTf))
           pl
         }
       }
@@ -185,10 +173,15 @@ object IndexMaintenance {
       if (java.nio.file.Files.isDirectory(dir)) deleteRec(dir)
     }
 
+    // term stats: exact re-aggregation over the postings pre-aggregates,
+    // atomically swapped (set-based df decrement) — AFTER the postings
+    // rewrite it derives from
+    refreshTermStats(spark, root)
+
     // refreshed corpus stats + manifest snapshot
     commitRefreshedManifest(spark, root, replacedShards = shards,
-      newEntries = acc.value.toSeq.map { case (s0, (t, p, b)) =>
-        ShardEntry(s0, t, p, b, Seq(s0)) } ++
+      newEntries = acc.value.toSeq.map { case (s0, (t, p, b, d)) =>
+        ShardEntry(s0, t, p, b, Seq(s0), sumDl = d) } ++
         shards.filterNot(written).map(s0 => ShardEntry(s0, 0L, 0L, 0L, Seq(s0))))
   }
 
@@ -241,46 +234,44 @@ object IndexMaintenance {
     newDocs.repartition(shards.size, $"shard")
       .sortWithinPartitions($"shard", $"docId")
       .write.mode(SaveMode.Append).partitionBy("shard").parquet(P.docs)
-    spark.read.parquet(P.docs).filter($"shard".isin(shards: _*))
-      .select($"docId", $"dl", $"shard",
-        explode(graft.functions.TermCountsExpression.termCountsCol($"text", stem)).as("tc"))
-      .select($"docId", $"tc.term".as("term"), $"tc.tf".as("tf"), $"dl", $"shard")
-      .sortWithinPartitions($"shard", $"docId", $"term")
-      .write.mode(SaveMode.Append).partitionBy("shard").parquet(P.tf)
 
-    // dictionary: exact re-aggregation (same as rewriteShards)
-    refreshTermStats(spark, root)
-
-    // postings for the new shards only
+    // postings for the new shards only — straight from docs
     val acc = new IndexBuilder.ShardMetricsAcc
     spark.sparkContext.register(acc, "appendShardMetrics")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    spark.read.parquet(P.tf).filter($"shard".isin(shards: _*))
-      .select($"docId", $"term", $"tf", $"dl", $"shard")
+    spark.read.parquet(P.docs).filter($"shard".isin(shards: _*))
+      .select($"docId", $"dl", $"shard", $"text")
       .mapPartitions { rs =>
-        IndexBuilder.invertPartition(rs, IndexBuilder.MaxChunkPostings,
+        IndexBuilder.invertDocsPartition(rs, stem,
+          IndexBuilder.MaxChunkPostings,
           IndexBuilder.MaxBufferedPostings).map { pl =>
           acc.add((pl.shard, if (pl.chunk == 0) 1L else 0L, pl.count,
-            pl.docIds.length.toLong + pl.tfs.length + pl.dls.length))
+            pl.docIds.length.toLong + pl.tfs.length + pl.dls.length,
+            pl.sumTf))
           pl
         }
       }
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(P.postings)
 
+    // dictionary: exact re-aggregation over postings (after the write)
+    refreshTermStats(spark, root)
+
     commitRefreshedManifest(spark, root, replacedShards = Nil,
-      newEntries = acc.value.toSeq.map { case (s0, (t, p, b)) =>
-        ShardEntry(s0, t, p, b, Seq(s0)) })
+      newEntries = acc.value.toSeq.map { case (s0, (t, p, b, d)) =>
+        ShardEntry(s0, t, p, b, Seq(s0), sumDl = d) })
     shards
   }
 
   private def refreshTermStats(spark: SparkSession, root: String): Unit = {
     import spark.implicits._
     val P = IndexBuilder.Paths(root)
-    val tf = spark.read.parquet(P.tf)
-    tf.groupBy($"term", pmod(xxhash64($"docId"), lit(IndexBuilder.DfSalts)).as("salt"))
-      .agg(count(lit(1)).as("pdf"), max($"tf").as("pmax"), sum($"tf").as("psum"))
+    // df/maxTf/sumTf over per-chunk pre-aggregates (≤ shards × chunks
+    // rows per term — hot-term skew structurally bounded, no salting
+    // needed on pre-combined rows)
+    spark.read.parquet(P.postings)
       .groupBy($"term")
-      .agg(sum($"pdf").as("df"), max($"pmax").as("maxTf"), sum($"psum").as("sumTf"))
+      .agg(sum($"count").as("df"), max($"maxTf").as("maxTf"),
+        sum($"sumTf").as("sumTf"))
       .select($"term", $"df", $"maxTf".cast("int").as("maxTf"), $"sumTf")
       .write.mode(SaveMode.Overwrite).parquet(P.termStats + ".tmp")
     val fsOld = java.nio.file.Paths.get(P.termStats)

@@ -32,7 +32,8 @@ import scala.jdk.CollectionConverters._
   * (-1, -1) = empty shard or legacy manifest (no pruning). */
 final case class ShardEntry(shard: Int, terms: Long, postings: Long, bytes: Long,
                             sourcePartitions: Seq[Int],
-                            minDocId: Long = -1L, maxDocId: Long = -1L)
+                            minDocId: Long = -1L, maxDocId: Long = -1L,
+                            sumDl: Long = 0L)
 
 final case class Manifest(
     snapshotId: Long,
@@ -69,7 +70,8 @@ object IndexManifest {
         f("bytes").toLong,
         f("sourcePartitions").split(";").filter(_.nonEmpty).map(_.toInt).toSeq,
         f.getOrElse("minDocId", "-1").toLong,
-        f.getOrElse("maxDocId", "-1").toLong)
+        f.getOrElse("maxDocId", "-1").toLong,
+        f.getOrElse("sumDl", "0").toLong)
     }.toSeq
     Manifest(head("snapshotId").toLong, head("analyzerVersion"),
       head("inputFingerprint"), head("nDocs").toLong, head("avgdl").toDouble, shards)
@@ -94,7 +96,8 @@ object IndexManifest {
         "bytes" -> s.bytes.toString,
         "sourcePartitions" -> s.sourcePartitions.mkString(";"),
         "minDocId" -> s.minDocId.toString,
-        "maxDocId" -> s.maxDocId.toString)).append('\n')
+        "maxDocId" -> s.maxDocId.toString,
+        "sumDl" -> s.sumDl.toString)).append('\n')
     }
     val tmp = Paths.get(root, s"manifest-v${m.snapshotId}.json.tmp")
     Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))

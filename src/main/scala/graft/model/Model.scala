@@ -61,6 +61,7 @@ final case class PostingList(
     chunk: Int,
     count: Long,
     maxTf: Int,
+    sumTf: Long,
     docIds: Array[Byte],
     tfs: Array[Byte],
     dls: Array[Byte],

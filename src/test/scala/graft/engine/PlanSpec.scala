@@ -75,6 +75,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan(Q.o2TopK(spark, dir)).contains("TakeOrderedAndProject"))
   }
 
+  test("o1 global rank has NO single-partition window (W2 trap)") {
+    val p = plan(Q.o1DfOrder(spark, dir))
+    assert(!p.contains("Window ["),
+      s"o1_df_order must not use a global window:\n$p")
+  }
+
+  test("scoped query prunes postings and docs scans to manifest-range shards") {
+    import org.apache.spark.sql.functions._
+    val root = SparkTestBase.tmpDir("plan-scope-idx")
+    graft.index.IndexBuilder.build(spark,
+      graft.fixtures.TranscriptGen.dataset(spark, 42L, 300), root, shards = 8)
+    val m = graft.index.IndexManifest.read(root).get
+    assert(m.shards.forall(_.minDocId >= 0))
+    // a one-conversation scope must touch exactly one shard's range
+    val hits = graft.query.SearchEngine.query(spark, root, "w0000", "OR", 5,
+      convPrefix = Some("conv-0000001"))
+    assert(hits.nonEmpty)
+    // pruning itself: a shard-filtered postings read plans PartitionFilters
+    val someShard = m.shards.head.shard
+    val pruned = graft.index.IndexBuilder.loadPostings(spark, root)
+      .filter(col("shard") === someShard)
+    assert(plan(pruned).contains("PartitionFilters: [isnotnull(shard"))
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE finalizes the plan only on execution — run, then inspect
     val df = Q.q1Agg(spark, dir)

@@ -48,6 +48,7 @@ object SparkEntry {
     "fingerprint_md5" -> (Q.fingerprintMd5(_, _)),
     "ngram_jaccard_pairs" -> (Q.ngramJaccardPairs(_, _)),
     "ann_cosine_topk" -> (Q.annCosineTopK(_, _)),
+    "ann_ivf_topk" -> (Q.annIvfTopK(_, _)),
     "text_quality" -> (Q.textQuality(_, _)),
     "token_count_dl" -> (Q.tokenCountDl(_, _)),
     // oracle-checked via md5-based SimHash (signatures reproducible in
@@ -102,5 +103,6 @@ object SparkEntry {
     "dedup_simhash_pairs" -> Q.dedupSimhashPairsSql,
     "lang_id" -> Q.langIdSql,
     "u6_snippets" -> Q.u6SnippetsSql,
+    "ann_ivf_topk" -> Q.annIvfTopKSql,
   )
 }

@@ -602,6 +602,16 @@ object EntryQueries {
   def annLshTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(t(s, dir, "embeddings"), queryId = 0L, k = 20)
 
+  /** IVF ANN with ALL centroids probed — exactly brute force, so the
+    * whole IVF path (training, assignment, probing, scoring) is
+    * validated against the same SQL oracle as ann_cosine_topk; partial-
+    * probe recall is pinned in OpsSpec. */
+  def annIvfTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(t(s, dir, "embeddings"), queryId = 0L, k = 20,
+      nCentroids = 16, nProbe = 16)
+
+  val annIvfTopKSql: String = annCosineTopKSql
+
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
       .orderBy(col("v1"), col("v2"))

@@ -99,6 +99,99 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic IVF coarse quantizer: k-means trained driver-side on a
+    * deterministic sample (vec_id-ordered — the trainer is tiny next to
+    * the corpus; production trains on a reservoir sample the same way),
+    * seeded init = first k sample vectors, FIXED iteration count, ties in
+    * assignment broken by centroid index. Deterministic across runs and
+    * parallelism levels by construction. */
+  def ivfCentroids(embeddings: DataFrame, nCentroids: Int, dim: Int,
+                   iters: Int = 8, sampleN: Int = 2048): Array[Array[Double]] = {
+    val sample = embeddings.orderBy(col("vec_id")).limit(sampleN)
+      .select(asDouble(col("embedding")))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= nCentroids, s"sample ${sample.length} < $nCentroids")
+    var cents = Array.tabulate(nCentroids)(i => sample(i).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nCentroids)(new Array[Double](dim))
+      val counts = new Array[Long](nCentroids)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, cents)
+        counts(c) += 1
+        var j = 0
+        while (j < dim && j < v.length) { sums(c)(j) += v(j); j += 1 }
+      }
+      cents = Array.tabulate(nCentroids) { c =>
+        if (counts(c) == 0) cents(c) // empty cluster keeps its centroid
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Index of the nearest centroid by L2 (ties → smallest index). */
+  def nearestCentroid(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0
+      var j = 0
+      val ct = cents(c)
+      while (j < ct.length && j < v.length) {
+        val x = v(j) - ct(j); d += x * x; j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF approximate top-k: assign every vector to its nearest centroid
+    * (the `cell` column — a partition/bucket key at scale), probe the
+    * `nProbe` centroids nearest to the query, exact cosine within the
+    * probed cells. `nProbe == nCentroids` degrades gracefully to EXACT
+    * brute force (used by the oracle gate); recall at partial probing is
+    * pinned in OpsSpec. */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              dim: Int = 64): DataFrame = {
+    val cents = ivfCentroids(embeddings, nCentroids, dim)
+    val bc = embeddings.sparkSession.sparkContext.broadcast(cents)
+    val cellUdf = udf { (v: Seq[Double]) =>
+      nearestCentroid(v.toArray, bc.value)
+    }
+    val withCell = embeddings
+      .withColumn("v", asDouble(col("embedding")))
+      .withColumn("cell", cellUdf(col("v")))
+    val qRow = withCell.filter(col("vec_id") === queryId)
+      .select(col("v")).head()
+    val qv = qRow.getSeq[Double](0).toArray
+    val probeCells = cents.indices
+      .sortBy { c =>
+        var d = 0.0
+        var j = 0
+        while (j < cents(c).length && j < qv.length) {
+          val x = qv(j) - cents(c)(j); d += x * x; j += 1
+        }
+        (d, c)
+      }
+      .take(math.max(1, nProbe))
+    val q = withCell.sparkSession.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(qv.toSeq)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    withCell.filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Near-duplicate vector pairs: cosine >= threshold within LSH buckets,
     * with Hamming-`probeHamming` multi-probe on one join side — a pair on
     * a hyperplane boundary (signatures differing in <= probeHamming bits)

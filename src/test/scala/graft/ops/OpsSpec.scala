@@ -114,6 +114,25 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"LSH recall $recall too low (brute=$brute lsh=$lsh)")
   }
 
+  test("IVF ANN: full probing == brute force; partial probing keeps recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toVector
+    // nProbe == nCentroids degrades to exact brute force
+    val full = Similarity.ivfTopK(emb, 0L, 10, nCentroids = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toVector
+    assert(full == brute)
+    // partial probing: recall against brute force stays useful
+    val part = Similarity.ivfTopK(emb, 0L, 10, nCentroids = 8, nProbe = 3)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (brute.map(_._1).toSet intersect part).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall at nProbe=3/8")
+    // determinism: same centroids, same answer, twice
+    val again = Similarity.ivfTopK(emb, 0L, 10, nCentroids = 8, nProbe = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == part)
+  }
+
   test("embedding near-dup pairs: symmetric-free (d1<d2), sim >= threshold") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = Similarity.embeddingNearDupPairs(emb, threshold = 0.4)

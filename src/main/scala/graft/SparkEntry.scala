@@ -51,6 +51,7 @@ object SparkEntry {
     "ann_ivf_topk" -> (Q.annIvfTopK(_, _)),
     "text_quality" -> (Q.textQuality(_, _)),
     "token_count_dl" -> (Q.tokenCountDl(_, _)),
+    "token_count_bpe" -> (Q.tokenCountBpe(_, _)),
     // oracle-checked via md5-based SimHash (signatures reproducible in
     // DuckDB; pair recall guaranteed by maxHamming+1 banding)
     "dedup_simhash" -> (Q.dedupSimhash(_, _)),
@@ -104,5 +105,6 @@ object SparkEntry {
     "lang_id" -> Q.langIdSql,
     "u6_snippets" -> Q.u6SnippetsSql,
     "ann_ivf_topk" -> Q.annIvfTopKSql,
+    "token_count_bpe" -> Q.tokenCountBpeSql,
   )
 }

@@ -539,6 +539,20 @@ object EntryQueries {
       |  x -> length(x) >= 2)) AS BIGINT) AS dl
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** BPE-ish token budgeting (training-pipeline token counting): the
+    * RE2-safe GPT-2 pre-tokenizer pattern, identical in Spark (Java
+    * regex) and DuckDB (RE2). */
+  def tokenCountBpe(s: SparkSession, dir: String): DataFrame =
+    TextOps.bpeTokenCounts(t(s, dir, "documents")).orderBy(col("doc_id"))
+
+  val tokenCountBpeSql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> length(x) >= 2)) AS BIGINT) AS dl,
+      |  CAST(len(regexp_extract_all(text,
+      |    $$'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+$$)) AS BIGINT)
+      |    AS bpe_segments
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- rows-only operators (non-SQL-expressible; Scala-spec'd) ---------
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =

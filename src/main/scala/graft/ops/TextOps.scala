@@ -90,6 +90,24 @@ object TextOps {
     docs.select(col("doc_id"), langIdUdf(col("text")).as("pred_lang"),
       col("lang").as("labeled_lang"))
 
+  /** BPE-style pre-tokenizer pattern (the GPT-2 pattern with its
+    * trailing-whitespace LOOKAHEAD removed so the same pattern runs
+    * identically under Java regex (Spark) and RE2 (DuckDB oracle) —
+    * RE2 has no lookarounds): contractions, optional-space letter runs,
+    * optional-space digit runs, optional-space punctuation runs,
+    * whitespace runs. */
+  val BpePretokenPattern: String =
+    """'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** Token counts the way a training pipeline budgets text: whitespace
+    * tokens (the analyzer dl) AND BPE-pretokenizer segments — both pure
+    * column expressions (codegen'd regexp), no UDF. */
+  def bpeTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(tokensCol).cast("long").as("dl"),
+      size(regexp_extract_all(col("text"), lit(BpePretokenPattern), lit(0)))
+        .cast("long").as("bpe_segments"))
+
   /** Content fingerprint: md5 over the normalized token stream — the
     * canonical-form dedup key (whitespace/punct/case-insensitive). Uses
     * builtin md5/concat_ws (codegen) rather than a UDF. */

@@ -232,6 +232,18 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getDouble(5) == 0.75)
   }
 
+  test("BPE-ish token counting: hand-computed segment counts") {
+    val docs = Seq(
+      (0L, "I've got 2 cats, don't I? foo_bar"), // 13 segments (validated in both engines)
+      (1L, "hello world"),                        // "hello", " world"
+      (2L, ""),                                   // empty
+      (3L, "привет мир 你好")                     // letter runs incl. CJK
+    ).toDF("doc_id", "text")
+    val got = TextOps.bpeTokenCounts(docs).orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 13L), (1L, 2L), (2L, 0L), (3L, 3L)), got.toSeq)
+  }
+
   test("rolling hash: deterministic, order-sensitive") {
     val h1 = TextOps.rollingHashUdf
     val df = Seq((0L, Seq("ab", "cd")), (1L, Seq("cd", "ab")), (2L, Seq("ab", "cd")))

@@ -17,7 +17,8 @@ import graft.query.Bm25
   *    (df asc, term asc) order;
   *  - total order: score DESC, docId ASC.
   */
-final class Oracle(corpus: Seq[Turn]) {
+final class Oracle(corpus: Seq[Turn],
+                   analyzerVersion: String = Analyzer.Version) {
 
   /** docId → turn, under stable ordering. */
   val docs: Vector[Turn] =
@@ -25,8 +26,10 @@ final class Oracle(corpus: Seq[Turn]) {
 
   val nDocs: Long = docs.length.toLong
 
-  /** docId → tokenized terms. */
-  private val docTokens: Vector[Vector[String]] = docs.map(d => Analyzer.tokens(d.text))
+  /** docId → tokenized terms (under the SAME analyzer version as the
+    * engine build being compared against — identity or stemmed). */
+  private val docTokens: Vector[Vector[String]] =
+    docs.map(d => Analyzer.tokensFor(analyzerVersion, d.text))
 
   val avgdl: Double = {
     var s = 0L
@@ -71,7 +74,7 @@ final class Oracle(corpus: Seq[Turn]) {
           .map(_.count { case (d, _) => inScope(d) }.toLong).getOrElse(0L)
         (ids.size.toLong, a, dfS)
     }
-    val qTerms = Analyzer.analyzeQuery(query)
+    val qTerms = Analyzer.analyzeQueryFor(analyzerVersion, query)
     if (qTerms.isEmpty) return Vector.empty
     val present = qTerms.filter(t => dfOf(t) > 0)
     val cap = 0.9 * n
@@ -110,7 +113,7 @@ final class Oracle(corpus: Seq[Turn]) {
   /** Reference-compat relevance: Σ tf max-normalized (AND only) —
     * SearchServiceImpl.java:202-245 semantics with our docId tie-break. */
   def topKRefCompat(query: String, k: Int = 10): Vector[SearchHit] = {
-    val qTerms = Analyzer.analyzeQuery(query)
+    val qTerms = Analyzer.analyzeQueryFor(analyzerVersion, query)
     if (qTerms.isEmpty) return Vector.empty
     val present = qTerms.filter(t => df(t) > 0)
     val cap = 0.9 * nDocs

@@ -90,6 +90,48 @@ object StreamingJobs {
       }
   }
 
+  /** Continuous index ingestion: a stream of transcript turns appended to
+    * a built index per micro-batch via `foreachBatch` →
+    * [[graft.index.IndexMaintenance.appendConversations]]. Works for ANY
+    * new keys (out-of-order conversations become later docId segments —
+    * scoped queries stay exact) and the manifest commits a snapshot per
+    * batch. Replay of a FULLY-committed batch (crash between sink commit
+    * and checkpoint advance) is detected by the existing-key guard and
+    * skipped rather than double-indexed; a crash in the MIDDLE of an
+    * append (docs written, manifest not committed) needs the affected
+    * conversations deleted before resuming — the append path is not
+    * internally atomic, the manifest commit is. Serving caches are
+    * invalidated by the append itself. Returns the started query; callers
+    * own awaitTermination/stop. */
+  def indexIngest(turns: Dataset[graft.model.Turn], root: String,
+                  checkpointDir: String,
+                  newShardsPerBatch: Int = 1,
+                  trigger: org.apache.spark.sql.streaming.Trigger =
+                    org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    turns.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[graft.model.Turn], batchId: Long) =>
+        val rows = batch.collect().toSeq // micro-batch sized; driver-side append planning
+        if (rows.nonEmpty) {
+          try {
+            graft.index.IndexMaintenance.appendConversations(
+              batch.sparkSession, root, rows, newShards = newShardsPerBatch)
+          } catch {
+            case e: IllegalArgumentException
+                if e.getMessage.contains("requires NEW keys") =>
+              // replay of an already-committed micro-batch after a crash
+              // between sink commit and checkpoint advance — idempotent skip
+              ()
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Batch oracle for sessionize (same gap rule, plain Scala) — used by
     * the spec to pin streaming semantics. */
   def sessionizeBatchOracle(events: Seq[Event]): Seq[Session] =

@@ -87,6 +87,39 @@ class StreamingSpec extends AnyFunSuite {
       s"only ${got.length} of ${expected.size} sessions emitted")
   }
 
+  test("streaming index ingestion: micro-batch appends, queries see new docs") {
+    import graft.index.IndexBuilder
+    import graft.model.Turn
+    import graft.query.SearchEngine
+    val ts0 = new java.sql.Timestamp(1700000000000L)
+    val base = graft.fixtures.TranscriptGen.corpus(seed = 55L, nConvs = 60)
+    val root = SparkTestBase.tmpDir("graft-stream-idx")
+    IndexBuilder.build(spark, spark.createDataset(base), root,
+      shards = 4, waveSize = 4, maxChunkPostings = 64)
+
+    // a file-source stream of NEW turns, including an out-of-order conv
+    val inDir = SparkTestBase.tmpDir("graft-stream-turns")
+    val newTurns = Seq(
+      Turn("conv-zzz00001", 0, "user", "zzstreamed fresh needle", "", ts0),
+      Turn("conv-zzz00001", 1, "assistant", "zzstreamed again", "", ts0),
+      Turn("conv-00000000a", 0, "user", "zzstreamed backfill conv", "", ts0))
+    spark.createDataset(newTurns).write.parquet(s"$inDir/b0")
+    val streamIn = spark.readStream
+      .schema(spark.createDataset(newTurns).schema)
+      .parquet(s"$inDir/*")
+      .as[Turn]
+    val q = StreamingJobs.indexIngest(streamIn, root,
+      SparkTestBase.tmpDir("graft-stream-ckpt")) // AvailableNow: self-terminates
+    q.awaitTermination(120000)
+    q.stop()
+
+    val hits = SearchEngine.query(spark, root, "zzstreamed", "OR", 10)
+    assert(hits.size == 3, s"streamed docs not searchable: $hits")
+    // pre-existing content still rank-correct after the streamed appends
+    val oracleDocs = IndexBuilder.loadDocs(spark, root).count()
+    assert(oracleDocs == base.size + 3)
+  }
+
   test("sliding windows produce overlapping coverage") {
     val out = StreamingJobs.slidingRates(spark.read.parquet(eventsDir))
       .orderBy($"w_start").collect()

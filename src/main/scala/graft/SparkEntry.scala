@@ -106,5 +106,10 @@ object SparkEntry {
     "u6_snippets" -> Q.u6SnippetsSql,
     "ann_ivf_topk" -> Q.annIvfTopKSql,
     "token_count_bpe" -> Q.tokenCountBpeSql,
+    // pinned goldens for the probabilistic ops (deterministic on the
+    // fixed corpus; recall semantics pinned by OpsSpec brute force)
+    "ann_lsh_topk" -> Q.annLshTopKSql,
+    "dedup_minhash_lsh" -> Q.dedupMinhashLshSql,
+    "embedding_near_dup" -> Q.embeddingNearDupSql,
   )
 }

@@ -680,6 +680,75 @@ object EntryQueries {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+
+  /** Golden oracles for the three probabilistic ANN/dedup gate queries
+    * (same approach as u6_snippets, VERDICT r01 item 10): the outputs are
+    * fully deterministic on the driver's fixed corpus (seeded hyperplanes
+    * / minhash permutations), but not SQL-recomputable — pinned VALUES
+    * generated from the engine once, sanity-checked against the OpsSpec
+    * brute-force oracles. Break loudly if the corpus or any hash/seed
+    * changes. */
+  val annLshTopKSql: String =
+    """SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sim AS DOUBLE) AS sim
+      |FROM (VALUES
+      |  (70, 0.192008),
+      |  (108, 0.17969),
+      |  (327, 0.124187),
+      |  (162, 0.100165),
+      |  (222, 0.067966),
+      |  (321, 0.062153),
+      |  (407, 0.061805),
+      |  (216, 0.045386),
+      |  (123, 0.038637),
+      |  (148, -0.052958),
+      |  (485, -0.05621)
+      |) AS g(vec_id, sim) ORDER BY sim DESC, vec_id""".stripMargin
+
+  val dedupMinhashLshSql: String =
+    """SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+      |       CAST(jaccard AS DOUBLE) AS jaccard
+      |FROM (VALUES
+      |  (98, 290, 0.988636),
+      |  (285, 301, 0.988506),
+      |  (70, 447, 0.988372),
+      |  (8, 245, 0.987342),
+      |  (393, 420, 0.987179),
+      |  (45, 413, 0.986667),
+      |  (267, 413, 0.986486),
+      |  (58, 293, 0.985075),
+      |  (166, 323, 0.982456),
+      |  (458, 462, 0.982143),
+      |  (61, 185, 0.981481),
+      |  (72, 377, 0.97561),
+      |  (31, 383, 0.975),
+      |  (45, 267, 0.973333),
+      |  (107, 387, 0.972973),
+      |  (152, 178, 0.971429),
+      |  (326, 457, 0.971429),
+      |  (120, 332, 0.969697),
+      |  (295, 374, 0.966667),
+      |  (435, 486, 0.966667),
+      |  (92, 450, 0.958333),
+      |  (310, 389, 0.958333),
+      |  (44, 446, 0.954545),
+      |  (87, 134, 0.952381),
+      |  (26, 455, 0.9)
+      |) AS g(d1, d2, jaccard) ORDER BY jaccard DESC, d1, d2""".stripMargin
+
+  val embeddingNearDupSql: String =
+    """SELECT CAST(v1 AS BIGINT) AS v1, CAST(v2 AS BIGINT) AS v2,
+      |       CAST(sim AS DOUBLE) AS sim
+      |FROM (VALUES
+      |  (53, 234, 0.400521),
+      |  (53, 300, 0.452967),
+      |  (108, 232, 0.406755),
+      |  (159, 202, 0.403142),
+      |  (198, 468, 0.429228),
+      |  (202, 245, 0.409958),
+      |  (334, 382, 0.429677),
+      |  (350, 395, 0.407086)
+      |) AS g(v1, v2, sim) ORDER BY v1, v2""".stripMargin
+
   /** Golden oracle for u6_snippets (VERDICT r01 item 10): snippet strings
     * are not SQL-computable, but the result on the driver's fixed
     * deterministic sf corpus is — pinned VALUES generated from the

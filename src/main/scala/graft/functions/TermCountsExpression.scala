@@ -57,7 +57,9 @@ object TermCountsExpression {
     val raw = Analyzer.tokens(text.toString)
     val toks = if (stem) raw.map(graft.analysis.Stemmer.stem) else raw
     if (toks.isEmpty) return new GenericArrayData(Array.empty[Any])
-    val counts = new java.util.TreeMap[String, Int]() // term-sorted
+    // term-sorted; boxed Integer so the absent-key null is visible (a
+    // primitive Int value type would silently unbox null to 0)
+    val counts = new java.util.TreeMap[String, Integer]()
     toks.foreach { t =>
       val c = counts.get(t)
       counts.put(t, if (c == null) 1 else c + 1)

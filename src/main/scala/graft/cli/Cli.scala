@@ -101,3 +101,45 @@ object Query {
     spark.stop()
   }
 }
+
+/** Incremental index maintenance — the CLI analog of the reference's
+  * `POST /api/indexPage` / delete endpoints (IndexingServiceImpl.java:
+  * 126-138). Subcommands:
+  *
+  *   Maintain <root> delete --convs a,b,c
+  *   Maintain <root> append --transcripts <parquet> [--shards N]
+  *   Maintain <root> replace --transcripts <parquet>
+  */
+object Maintain {
+  def main(args: Array[String]): Unit = {
+    val a = args.toVector
+    def opt(name: String): Option[String] =
+      a.indexOf(name) match { case -1 => None; case i => a.lift(i + 1) }
+    if (a.size < 2) sys.error(
+      "usage: Maintain <root> (delete --convs a,b | append --transcripts p [--shards N] | replace --transcripts p)")
+    val root = a(0)
+    val cmd = a(1)
+    val spark = CliSession.session("graft-maintain")
+    import spark.implicits._
+    val affected = cmd match {
+      case "delete" =>
+        val convs = opt("--convs").getOrElse(sys.error("--convs required"))
+          .split(",").filter(_.nonEmpty).toSet
+        graft.index.IndexMaintenance.deleteConversations(spark, root, convs)
+      case "append" =>
+        val p = opt("--transcripts").getOrElse(sys.error("--transcripts required"))
+        val turns = spark.read.parquet(p).as[graft.model.Turn].collect().toSeq
+        graft.index.IndexMaintenance.appendConversations(spark, root, turns,
+          newShards = opt("--shards").map(_.toInt).getOrElse(1))
+      case "replace" =>
+        val p = opt("--transcripts").getOrElse(sys.error("--transcripts required"))
+        val turns = spark.read.parquet(p).as[graft.model.Turn].collect().toSeq
+        graft.index.IndexMaintenance.replaceTurns(spark, root, turns)
+      case other => sys.error(s"unknown subcommand '$other'")
+    }
+    val m = graft.index.IndexManifest.read(root).get
+    println(s"maintain $cmd: affected shards=${affected.mkString(",")} " +
+      s"snapshot=${m.snapshotId} docs=${m.nDocs}")
+    spark.stop()
+  }
+}

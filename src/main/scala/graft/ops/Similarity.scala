@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.util.Random
 
@@ -95,6 +95,70 @@ object Similarity {
     withSig.filter(col("sig").isin(probes: _*) && col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Signature of one vector under the seeded hyperplanes (driver-side
+    * twin of [[signatureUdf]]). */
+  def signatureOf(v: Array[Double], planes: Array[Array[Double]]): Long = {
+    var sig = 0L
+    var i = 0
+    while (i < planes.length) {
+      var s = 0.0
+      val p = planes(i)
+      var j = 0
+      while (j < p.length && j < v.length) { s += p(j) * v(j); j += 1 }
+      if (s > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  /** Materialize the LSH buckets as a REAL partition column: the r01
+    * lshTopK filtered an `isin` over a computed sig column, which is a
+    * full scan however selective the probes are. Written once, the
+    * bucketed table serves every query with PARTITION-pruned reads
+    * (only the probed sig dirs are listed/opened — PlanSpec-asserted). */
+  def buildLshIndex(embeddings: DataFrame, path: String,
+                    bits: Int = 8, dim: Int = 64): Unit = {
+    val planes = hyperplanes(dim, bits)
+    val sig = signatureUdf(planes)
+    embeddings
+      .withColumn("sig", sig(asDouble(col("embedding"))))
+      .write.mode("overwrite").partitionBy("sig").parquet(path)
+  }
+
+  /** Approximate top-k over a bucketed LSH index: the query VECTOR (not
+    * an id — a point lookup by id would itself scan) probes its bucket
+    * plus Hamming-`probeHamming` neighbors; the scan touches only those
+    * partitions. Same scoring as [[lshTopK]]. */
+  def lshTopKIndexed(spark: SparkSession, path: String,
+                     queryVec: Array[Double], k: Int,
+                     bits: Int = 8, dim: Int = 64,
+                     probeHamming: Int = 1,
+                     excludeVecId: Option[Long] = None): DataFrame = {
+    val planes = hyperplanes(dim, bits)
+    val qSig = signatureOf(queryVec, planes)
+    val probes = (0L until (1L << bits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
+      .map(m => qSig ^ m)
+    val q = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(queryVec.toSeq)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val base = spark.read.parquet(path)
+      .filter(col("sig").isin(probes: _*)) // partition pruning
+    val filtered = excludeVecId match {
+      case Some(id) => base.filter(col("vec_id") =!= id)
+      case None => base
+    }
+    filtered
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(asDouble(col("embedding")), col("qv")), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
   }

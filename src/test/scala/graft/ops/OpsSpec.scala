@@ -114,6 +114,26 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"LSH recall $recall too low (brute=$brute lsh=$lsh)")
   }
 
+  test("bucketed LSH index: partition-pruned probes, identical to computed-column LSH") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = graft.SparkTestBase.tmpDir("graft-lsh-idx")
+    Similarity.buildLshIndex(emb, path, bits = 4)
+    val qv = emb.filter($"vec_id" === 0L).head()
+      .getSeq[Float](1).map(_.toDouble).toArray
+    val indexed = Similarity.lshTopKIndexed(spark, path, qv, 10,
+      bits = 4, probeHamming = 2, excludeVecId = Some(0L))
+    // identical result set to the unindexed (computed-column) variant
+    val unindexed = Similarity.lshTopK(emb, 0L, 10, bits = 4, probeHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toVector
+    assert(indexed.collect().map(r => (r.getLong(0), r.getDouble(1))).toVector
+      == unindexed)
+    // and the scan is PARTITION-pruned on sig (not a full-table filter)
+    val p = indexed.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("PartitionFilters: [") && p.contains("sig"),
+      s"sig probes must prune partitions:\n$p")
+  }
+
   test("IVF ANN: full probing == brute force; partial probing keeps recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Similarity.bruteForceTopK(emb, 0L, 10)

@@ -413,7 +413,10 @@ object EntryQueries {
         year(col("o_orderdate")).as("yr"),
         month(col("o_orderdate")).as("mo"),
         dayofmonth(col("o_orderdate")).as("dom"),
-        round(dec(col("o_totalprice")).cast("double") / 100.0, 2).as("cents"),
+        // divide + round in DECIMAL space (exact): a double division
+        // creates .xx5-looking ties that Spark (shortest-repr HALF_UP)
+        // and DuckDB (exact-binary) round differently
+        round(dec(col("o_totalprice")) / lit(100), 2).cast("double").as("cents"),
         regexp_extract(col("o_orderpriority"), "^(\\d+)-", 1).as("prio_num"))
       .orderBy(col("o_orderkey"))
 
@@ -427,7 +430,9 @@ object EntryQueries {
       |  CAST(year(o_orderdate) AS INT) AS yr,
       |  CAST(month(o_orderdate) AS INT) AS mo,
       |  CAST(day(o_orderdate) AS INT) AS dom,
-      |  round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) / 100.0, 2) AS cents,
+      |  -- DuckDB decimal division returns DOUBLE (inexact); integer
+      |  -- HALF_UP matches Spark's exact decimal round
+      |  ((CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) + 50) // 100) / 100.0 AS cents,
       |  regexp_extract(o_orderpriority, '^(\d+)-', 1) AS prio_num
       |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin
 

@@ -245,7 +245,7 @@ object Bench {
     val samplesJson = levels.map(c =>
       "\"local" + c + "\":[" + byLevel(c).map(fmt).mkString(",") + "]")
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"index-build throughput (turns/sec) + operator suite","value":${fmt(totalSecs)},"unit":"sec","queries":$qJson,"sf":"$sfDir","build":{"convs":$nConvs,"reps_per_level":$reps,"samples":$samplesJson,"throughput_local1":${fmt(th1)},"throughput_local4":${fmt(th4)},"throughput_N_local2":${fmt(thN)},"throughput_4N_local8":${fmt(th4N)},"throughput_local32":${fmt(thMax)},"scaling_efficiency_1_to_4":${fmt(efficiency1to4)},"scaling_efficiency_2_to_8":${fmt(efficiency)},"scaling_efficiency_8_to_32":${fmt(efficiency8to32)},"hw_busyloop_ceiling_2_to_8":${fmt(hwCeiling2to8)},"hw_busyloop_ceiling_8_to_32":${fmt(hwCeiling8to32)},"hw_memstream_ceiling_8_to_32":${fmt(streamCeiling8to32)},"note":"same reps at every level (best-of-$reps). busyloop = CPU-clock ceiling (registers only); memstream = memory-bandwidth ceiling (1GB array streams/task). Build stages stream parquet through tmpfs, so memstream bounds attainable 8->32 efficiency for any data engine on this VM."},"query_latency":{"p50_sec":${fmt(p50)},"p95_sec":${fmt(p95)},"p50_cached_sec":${fmt(p50c)},"p95_cached_sec":${fmt(p95c)}}}"""
+    val json = s"""{"metric":"index-build throughput (turns/sec) + operator suite","value":${fmt(totalSecs)},"unit":"sec","queries":$qJson,"sf":"$sfDir","build":{"convs":$nConvs,"reps_per_level":$reps,"samples":$samplesJson,"throughput_local1":${fmt(th1)},"throughput_local4":${fmt(th4)},"throughput_N_local2":${fmt(thN)},"throughput_4N_local8":${fmt(th4N)},"throughput_local32":${fmt(thMax)},"scaling_efficiency_1_to_4":${fmt(efficiency1to4)},"scaling_efficiency_2_to_8":${fmt(efficiency)},"scaling_efficiency_8_to_32":${fmt(efficiency8to32)},"hw_busyloop_ceiling_2_to_8":${fmt(hwCeiling2to8)},"hw_busyloop_ceiling_8_to_32":${fmt(hwCeiling8to32)},"hw_memstream_probe_8_to_32":${fmt(streamCeiling8to32)},"note":"same reps at every level (best-of-$reps). busyloop = the hardware CEILING (pure register arithmetic; no software can scale better than the VM's clocks allow). memstream = a fully-bandwidth-bound REFERENCE POINT (1GB array streams/task), not a ceiling: the engine itself exceeds it at 8->32, which shows the build is only partially bandwidth-bound."},"query_latency":{"p50_sec":${fmt(p50)},"p95_sec":${fmt(p95)},"p50_cached_sec":${fmt(p50c)},"p95_cached_sec":${fmt(p95c)}}}"""
     println(json)
 
     // BENCH/BASELINE.md (BASELINE.md points here for measured numbers)
@@ -277,11 +277,10 @@ object Bench {
          |1→4 cores = ${fmt(efficiency1to4)}; 2→8 cores = ${fmt(efficiency)};
          |8→32 cores = ${fmt(efficiency8to32)}.**
          |
-         |The three pairs sweep the bandwidth-saturation curve: at 1→4 the
-         |host's memory bandwidth is not yet contended and the engine
-         |scales at ${fmt(efficiency1to4)}; past ~4-8 busy cores the VM's
-         |bandwidth saturates (stream probe below) and every additional
-         |core adds less — for any data engine, not just this one.
+         |The three pairs sweep the contention curve: at 1→4 the host is
+         |not yet saturated and the engine scales at ${fmt(efficiency1to4)};
+         |past ~4-8 busy cores the shared VM contends (calibration below)
+         |and every additional core adds less.
          |
          |Hardware calibration at the same thread counts (what the shared
          |VM itself allows):
@@ -291,15 +290,26 @@ object Bench {
          || busy-loop (CPU clock; registers only) | ${fmt(hwCeiling2to8)} | ${fmt(hwCeiling8to32)} |
          || memory stream (1 GB array copy/task) | — | ${fmt(streamCeiling8to32)} |
          |
-         |The build stages stream hundreds of MB of parquet through tmpfs
-         |(= RAM copies), so the MEMORY-STREAM ceiling is the binding one:
-         |beyond ~8 threads this VM's memory bandwidth saturates and no
-         |data engine can exceed ~${fmt(streamCeiling8to32)} efficiency at
-         |8→32 regardless of software. The engine reaches
-         |${fmt(efficiency8to32 / streamCeiling8to32)} of that attainable
-         |ceiling (r01's software bottleneck — boxed inverted buffers that
-         |made the postings stage SLOWER at 32 cores than at 8 — is fixed;
-         |see IndexBuilder.invertPartition).
+         |Reading the calibration honestly:
+         |
+         |- The BUSY-LOOP is the hardware CEILING: pure register arithmetic
+         |  scales at only ${fmt(hwCeiling8to32)} from 8→32 threads on this
+         |  VM, so the absolute ≥0.8 target is NOT attainable at 8→32 by
+         |  any software here. Against that ceiling the engine reaches
+         |  ${fmt(efficiency8to32 / hwCeiling8to32)}
+         |  (= ${fmt(efficiency8to32)} / ${fmt(hwCeiling8to32)}).
+         |- The MEMORY-STREAM probe is a fully-bandwidth-bound REFERENCE
+         |  POINT, not a ceiling: the engine's own 8→32 efficiency
+         |  (${fmt(efficiency8to32)}) EXCEEDS the probe's
+         |  ${fmt(streamCeiling8to32)}, which shows the build is only
+         |  partially bandwidth-bound — a pure 1 GB array copy saturates
+         |  the VM's bandwidth harder than the engine's mixed
+         |  compute/stream profile does.
+         |- The unsaturated-regime evidence for the engine's own scaling
+         |  quality is the 1→4 pair: ${fmt(efficiency1to4)} with no
+         |  contention confounder. (r01's software bottleneck — boxed
+         |  inverted buffers that made the postings stage SLOWER at 32
+         |  cores than at 8 — is fixed; see IndexBuilder.invertPartition.)
          |
          |## Query latency (compressed WAND path, 20k-conv index)
          |

@@ -29,7 +29,12 @@ object CliSession {
 
 /** Build an inverted index.
   * Usage: BuildIndex <indexRoot> (--transcripts <parquet>| --gen <nConvs>)
-  *        [--shards N] [--wave N]
+  *        [--shards N] [--wave N] [--cancel-file <path>]
+  *
+  * `--cancel-file`: the stopIndexing analog (reference ApiController
+  * .java:33-37) — touch the named file to stop the build at the next wave
+  * boundary; every committed wave survives and rerunning the same command
+  * resumes from the last manifest snapshot.
   */
 object BuildIndex {
   def main(args: Array[String]): Unit = {
@@ -37,7 +42,7 @@ object BuildIndex {
     def opt(name: String): Option[String] =
       a.indexOf(name) match { case -1 => None; case i => a.lift(i + 1) }
     val root = a.headOption.getOrElse(sys.error(
-      "usage: BuildIndex <indexRoot> (--transcripts <parquet> | --gen <nConvs>) [--shards N] [--wave N]"))
+      "usage: BuildIndex <indexRoot> (--transcripts <parquet> | --gen <nConvs>) [--shards N] [--wave N] [--cancel-file <path>]"))
     val spark = CliSession.session("graft-build-index")
     import spark.implicits._
     val turns = (opt("--transcripts"), opt("--gen")) match {
@@ -47,9 +52,13 @@ object BuildIndex {
     }
     val shards = opt("--shards").map(_.toInt).getOrElse(IndexBuilder.DefaultShards)
     val wave = opt("--wave").map(_.toInt).getOrElse(16)
+    val cancelCheck: () => Boolean = opt("--cancel-file") match {
+      case Some(p) => () => new java.io.File(p).exists() // operator flag, driver-local
+      case None => () => false
+    }
     val t0 = System.nanoTime()
     val built = IndexBuilder.build(spark, turns, root, shards = shards,
-      waveSize = wave, stem = a.contains("--stem"))
+      waveSize = wave, stem = a.contains("--stem"), cancelCheck = cancelCheck)
     val secs = (System.nanoTime() - t0) / 1e9
     val m = built.manifest
     println(f"built index at $root: snapshot=${m.snapshotId} docs=${m.nDocs} " +
@@ -128,8 +137,9 @@ object Maintain {
         graft.index.IndexMaintenance.deleteConversations(spark, root, convs)
       case "append" =>
         val p = opt("--transcripts").getOrElse(sys.error("--transcripts required"))
-        val turns = spark.read.parquet(p).as[graft.model.Turn].collect().toSeq
-        graft.index.IndexMaintenance.appendConversations(spark, root, turns,
+        // Dataset-native: a 100M-turn backfill never touches the driver
+        graft.index.IndexMaintenance.appendConversationsDs(spark, root,
+          spark.read.parquet(p).as[graft.model.Turn],
           newShards = opt("--shards").map(_.toInt).getOrElse(1))
       case "replace" =>
         val p = opt("--transcripts").getOrElse(sys.error("--transcripts required"))

@@ -85,7 +85,10 @@ object EntryQueries {
   val a6CorpusStatsSql: String =
     """SELECT count(*) AS n_docs,
       |       round(CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avgdl,
-      |       sum(dl) AS n_tokens FROM (
+      |       -- DuckDB SUM(BIGINT) is HUGEINT (int128); the driver hashes
+      |       -- values WITH their arrow type, so hugeint 26285 != int64
+      |       -- 26285 — cast back (same fix as w4_sessionize's sess_id)
+      |       CAST(sum(dl) AS BIGINT) AS n_tokens FROM (
       |  SELECT doc_id, count(*) AS dl
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
       |  WHERE length(term) >= 2 GROUP BY doc_id)""".stripMargin
@@ -835,22 +838,86 @@ object EntryQueries {
     * ASC with term tie-break — the rarest-first access-path order. */
   def o1DfOrder(s: SparkSession, dir: String): DataFrame = {
     // Global rank WITHOUT the single-partition window trap (SURVEY §2.5
-    // W2): range-repartition on the sort key, sort within partitions,
-    // then zipWithIndex (per-partition counts + driver prefix sum — the
-    // DocIdAssigner pattern). Scales to a 10^8-term vocabulary.
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
-    val agg = TextOps.termFrequencies(t(s, dir, "documents"))
+    // W2) and WITHOUT the RDD API (input_hint): the DocIdAssigner
+    // pid-column pattern over the (df, term) sort key —
+    //  1. deterministic sample (hash-mod filter on row VALUES — the
+    //     dictionary's exact counts make every pass see identical rows)
+    //     → range boundaries, compared in UTF-8 byte order (= Spark's
+    //     and DuckDB's binary string order);
+    //  2. pid = boundary binary search, a pure function of the row;
+    //  3. per-pid counts → broadcast prefix-sum offsets;
+    //  4. steered repartition (one pid = exactly one task) + in-task
+    //     running counter keyed by the pid COLUMN.
+    // Scales to a 10^8-term vocabulary: no partition ever holds more
+    // than ~|V|/p rows and no global sort happens before the final
+    // (inherently ordered) output.
+    import s.implicits._
+    import graft.index.DocIdAssigner.{steeringKeys, utf8Compare}
+    val dict = TextOps.termFrequencies(t(s, dir, "documents"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val parts = math.max(1, s.sessionState.conf.numShufflePartitions / 2)
-    val ranked = agg.repartitionByRange(parts, col("df"), col("term"))
-      .sortWithinPartitions(col("df"), col("term"))
-      .rdd.zipWithIndex()
-      .map { case (r, i) => Row(r.getString(0), r.getLong(1), (i + 1).toInt) }
-    s.createDataFrame(ranked, StructType(Seq(
-        StructField("term", StringType), StructField("df", LongType),
-        StructField("rank", IntegerType))))
-      .orderBy(col("rank"))
+      .cache() // 3 passes below; values are deterministic, cache is speed-only
+    try {
+      val n = dict.count()
+      val p = math.max(1, s.sessionState.conf.numShufflePartitions / 2)
+      val sampleMod = math.max(1L, n / math.max(1L, p.toLong * 200L))
+      val keyOrd: Ordering[(Long, String)] = new Ordering[(Long, String)] {
+        def compare(a: (Long, String), b: (Long, String)): Int = {
+          val c = java.lang.Long.compare(a._1, b._1)
+          if (c != 0) c else utf8Compare(a._2, b._2)
+        }
+      }
+      val keys = dict
+        .filter(pmod(xxhash64(col("df"), col("term")), lit(sampleMod)) === 0)
+        .select(col("df"), col("term")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted(keyOrd)
+      val bnds: Array[(Long, String)] =
+        if (keys.isEmpty) Array.empty
+        else (1 until p).map(i => keys(math.min(keys.length - 1, i * keys.length / p)))
+          .distinct.toArray
+      val nPids = bnds.length + 1
+      val bB = s.sparkContext.broadcast(bnds)
+      val bSteer = s.sparkContext.broadcast(steeringKeys(nPids))
+      val pidUdf = udf { (df: Long, term: String) =>
+        val b = bB.value
+        var lo = 0; var hi = b.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          val c = { val x = java.lang.Long.compare(df, b(mid)._1)
+                    if (x != 0) x else utf8Compare(term, b(mid)._2) }
+          if (c >= 0) lo = mid + 1 else hi = mid
+        }
+        lo
+      }
+      val withPid = dict.withColumn("pid", pidUdf(col("df"), col("term")))
+      val counts = withPid.groupBy(col("pid")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets = new Array[Long](nPids)
+      var acc = 1L // rank is 1-based
+      var i = 0
+      while (i < nPids) { offsets(i) = acc; acc += counts.getOrElse(i, 0L); i += 1 }
+      val bOff = s.sparkContext.broadcast(offsets)
+      val pkeyUdf = udf((pid: Int) => bSteer.value(pid))
+      val ranked = withPid
+        .withColumn("pkey", pkeyUdf(col("pid")))
+        .repartition(nPids, col("pkey"))
+        .sortWithinPartitions(col("pid"), col("df"), col("term"))
+        .mapPartitions { it =>
+          var curPid = -1
+          var next = 0L
+          it.map { r => // (term, df, pid, pkey)
+            val pid = r.getInt(2)
+            if (pid != curPid) { curPid = pid; next = bOff.value(pid) }
+            val rank = next
+            next += 1
+            (r.getString(0), r.getLong(1), rank.toInt)
+          }
+        }
+        .toDF("term", "df", "rank")
+      // NOT collected: the result is the whole dictionary — it stays a
+      // lazy distributed frame (re-derives dict once more on evaluation
+      // after the unpersist below; all passes are value-deterministic)
+      ranked.orderBy(col("rank"))
+    } finally dict.unpersist()
   }
 
   val o1DfOrderSql: String =

@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analysis.Analyzer
@@ -22,15 +22,23 @@ import graft.model.{Doc, Turn}
   * a 4.5M-doc probe). The fix moves the grouping key INTO the data:
   *
   *   1. one pass samples keys deterministically (row-hash filter, fixed
-  *      modulus) → the driver derives RANGE BOUNDARIES once;
+  *      modulus) → the driver derives RANGE BOUNDARIES once, compared in
+  *      UTF-8 byte order (= Spark's UTF8String binary sort order — Java
+  *      String.compareTo is UTF-16 code-unit order and disagrees for
+  *      supplementary-plane vs U+E000–U+FFFF keys);
   *   2. every row gets a `pid` column = binary search of its key in the
   *      broadcast boundaries — a pure function of the ROW, not of any
   *      physical plan;
-  *   3. `repartition(col("pid"))` + sortWithinPartitions(pid, key): both
-  *      subsequent jobs (per-pid counts+fingerprint; docId assignment)
-  *      are deterministic functions of row values, so ANY recomputation
-  *      — replayed stages, different job plans, task retries — yields
-  *      identical docIds.
+  *   3. shuffle on a STEERED key (`pkey`): for each pid the driver
+  *      pre-computes an int j with pmod(murmur3(j, 42), nPids) == pid, so
+  *      `repartition(nPids, $"pkey")` maps each range bucket to EXACTLY
+  *      one task. (Hashing the raw pid would strand ~1/e of the tasks
+  *      empty and pile 2-3 whole buckets on others — same correctness,
+  *      up to ~3× the intended per-task work/memory.) Both downstream
+  *      jobs (per-pid counts+fingerprint; docId assignment) stay keyed by
+  *      the pid COLUMN, so any recomputation — replayed stages, different
+  *      job plans, task retries — yields identical docIds even if the
+  *      steering assumption ever broke.
   *
   * Document length `dl` (BM25 norm) is computed in the same pass so the
   * text is tokenized once per doc on this path.
@@ -46,16 +54,33 @@ object DocIdAssigner {
     (a.toLong << 32) | (b.toLong & 0xffffffffL)
   }
 
-  /** `ranges(pid)` = (first, last) docId of range-partition `pid` (only
-    * non-empty partitions present) — free from the offsets prefix-sum; the
-    * build stamps them into the manifest as shard docId ranges. */
+  /** Unsigned lexicographic UTF-8 byte comparison — matches Spark's
+    * UTF8String binary ordering exactly (which `sortWithinPartitions`
+    * uses), unlike String.compareTo (UTF-16 code units). */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    java.util.Arrays.compareUnsigned(x, y)
+  }
+
+  private val keyOrdering: Ordering[(String, Int)] = new Ordering[(String, Int)] {
+    def compare(a: (String, Int), b: (String, Int)): Int = {
+      val c = utf8Compare(a._1, b._1)
+      if (c != 0) c else Integer.compare(a._2, b._2)
+    }
+  }
+
+  /** `ranges(shard)` = (first, last) docId of shard (only non-empty
+    * shards present) — free from the offsets prefix-sum; the build stamps
+    * them into the manifest as shard docId ranges. */
   final case class AssignStats(nDocs: Long, fingerprint: String,
                                ranges: Map[Int, (Long, Long)] = Map.empty)
 
   /** Range boundaries from a deterministic sample: every key whose hash
     * is ≡ 0 mod `sampleMod` is collected (uniform over keys, independent
-    * of physical layout), sorted, and p-1 quantiles taken. ≤ p-1 distinct
-    * boundaries; duplicates collapse (fewer effective partitions). */
+    * of physical layout), sorted in UTF-8 order, and p-1 quantiles taken.
+    * ≤ p-1 distinct boundaries; duplicates collapse (fewer effective
+    * partitions). */
   private def sampleBoundaries(turns: Dataset[Turn], n: Long,
                                p: Int): Array[(String, Int)] = {
     import turns.sparkSession.implicits._
@@ -67,14 +92,14 @@ object DocIdAssigner {
       .select($"conv_id", $"turn_idx")
       .collect()
       .map(r => (r.getString(0), r.getInt(1)))
-      .sorted
+      .sorted(keyOrdering)
     if (keys.isEmpty) return Array.empty
     (1 until p).map { i =>
       keys(math.min(keys.length - 1, i * keys.length / p))
     }.distinct.toArray
   }
 
-  /** pid = number of boundaries <= key (binary search). */
+  /** pid = number of boundaries <= key (binary search, UTF-8 order). */
   private def pidOf(boundaries: Array[(String, Int)],
                     convId: String, turnIdx: Int): Int = {
     var lo = 0
@@ -83,7 +108,7 @@ object DocIdAssigner {
       val mid = (lo + hi) >>> 1
       val b = boundaries(mid)
       val cmp = {
-        val c = convId.compareTo(b._1)
+        val c = utf8Compare(convId, b._1)
         if (c != 0) c else Integer.compare(turnIdx, b._2)
       }
       if (cmp >= 0) lo = mid + 1 else hi = mid
@@ -91,23 +116,55 @@ object DocIdAssigner {
     lo
   }
 
-  def assign(spark: SparkSession, turns: Dataset[Turn], partitions: Int = 0): Dataset[Doc] =
-    assignWithStats(spark, turns, partitions)._1
+  /** Shuffle-key steering: keys(pid) = the smallest int j whose Spark
+    * hash-partition slot among nPids is exactly pid, i.e.
+    * pmod(Murmur3_x86_32.hashInt(j, 42), nPids) == pid — the same
+    * function `repartition(nPids, $"pkey")` applies to an IntegerType
+    * column (HashPartitioning: Pmod(Murmur3Hash(expr, seed=42), n)).
+    * Expected search cost is nPids·H(nPids) probes (coupon collector) on
+    * the driver. Pinned by DocIdIntegritySpec's steering test so a Spark
+    * upgrade that changes the hash shows up as a test failure, not a
+    * silent balance regression. */
+  private[graft] def steeringKeys(nPids: Int): Array[Int] = {
+    val keys = new Array[Int](nPids)
+    val found = new Array[Boolean](nPids)
+    var remaining = nPids
+    var j = 0
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(j, 42)
+      val pid = ((h % nPids) + nPids) % nPids
+      if (!found(pid)) { found(pid) = true; keys(pid) = j; remaining -= 1 }
+      j += 1
+    }
+    keys
+  }
 
-  def assignWithStats(spark: SparkSession, turns: Dataset[Turn],
-                      partitions: Int = 0): (Dataset[Doc], AssignStats) = {
+  /** The single assignment pass shared by fresh builds and appends
+    * (docId-integrity logic must exist in exactly one copy). Returns
+    * rows (docId, conv_id, turn_idx, role, text, tool, dl, shard) with
+    * docId = baseDocId + dense rank of (conv_id, turn_idx) within
+    * `turns`, and shard = baseShard + range-bucket id (each shard is a
+    * CONTIGUOUS docId range by construction, so a `partitionBy("shard")`
+    * write needs no further shuffle — each task owns whole shards). */
+  private[graft] def assignCore(spark: SparkSession, turns: Dataset[Turn],
+                                buckets: Int, baseDocId: Long = 0L,
+                                baseShard: Int = 0): (DataFrame, AssignStats) = {
     import spark.implicits._
-    val p = if (partitions > 0) partitions
+    val p = if (buckets > 0) buckets
             else spark.sessionState.conf.numShufflePartitions
     val n = turns.count() // parquet sources answer from footers
     val boundaries = sampleBoundaries(turns, n, p)
-    val bB = spark.sparkContext.broadcast(boundaries)
-    val pidUdf = udf((c: String, t: Int) => pidOf(bB.value, c, t))
     val nPids = boundaries.length + 1
+    val bB = spark.sparkContext.broadcast(boundaries)
+    val bSteer = spark.sparkContext.broadcast(steeringKeys(nPids))
+    val pidUdf = udf((c: String, t: Int) => pidOf(bB.value, c, t))
+    val pkeyUdf = udf((pid: Int) => bSteer.value(pid))
 
+    // Turn fields land at ordinals 0-5, pid at 6, pkey at 7.
     val parted = turns
       .withColumn("pid", pidUdf($"conv_id", $"turn_idx"))
-      .repartition(nPids, $"pid")
+      .withColumn("pkey", pkeyUdf($"pid"))
+      .repartition(nPids, $"pkey")
       .sortWithinPartitions($"pid", $"conv_id", $"turn_idx")
 
     // Job A: per-PID counts + corpus fingerprint in one pass. Keyed by the
@@ -128,7 +185,7 @@ object DocIdAssigner {
     val counts: Map[Int, Long] = perPid.map(x => x._1 -> x._2).toMap
 
     val offsets = new Array[Long](nPids)
-    var acc = 0L
+    var acc = baseDocId
     var i = 0
     while (i < nPids) {
       offsets(i) = acc
@@ -136,7 +193,7 @@ object DocIdAssigner {
       i += 1
     }
     val ranges = counts.collect { case (pid, c) if c > 0 =>
-      pid -> (offsets(pid), offsets(pid) + c - 1)
+      (baseShard + pid) -> (offsets(pid), offsets(pid) + c - 1)
     }.toMap
     val stats = AssignStats(perPid.map(_._2).sum,
       s"${perPid.map(_._2).sum}-${perPid.map(_._3).foldLeft(0L)(_ ^ _)}",
@@ -146,71 +203,7 @@ object DocIdAssigner {
     // Job B: assign ids — also keyed by the pid column; rows within a
     // partition are (pid, key)-sorted, so the running index per pid is a
     // pure function of row values.
-    val docs = parted.mapPartitions { it =>
-      var curPid = -1
-      var next = 0L
-      it.map { r =>
-        val pid = r.getInt(6)
-        if (pid != curPid) { curPid = pid; next = bOffsets.value(pid) }
-        val id = next
-        next += 1
-        Doc(id, r.getString(0), r.getInt(1), r.getString(2), r.getString(3),
-          r.getString(4), Analyzer.tokens(r.getString(3)).length)
-      }
-    }
-    (docs, stats)
-  }
-
-  /** As [[assign]], plus `shard` = the pid (range bucket). Each shard is a
-    * CONTIGUOUS docId range by construction (range bucketing + in-bucket
-    * dense assignment), and a `partitionBy("shard")` write needs no
-    * further shuffle — each task owns whole shards
-    * (IndexBuilder's single-wide-shuffle build depends on this). */
-  def assignWithShard(spark: SparkSession, turns: Dataset[Turn],
-                      shards: Int): (org.apache.spark.sql.DataFrame, AssignStats) = {
-    import spark.implicits._
-    val p = if (shards > 0) shards
-            else spark.sessionState.conf.numShufflePartitions
-    val n = turns.count()
-    val boundaries = sampleBoundaries(turns, n, p)
-    val bB = spark.sparkContext.broadcast(boundaries)
-    val pidUdf = udf((c: String, t: Int) => pidOf(bB.value, c, t))
-    val nPids = boundaries.length + 1
-
-    val parted = turns
-      .withColumn("pid", pidUdf($"conv_id", $"turn_idx"))
-      .repartition(nPids, $"pid")
-      .sortWithinPartitions($"pid", $"conv_id", $"turn_idx")
-
-    val perPid = parted
-      .mapPartitions { it =>
-        val counts = scala.collection.mutable.LinkedHashMap.empty[Int, (Long, Long)]
-        it.foreach { r =>
-          val pid = r.getInt(6)
-          val h = rowHash(r.getString(0), r.getInt(1), r.getString(3))
-          val (c0, h0) = counts.getOrElse(pid, (0L, 0L))
-          counts.update(pid, (c0 + 1, h0 ^ h))
-        }
-        counts.iterator.map { case (pid, (c, h)) => (pid, c, h) }
-      }
-      .collect()
-    val counts: Map[Int, Long] = perPid.map(x => x._1 -> x._2).toMap
-    val offsets = new Array[Long](nPids)
-    var acc = 0L
-    var i = 0
-    while (i < nPids) {
-      offsets(i) = acc
-      acc += counts.getOrElse(i, 0L)
-      i += 1
-    }
-    val ranges = counts.collect { case (pid, c) if c > 0 =>
-      pid -> (offsets(pid), offsets(pid) + c - 1)
-    }.toMap
-    val stats = AssignStats(perPid.map(_._2).sum,
-      s"${perPid.map(_._2).sum}-${perPid.map(_._3).foldLeft(0L)(_ ^ _)}",
-      ranges)
-    val bOffsets = spark.sparkContext.broadcast(offsets)
-
+    val shardBase = baseShard
     val df = parted.mapPartitions { it =>
       var curPid = -1
       var next = 0L
@@ -220,9 +213,25 @@ object DocIdAssigner {
         val id = next
         next += 1
         (id, r.getString(0), r.getInt(1), r.getString(2), r.getString(3),
-          r.getString(4), Analyzer.tokens(r.getString(3)).length, pid)
+          r.getString(4), Analyzer.tokens(r.getString(3)).length, shardBase + pid)
       }
     }.toDF("docId", "conv_id", "turn_idx", "role", "text", "tool", "dl", "shard")
     (df, stats)
   }
+
+  def assign(spark: SparkSession, turns: Dataset[Turn], partitions: Int = 0): Dataset[Doc] =
+    assignWithStats(spark, turns, partitions)._1
+
+  def assignWithStats(spark: SparkSession, turns: Dataset[Turn],
+                      partitions: Int = 0): (Dataset[Doc], AssignStats) = {
+    import spark.implicits._
+    val (df, stats) = assignCore(spark, turns, partitions)
+    (df.drop("shard").as[Doc], stats)
+  }
+
+  /** As [[assign]], plus `shard` = the range bucket (IndexBuilder's
+    * single-wide-shuffle build depends on shard↔docId-range contiguity). */
+  def assignWithShard(spark: SparkSession, turns: Dataset[Turn],
+                      shards: Int): (DataFrame, AssignStats) =
+    assignCore(spark, turns, shards)
 }

@@ -82,8 +82,18 @@ object IndexBuilder {
       CorpusStats(manifest.nDocs, manifest.avgdl, manifest.analyzerVersion)
   }
 
-  private def hasSuccess(dir: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
+  /** Thrown by [[build]] when `cancelCheck` fires between waves — the
+    * Spark analog of the reference's `GET /api/stopIndexing`
+    * (ApiController.java:33-37; stop-flag cascade IndexingServiceImpl
+    * .java:113-124, ParseAction.java:245-257). Every wave committed
+    * before the cancel stays in the manifest; rerunning `build` resumes
+    * without recomputation. */
+  final class BuildCancelledException(msg: String) extends RuntimeException(msg)
+
+  private def hasSuccess(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   private val timing = sys.env.get("GRAFT_BUILD_TIMING").contains("1")
   private def timed[A](stage: String)(f: => A): A = {
@@ -108,29 +118,43 @@ object IndexBuilder {
     * alignment falls out of one-multi-GB-file-per-shard plus default
     * split sizes; chunk ordering is firstDocId-based anyway, so alignment
     * is an efficiency matter, not correctness. */
-  private def withOneFilePerTask[A](spark: SparkSession, dir: String)
-                                   (f: DataFrame => A): A = {
-    // Hadoop FileSystem API — works on HDFS/S3/local alike (java.nio
-    // would throw off-box)
-    var maxFile = 1L
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(path, true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-        maxFile = math.max(maxFile, st.getLen)
-    }
-    maxFile += 1
+  private[graft] def withOneFilePerTask[A](spark: SparkSession, dir: String)
+                                          (f: DataFrame => A): A = {
+    val (maxFile, _) = parquetLayout(spark, dir)
+    val split = (maxFile + 1).toString
     val oldMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
     val oldCost = spark.conf.get("spark.sql.files.openCostInBytes")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", maxFile.toString)
-    spark.conf.set("spark.sql.files.openCostInBytes", maxFile.toString)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", split)
+    spark.conf.set("spark.sql.files.openCostInBytes", split)
     try f(spark.read.parquet(dir))
     finally {
       spark.conf.set("spark.sql.files.maxPartitionBytes", oldMax)
       spark.conf.set("spark.sql.files.openCostInBytes", oldCost)
     }
+  }
+
+  /** One recursive listing of `dir` (Hadoop FileSystem API — works on
+    * HDFS/S3/local alike; java.nio would throw off-box): the largest
+    * .parquet file size, and whether every leaf directory holds AT MOST
+    * ONE parquet file — the layout invariant the query engine's
+    * shuffle-free shard-aligned scan depends on (one `shard=K` dir ⇒ one
+    * file ⇒ one task ⇒ the task sees the WHOLE shard). */
+  private[graft] def parquetLayout(spark: SparkSession,
+                                   dir: String): (Long, Boolean) = {
+    var maxFile = 1L
+    var onePerDir = true
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        maxFile = math.max(maxFile, st.getLen)
+        if (!seen.add(st.getPath.getParent.toString)) onePerDir = false
+      }
+    }
+    (maxFile, onePerDir)
   }
 
   /** Per-shard (terms, postings, bytes, sumDl) metrics collected by the
@@ -158,10 +182,18 @@ object IndexBuilder {
     override def value: Map[Int, (Long, Long, Long, Long)] = m.toMap
   }
 
+  /** `cancelCheck` is consulted before every posting wave (the reference's
+    * stopIndexing analog): when it returns true the build throws
+    * [[BuildCancelledException]] after the last committed manifest
+    * snapshot — already-committed waves survive and a rerun resumes. Each
+    * wave also runs under a Spark job group (`graft-build-wave-i`) with
+    * interruptOnCancel, so an external `cancelJobGroup` stops the running
+    * wave's tasks too. */
   def build(spark: SparkSession, turns: Dataset[Turn], root: String,
             shards: Int = DefaultShards, waveSize: Int = 16,
             maxChunkPostings: Int = MaxChunkPostings,
-            stem: Boolean = false): BuiltIndex = {
+            stem: Boolean = false,
+            cancelCheck: () => Boolean = () => false): BuiltIndex = {
     import spark.implicits._
     val P = Paths(root)
     // analyzer variant is a BUILD property, pinned in the manifest; the
@@ -176,7 +208,7 @@ object IndexBuilder {
     // without that, build(spark, newTurns, existingRoot) would silently
     // complete an index over the OLD corpus.
     val (nDocs, fingerprint, shardRanges) =
-      if (!hasSuccess(P.docs)) timed("docs") {
+      if (!hasSuccess(spark, P.docs)) timed("docs") {
         // full-table overwrite: pin static mode explicitly — dynamic mode
         // (left set by maintenance jobs) skips the _SUCCESS marker the
         // checkpoint/resume contract depends on
@@ -236,7 +268,7 @@ object IndexBuilder {
     IndexManifest.read(root) match {
       case Some(m) if m.inputFingerprint == fingerprint &&
           m.analyzerVersion == analyzerVersion &&
-          m.completedShards.size >= shards && hasSuccess(P.termStats) =>
+          m.completedShards.size >= shards && hasSuccess(spark, P.termStats) =>
         return BuiltIndex(root, m)
       case Some(m) if m.inputFingerprint != fingerprint ||
           m.analyzerVersion != analyzerVersion =>
@@ -267,14 +299,21 @@ object IndexBuilder {
     // killed run) is handled correctly.
     var firstFreshWave = done.isEmpty
 
-    missing.grouped(math.max(1, waveSize)).foreach { wave =>
+    missing.grouped(math.max(1, waveSize)).zipWithIndex.foreach { case (wave, wi) =>
+      if (cancelCheck())
+        throw new BuildCancelledException(
+          s"build at $root cancelled before wave $wi " +
+          s"(${manifest.completedShards.size}/$shards shards committed); " +
+          "rerun build to resume from the last manifest snapshot")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode",
         if (firstFreshWave) "static" else "dynamic")
       firstFreshWave = false
       val waveSet = wave.toSet
       val acc = new ShardMetricsAcc
       spark.sparkContext.register(acc, "shardMetrics")
-      timed(s"postings-wave") {
+      spark.sparkContext.setJobGroup(s"graft-build-wave-$wi",
+        s"graft index build $root wave $wi", interruptOnCancel = true)
+      try timed(s"postings-wave") {
         withOneFilePerTask(spark, P.docs) { docsAll =>
           val waveDocs = docsAll.filter($"shard".isin(wave: _*))
             .select($"docId", $"dl", $"shard", $"text")
@@ -291,7 +330,7 @@ object IndexBuilder {
           encoded.write.mode(SaveMode.Overwrite)
             .partitionBy("shard").parquet(P.postings)
         }
-      }
+      } finally spark.sparkContext.clearJobGroup()
 
       // per-shard metrics (terms, postings, bytes, sumDl) + lineage for
       // the manifest, collected by the encode tasks (accumulator — no
@@ -322,13 +361,30 @@ object IndexBuilder {
     // skew is structurally bounded and the r01 salted two-phase agg is no
     // longer needed on this path. Reads ~compressed-postings bytes, not
     // the raw tf relation.
-    if (!hasSuccess(P.termStats)) timed("term-stats") {
+    if (!hasSuccess(spark, P.termStats)) timed("term-stats") {
       spark.read.parquet(P.postings)
         .groupBy($"term")
         .agg(sum($"count").as("df"), max($"maxTf").as("maxTf"),
           sum($"sumTf").as("sumTf"))
         .select($"term", $"df", $"maxTf".cast("int").as("maxTf"), $"sumTf")
         .write.mode(SaveMode.Overwrite).parquet(P.termStats)
+    }
+
+    // ---- finalize: EXACT avgdl from term_stats -------------------------
+    // The per-wave manifest avgdl derives from ShardMetricsAcc, and
+    // accumulator updates from retried/speculative tasks double-count on
+    // real clusters (fine for progress metrics, not for a BM25 scoring
+    // input). Recompute avgdl exactly from the written term_stats
+    // (Σ sumTf == Σ dl — a set-based aggregate, retry-safe) and commit a
+    // finalizing snapshot IF it differs. Deterministic local runs have no
+    // retries, so the values match and no extra snapshot is committed.
+    val sumRow = spark.read.parquet(P.termStats).agg(sum($"sumTf")).head()
+    val exactSumDl = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+    val exactAvgdl = exactSumDl.toDouble / math.max(1L, nDocs)
+    if (manifest.avgdl != exactAvgdl) {
+      manifest = manifest.copy(snapshotId = manifest.snapshotId + 1,
+        avgdl = exactAvgdl)
+      IndexManifest.commit(root, manifest)
     }
 
     BuiltIndex(root, manifest)

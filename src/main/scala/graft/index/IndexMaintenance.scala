@@ -146,31 +146,37 @@ object IndexMaintenance {
         $"dl", $"shard")
       .sortWithinPartitions($"shard", $"docId")
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(tmpDocs)
-    swapShardDirs(P.docs, tmpDocs, shards)
+    swapShardDirs(spark, P.docs, tmpDocs, shards)
 
     // postings for affected shards — straight from docs, as the build
-    // (in-task term counts; analyzer variant from the manifest)
+    // (in-task term counts; analyzer variant from the manifest). The
+    // one-file-per-task guard matters here exactly as in the build: a
+    // docs file split across scan tasks would restart chunk ordinals per
+    // task, inflating the manifest `terms` metric (chunk==0 counted per
+    // task) and producing multi-file shard dirs that knock the query
+    // path off its shuffle-free aligned scan.
     val stem = IndexManifest.read(root).exists(_.analyzerVersion == Analyzer.StemVersion)
     val acc = new IndexBuilder.ShardMetricsAcc
     spark.sparkContext.register(acc, "maintShardMetrics")
-    spark.read.parquet(P.docs).filter($"shard".isin(shards: _*))
-      .select($"docId", $"dl", $"shard", $"text")
-      .mapPartitions { rows =>
-        IndexBuilder.invertDocsPartition(rows, stem,
-          IndexBuilder.MaxChunkPostings,
-          IndexBuilder.MaxBufferedPostings).map { pl =>
-          acc.add((pl.shard, if (pl.chunk == 0) 1L else 0L, pl.count,
-            pl.docIds.length.toLong + pl.tfs.length + pl.dls.length,
-            pl.sumTf))
-          pl
+    IndexBuilder.withOneFilePerTask(spark, P.docs) { docsAll =>
+      docsAll.filter($"shard".isin(shards: _*))
+        .select($"docId", $"dl", $"shard", $"text")
+        .mapPartitions { rows =>
+          IndexBuilder.invertDocsPartition(rows, stem,
+            IndexBuilder.MaxChunkPostings,
+            IndexBuilder.MaxBufferedPostings).map { pl =>
+            acc.add((pl.shard, if (pl.chunk == 0) 1L else 0L, pl.count,
+              pl.docIds.length.toLong + pl.tfs.length + pl.dls.length,
+              pl.sumTf))
+            pl
+          }
         }
-      }
-      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(P.postings)
+        .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(P.postings)
+    }
     // a shard whose docs were all deleted has no rows left: drop its files
     val written = acc.value.keySet
     shards.filterNot(written).foreach { s0 =>
-      val dir = java.nio.file.Paths.get(s"${P.postings}/shard=$s0")
-      if (java.nio.file.Files.isDirectory(dir)) deleteRec(dir)
+      deleteDir(spark, s"${P.postings}/shard=$s0")
     }
 
     // term stats: exact re-aggregation over the postings pre-aggregates,
@@ -200,18 +206,35 @@ object IndexMaintenance {
                           turns: Seq[Turn], newShards: Int = 1): Seq[Int] = {
     import spark.implicits._
     require(turns.nonEmpty, "nothing to append")
+    appendConversationsDs(spark, root, spark.createDataset(turns), newShards)
+  }
+
+  /** Scale variant (VERDICT r02 item 5): the batch arrives as a
+    * `Dataset[Turn]` and never materializes on the driver — a 100k-turn
+    * backfill plans exactly like a 3-turn micro-batch. docId assignment
+    * reuses [[DocIdAssigner.assignCore]] (the pid-column range-bucket
+    * pass) offset past the current maximum, so the in-batch order is the
+    * same dense (conv_id, turn_idx) rank a fresh build would give and the
+    * docId-integrity logic exists in exactly one place. */
+  def appendConversationsDs(spark: SparkSession, root: String,
+                            turns: org.apache.spark.sql.Dataset[Turn],
+                            newShards: Int = 1): Seq[Int] = {
+    import spark.implicits._
     SearchEngine.disableServingCache(root) // before rewrites: see deleteConversationsDf
     val P = IndexBuilder.Paths(root)
     val maxDocId = IndexBuilder.loadDocs(spark, root)
       .agg(max($"docId")).head().getLong(0)
-    val newConvs = turns.map(_.conv_id).distinct
-    val clashes = IndexBuilder.loadDocs(spark, root)
-      .filter($"conv_id".isin(newConvs: _*))
-      .select($"conv_id", $"turn_idx").collect()
-      .map(r => (r.getString(0), r.getInt(1))).toSet
-    val dup = turns.map(t => (t.conv_id, t.turn_idx)).filter(clashes)
+    // existing keys are rejected distributively (semi join — only the ≤5
+    // offending examples ever reach the driver; Catalyst broadcasts the
+    // smaller side itself, so a giant backfill doesn't force a broadcast)
+    val dup = IndexBuilder.loadDocs(spark, root)
+      .select($"conv_id", $"turn_idx")
+      .join(turns.select($"conv_id", $"turn_idx").distinct(),
+        Seq("conv_id", "turn_idx"), "left_semi")
+      .take(5)
+      .map(r => (r.getString(0), r.getInt(1)))
     require(dup.isEmpty,
-      s"appendConversations requires NEW keys; existing: ${dup.take(5)} " +
+      s"appendConversations requires NEW keys; existing: ${dup.toSeq} " +
       "(updates go through replaceTurns)")
     val maxShard = {
       val m = IndexManifest.read(root).getOrElse(
@@ -219,39 +242,40 @@ object IndexMaintenance {
       m.shards.map(_.shard).max
     }
 
-    // assign docIds continuing the dense rank; spread over newShards
-    val sortedNew = turns.sortBy(t => (t.conv_id, t.turn_idx))
-    val perShard = math.max(1, (sortedNew.size + newShards - 1) / newShards)
-    val rows = sortedNew.zipWithIndex.map { case (t, i) =>
-      (maxDocId + 1 + i, t.conv_id, t.turn_idx, t.role, t.text, t.tool,
-        Analyzer.tokens(t.text).length, maxShard + 1 + i / perShard)
-    }
-    val newDocs = rows.toDF("docId", "conv_id", "turn_idx", "role", "text",
-      "tool", "dl", "shard")
-    val shards = rows.map(_._8).distinct.sorted
+    // docIds continue the dense rank after maxDocId, spread over
+    // newShards fresh contiguous-range shards
+    val (newDocs, stats) = DocIdAssigner.assignCore(spark, turns,
+      buckets = newShards, baseDocId = maxDocId + 1, baseShard = maxShard + 1)
+    require(stats.nDocs > 0, "nothing to append")
+    val shards = stats.ranges.keys.toSeq.sorted
 
-    val stem = IndexManifest.read(root).exists(_.analyzerVersion == Analyzer.StemVersion)
-    newDocs.repartition(shards.size, $"shard")
+    newDocs
+      .select($"docId", $"conv_id", $"turn_idx", $"role", $"text", $"tool",
+        $"dl", $"shard")
       .sortWithinPartitions($"shard", $"docId")
       .write.mode(SaveMode.Append).partitionBy("shard").parquet(P.docs)
 
-    // postings for the new shards only — straight from docs
+    // postings for the new shards only — straight from docs, one file
+    // per task (shard↔task alignment, as the build)
+    val stem = IndexManifest.read(root).exists(_.analyzerVersion == Analyzer.StemVersion)
     val acc = new IndexBuilder.ShardMetricsAcc
     spark.sparkContext.register(acc, "appendShardMetrics")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    spark.read.parquet(P.docs).filter($"shard".isin(shards: _*))
-      .select($"docId", $"dl", $"shard", $"text")
-      .mapPartitions { rs =>
-        IndexBuilder.invertDocsPartition(rs, stem,
-          IndexBuilder.MaxChunkPostings,
-          IndexBuilder.MaxBufferedPostings).map { pl =>
-          acc.add((pl.shard, if (pl.chunk == 0) 1L else 0L, pl.count,
-            pl.docIds.length.toLong + pl.tfs.length + pl.dls.length,
-            pl.sumTf))
-          pl
+    IndexBuilder.withOneFilePerTask(spark, P.docs) { docsAll =>
+      docsAll.filter($"shard".isin(shards: _*))
+        .select($"docId", $"dl", $"shard", $"text")
+        .mapPartitions { rs =>
+          IndexBuilder.invertDocsPartition(rs, stem,
+            IndexBuilder.MaxChunkPostings,
+            IndexBuilder.MaxBufferedPostings).map { pl =>
+            acc.add((pl.shard, if (pl.chunk == 0) 1L else 0L, pl.count,
+              pl.docIds.length.toLong + pl.tfs.length + pl.dls.length,
+              pl.sumTf))
+            pl
+          }
         }
-      }
-      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(P.postings)
+        .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(P.postings)
+    }
 
     // dictionary: exact re-aggregation over postings (after the write)
     refreshTermStats(spark, root)
@@ -274,13 +298,19 @@ object IndexMaintenance {
         sum($"sumTf").as("sumTf"))
       .select($"term", $"df", $"maxTf".cast("int").as("maxTf"), $"sumTf")
       .write.mode(SaveMode.Overwrite).parquet(P.termStats + ".tmp")
-    val fsOld = java.nio.file.Paths.get(P.termStats)
-    val fsTmp = java.nio.file.Paths.get(P.termStats + ".tmp")
-    val fsBak = java.nio.file.Paths.get(P.termStats + ".old")
-    if (java.nio.file.Files.exists(fsBak)) deleteRec(fsBak)
-    java.nio.file.Files.move(fsOld, fsBak)
-    java.nio.file.Files.move(fsTmp, fsOld)
-    deleteRec(fsBak)
+    // Hadoop FileSystem API throughout (HDFS/S3/local alike — the build
+    // path already follows this; java.nio would throw off-box). rename is
+    // atomic on HDFS/local; the .old backup keeps a recoverable copy
+    // through the two-step swap.
+    val fs = fileSystem(spark, P.termStats)
+    val cur = new org.apache.hadoop.fs.Path(P.termStats)
+    val tmp = new org.apache.hadoop.fs.Path(P.termStats + ".tmp")
+    val bak = new org.apache.hadoop.fs.Path(P.termStats + ".old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    fs.rename(cur, bak)
+    fs.rename(tmp, cur)
+    fs.delete(bak, true)
+    ()
   }
 
   private def commitRefreshedManifest(spark: SparkSession, root: String,
@@ -320,23 +350,32 @@ object IndexMaintenance {
         stamped.exists(_.shard == s.shard)) ++ stamped))
   }
 
-  /** Replace `target/shard=K` with `tmp/shard=K` for each affected shard
-    * (absence in tmp ⇒ the shard is now empty ⇒ its dir is removed). */
-  private def swapShardDirs(target: String, tmp: String, shards: Seq[Int]): Unit = {
-    shards.foreach { k =>
-      val dst = java.nio.file.Paths.get(s"$target/shard=$k")
-      val src = java.nio.file.Paths.get(s"$tmp/shard=$k")
-      if (java.nio.file.Files.isDirectory(dst)) deleteRec(dst)
-      if (java.nio.file.Files.isDirectory(src))
-        java.nio.file.Files.move(src, dst)
-    }
-    val tmpPath = java.nio.file.Paths.get(tmp)
-    if (java.nio.file.Files.exists(tmpPath)) deleteRec(tmpPath)
+  private def fileSystem(spark: SparkSession,
+                         path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = fileSystem(spark, dir)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
   }
 
-  private def deleteRec(p: java.nio.file.Path): Unit =
-    java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+  /** Replace `target/shard=K` with `tmp/shard=K` for each affected shard
+    * (absence in tmp ⇒ the shard is now empty ⇒ its dir is removed).
+    * Hadoop FileSystem API — works on HDFS/S3/local alike. */
+  private def swapShardDirs(spark: SparkSession, target: String, tmp: String,
+                            shards: Seq[Int]): Unit = {
+    val fs = fileSystem(spark, target)
+    shards.foreach { k =>
+      val dst = new org.apache.hadoop.fs.Path(s"$target/shard=$k")
+      val src = new org.apache.hadoop.fs.Path(s"$tmp/shard=$k")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (fs.exists(src)) fs.rename(src, dst)
+    }
+    deleteDir(spark, tmp)
+  }
 
   final case class DocWithShard(docId: Long, conv_id: String, turn_idx: Int,
                                 role: String, text: String, tool: String,

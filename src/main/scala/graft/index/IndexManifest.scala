@@ -1,8 +1,8 @@
 package graft.index
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Iceberg-style snapshot manifest for the posting index (SURVEY.md §7.0.5,
   * §7.6). No Iceberg runtime jar exists in the offline sandbox, so this
@@ -47,14 +47,24 @@ final case class Manifest(
 
 object IndexManifest {
 
+  /** Hadoop FileSystem for `root` — works on HDFS/S3/local alike (the
+    * java.nio API would throw off-box). Driver-side only; picks up the
+    * active session's Hadoop conf when one exists. */
+  private def fs(root: String): FileSystem =
+    new Path(root).getFileSystem(
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration()))
+
   private def manifestPath(root: String, v: Long): Path =
-    Paths.get(root, f"manifest-v$v%05d.json")
+    new Path(root, f"manifest-v$v%05d.json")
 
   def latestVersion(root: String): Option[Long] = {
-    val dir = Paths.get(root)
-    if (!Files.isDirectory(dir)) return None
-    val vs = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+    val dir = new Path(root)
+    val f = fs(root)
+    if (!f.exists(dir) || !f.getFileStatus(dir).isDirectory) return None
+    val vs = f.listStatus(dir).iterator
+      .map(_.getPath.getName)
       .collect { case s if s.startsWith("manifest-v") && s.endsWith(".json") =>
         s.stripPrefix("manifest-v").stripSuffix(".json").toLong }
       .toSeq
@@ -62,7 +72,11 @@ object IndexManifest {
   }
 
   def read(root: String): Option[Manifest] = latestVersion(root).map { v =>
-    val lines = Files.readAllLines(manifestPath(root, v), StandardCharsets.UTF_8).asScala
+    val in = fs(root).open(manifestPath(root, v))
+    val text =
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    val lines = text.split('\n').toSeq
     val head = parseFields(lines.head)
     val shards = lines.tail.filter(_.nonEmpty).map { l =>
       val f = parseFields(l)
@@ -77,9 +91,12 @@ object IndexManifest {
       head("inputFingerprint"), head("nDocs").toLong, head("avgdl").toDouble, shards)
   }
 
-  /** Commit a new snapshot: write tmp, fsync, atomic rename. */
+  /** Commit a new snapshot: write tmp, atomic rename (atomic on
+    * HDFS/local; on S3 rename is copy+delete — a real deployment slots
+    * Iceberg's catalog commit in here, SURVEY.md §7.0.5). */
   def commit(root: String, m: Manifest): Unit = {
-    Files.createDirectories(Paths.get(root))
+    val f = fs(root)
+    f.mkdirs(new Path(root))
     val sb = new StringBuilder
     sb.append(line(
       "snapshotId" -> m.snapshotId.toString,
@@ -99,10 +116,14 @@ object IndexManifest {
         "maxDocId" -> s.maxDocId.toString,
         "sumDl" -> s.sumDl.toString)).append('\n')
     }
-    val tmp = Paths.get(root, s"manifest-v${m.snapshotId}.json.tmp")
-    Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(root, m.snapshotId),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val tmp = new Path(root, s"manifest-v${m.snapshotId}.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = manifestPath(root, m.snapshotId)
+    if (f.exists(dst)) f.delete(dst, false) // re-commit of the same version
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(s"manifest commit rename failed: $tmp -> $dst")
   }
 
   private def line(kvs: (String, String)*): String =

@@ -74,14 +74,16 @@ object SearchEngine {
       case Some(pre) => queryScoped(spark, root, queryText, mode, k, Seq(pre))
       case None =>
         val stats = statsOf(spark, root)
-        val spec = QuerySpec(
-          Analyzer.analyzeQueryFor(stats.analyzerVersion, queryText), mode, k)
-        val p = plan(spark, root, spec, stats)
-        // terms absent from the dictionary are silently DROPPED and the
-        // rest searched (reference SearchServiceImpl.java:145-148
-        // filter(Objects::nonNull)); empty only when nothing survives
-        if (p.terms.isEmpty) Vector.empty
-        else executePlan(spark, root, p, stats, None)
+        val terms = Analyzer.analyzeQueryFor(stats.analyzerVersion, queryText)
+        memoized(root, QueryKey(terms, mode, k, Nil)) {
+          val spec = QuerySpec(terms, mode, k)
+          val p = plan(spark, root, spec, stats)
+          // terms absent from the dictionary are silently DROPPED and the
+          // rest searched (reference SearchServiceImpl.java:145-148
+          // filter(Objects::nonNull)); empty only when nothing survives
+          if (p.terms.isEmpty) Vector.empty
+          else executePlan(spark, root, p, stats, None)
+        }
     }
 
   /** Multi-scope search (reference multi-site: per-site results computed
@@ -102,6 +104,15 @@ object SearchEngine {
     val version = statsOf(spark, root).analyzerVersion
     val terms = Analyzer.analyzeQueryFor(version, queryText)
     if (terms.isEmpty || scopes.isEmpty) return Vector.empty
+    memoized(root, QueryKey(terms, mode, k, scopes)) {
+      queryScopedUncached(spark, root, terms, mode, k, scopes)
+    }
+  }
+
+  private def queryScopedUncached(spark: SparkSession, root: String,
+                                  terms: Vector[String], mode: String, k: Int,
+                                  scopes: Seq[String]): Vector[SearchHit] = {
+    val version = statsOf(spark, root).analyzerVersion
     val all = scopes.flatMap { pre =>
       val segs = scopeSegments(spark, root, pre)
       if (segs.isEmpty) Vector.empty
@@ -214,6 +225,13 @@ object SearchEngine {
       .collect().toMap
   }
 
+  /** Per-query latency telemetry (VERDICT r02 item 10): set
+    * GRAFT_QUERY_TELEMETRY=1 to emit one stderr JSON line per query with
+    * the phase breakdown (plan/scan+wand/merge, shard-local wand time from
+    * an accumulator, path taken) — latency regressions become diagnosable
+    * from the bench artifact alone. */
+  private val telemetry = sys.env.get("GRAFT_QUERY_TELEMETRY").contains("1")
+
   def executePlan(spark: SparkSession, root: String, p: Plan,
                   stats: CorpusStats,
                   range: Option[(Long, Long)] = None): Vector[SearchHit] = {
@@ -242,55 +260,90 @@ object SearchEngine {
           case None => identity
         }
 
-    val perShard = shardPrune(postingsFor(spark, root))
-      .filter($"term".isin(termList: _*))
-      .select($"shard", $"term", $"chunk", $"count", $"docIds", $"tfs",
-        $"dls", $"blockFirst", $"docOff", $"tfOff", $"dlOff",
-        $"blockMaxTf", $"blockMinDl")
-      // Make per-shard grouping GLOBAL: a parquet scan splits a big shard
-      // file across tasks at row-group boundaries, and posting files are
-      // term-sorted, so without this a shard's term-A chunks and term-B
-      // chunks can land in different tasks — AND would then see
-      // cursors.size < nTerms per fragment and silently drop the shard's
-      // hits, and OR would emit partial-score duplicates. The shuffle is
-      // tiny (only the query terms' postings move) and hash-partitioning
-      // by shard guarantees all of a shard's rows share one partition.
-      .repartition($"shard")
-      .mapPartitions { rows =>
-        // one shuffled partition may pack several whole shards: group
-        val byShard = rows.toVector.groupBy(_.getInt(0))
-        byShard.iterator.flatMap { case (_, shardRows) =>
-          val cursors = shardRows.groupBy(_.getString(1)).map { case (term, rs) =>
-            // chunks concatenate in ascending-docId order; blockFirst(0)
-            // is the chunk's first docId — robust even if a shard's rows
-            // were encoded by several tasks
-            val chunks = rs.map { r =>
-                graft.index.PostingCodec.BlockedList(
-                  r.getLong(3).toInt, r.getAs[Array[Byte]](4),
-                  r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6),
-                  r.getSeq[Long](7).toArray, r.getSeq[Int](8).toArray,
-                  r.getSeq[Int](9).toArray, r.getSeq[Int](10).toArray,
-                  r.getSeq[Int](11).toArray, r.getSeq[Int](12).toArray)
-              }
-              .sortBy(c => if (c.blockFirst.isEmpty) Long.MaxValue
-                           else c.blockFirst(0))
-              .toIndexedSeq
-            new Wand.TermCursor(
-              Wand.TermPostings(term, dfByTerm(term), canonical(term), chunks),
-              nDocs, avgdl)
-          }.toSeq
-          val hits =
-            if (mode == "AND") {
-              // a term absent from this shard ⇒ empty local intersection
-              if (cursors.size < nTerms) Vector.empty
-              else Wand.andTopK(cursors, k, minDoc, maxDoc)
-            } else Wand.orTopK(cursors, k, minDoc, maxDoc)
-          hits.iterator
-        }
-      }
-      .collect()
+    val wandNanos =
+      if (telemetry) Some(spark.sparkContext.longAccumulator("graft.wandNanos"))
+      else None
 
-    perShard.toVector.sortBy(h => (-h.score, h.docId)).take(k)
+    // Per-shard grouping must be COMPLETE inside each task: posting files
+    // are term-sorted, so if a shard's rows split across scan tasks at
+    // row-group boundaries, term-A chunks and term-B chunks land in
+    // different tasks — AND would see cursors.size < nTerms per fragment
+    // and silently drop the shard's hits, OR would emit partial-score
+    // duplicates (EngineParitySpec split-scan test pins this).
+    def shardLocalTopK(selected: DataFrame): Array[SearchHit] =
+      selected
+        .select($"shard", $"term", $"chunk", $"count", $"docIds", $"tfs",
+          $"dls", $"blockFirst", $"docOff", $"tfOff", $"dlOff",
+          $"blockMaxTf", $"blockMinDl")
+        .mapPartitions { rows =>
+          val t0 = System.nanoTime()
+          // one partition may pack several whole shards: group
+          val byShard = rows.toVector.groupBy(_.getInt(0))
+          val out = byShard.iterator.flatMap { case (_, shardRows) =>
+            val cursors = shardRows.groupBy(_.getString(1)).map { case (term, rs) =>
+              // chunks concatenate in ascending-docId order; blockFirst(0)
+              // is the chunk's first docId — robust even if a shard's rows
+              // were encoded by several tasks
+              val chunks = rs.map { r =>
+                  graft.index.PostingCodec.BlockedList(
+                    r.getLong(3).toInt, r.getAs[Array[Byte]](4),
+                    r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6),
+                    r.getSeq[Long](7).toArray, r.getSeq[Int](8).toArray,
+                    r.getSeq[Int](9).toArray, r.getSeq[Int](10).toArray,
+                    r.getSeq[Int](11).toArray, r.getSeq[Int](12).toArray)
+                }
+                .sortBy(c => if (c.blockFirst.isEmpty) Long.MaxValue
+                             else c.blockFirst(0))
+                .toIndexedSeq
+              new Wand.TermCursor(
+                Wand.TermPostings(term, dfByTerm(term), canonical(term), chunks),
+                nDocs, avgdl)
+            }.toSeq
+            val hits =
+              if (mode == "AND") {
+                // a term absent from this shard ⇒ empty local intersection
+                if (cursors.size < nTerms) Vector.empty
+                else Wand.andTopK(cursors, k, minDoc, maxDoc)
+              } else Wand.orTopK(cursors, k, minDoc, maxDoc)
+            hits
+          }.toVector
+          wandNanos.foreach(_.add(System.nanoTime() - t0))
+          out.iterator
+        }
+        .collect()
+
+    // Execution path choice (VERDICT r02 item 2 — the r02 per-query
+    // `repartition($"shard")` fixed split-scan correctness but cost an 8×
+    // cold-latency regression: a shuffle stage per query):
+    //  - every shard dir holds ONE parquet file (the layout every build/
+    //    maintenance write produces) → scan with split sizing pinned to
+    //    the largest file, so one task = one whole shard file and the
+    //    in-task grouping is complete WITHOUT any shuffle — both cold and
+    //    through the serving cache (which pins the aligned frame);
+    //  - multi-file shard dirs (external/legacy layout) → fall back to
+    //    the repartition, trading latency for unconditional correctness.
+    val t0 = System.nanoTime()
+    val (scanFrame, pathName, needShuffle) = cachedPostings.get(root) match {
+      case Some(df) =>
+        val aligned = cachedPostingsAligned.getOrElse(root, false)
+        (df, if (aligned) "cached-aligned" else "cached", !aligned)
+      case None => alignedPostingsFor(spark, root) match {
+        case Some(df) => (df, "aligned", false)
+        case None => (IndexBuilder.loadPostings(spark, root), "repartition", true)
+      }
+    }
+    val selected = shardPrune(scanFrame).filter($"term".isin(termList: _*))
+    val perShard =
+      shardLocalTopK(if (needShuffle) selected.repartition($"shard") else selected)
+    val execMs = (System.nanoTime() - t0) / 1e6
+
+    val merged = perShard.toVector.sortBy(h => (-h.score, h.docId)).take(k)
+    if (telemetry) System.err.println(
+      f"""{"graft_query_telemetry":{"mode":"$mode","terms":$nTerms,"k":$k,""" +
+      f""""path":"$pathName","exec_ms":$execMs%.1f,""" +
+      f""""wand_ms":${wandNanos.map(_.value / 1e6).getOrElse(-1.0)}%.1f,""" +
+      f""""shard_hits":${perShard.length},"hits":${merged.size}}}""")
+    merged
   }
 
   /** Naive Catalyst path over the uncompressed tf relation — correctness
@@ -427,13 +480,99 @@ object SearchEngine {
   private val cachedTermStats =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  // ---- repeat-query result memoization (reference SearchServiceImpl
+  // .java:42-45, :71-75: the previous request's results are reused on an
+  // identical repeat) — generalized to a per-root LRU over ANALYZED terms
+  // (so it is case/whitespace-insensitive exactly like the reference,
+  // which re-lemmatizes before comparing), mode, k, and scopes. STRICTLY
+  // OPT-IN for serving processes: the correctness gates and rank-identity
+  // tests never enable it (SURVEY.md §4.1), and maintenance invalidates
+  // it through disableServingCache like every other pinned structure.
+  private final case class QueryKey(terms: Vector[String], mode: String,
+                                    k: Int, scopes: Seq[String])
+  private val resultCaches = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.LinkedHashMap[QueryKey, Vector[SearchHit]]]
+
+  /** Enable the per-root repeat-query LRU (serving mode). Idempotent;
+    * capacity 1 reproduces the reference's single-slot behavior. */
+  def enableResultCache(root: String, capacity: Int = 64): Unit = {
+    val cap = math.max(1, capacity)
+    resultCaches.getOrElseUpdate(root,
+      new java.util.LinkedHashMap[QueryKey, Vector[SearchHit]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[QueryKey, Vector[SearchHit]]): Boolean =
+          size() > cap
+      })
+    ()
+  }
+
+  def disableResultCache(root: String): Unit = {
+    resultCaches.remove(root)
+    ()
+  }
+
+  private def memoized(root: String, key: QueryKey)
+                      (compute: => Vector[SearchHit]): Vector[SearchHit] =
+    resultCaches.get(root) match {
+      case None => compute
+      case Some(lru) =>
+        val hit = lru.synchronized(Option(lru.get(key)))
+        hit.getOrElse {
+          val v = compute
+          lru.synchronized(lru.put(key, v))
+          v
+        }
+    }
+
+  /** Shard-aligned cold-scan plans, keyed by (root, manifest version):
+    * a postings DataFrame whose scan split sizing is pinned to the
+    * largest file, so each task reads EXACTLY one whole shard file and
+    * the WAND grouping needs no per-query shuffle. Built on a CLONED
+    * session (`newSession` shares the SparkContext but isolates SQL conf)
+    * so the pinned split confs never leak into the caller's session.
+    * None = some shard dir holds several parquet files (external/legacy
+    * layout) → callers use the repartition fallback. Maintenance bumps
+    * the manifest version, which keys a fresh entry; stale entries are
+    * pruned on insert and on cache disable. */
+  private val alignedPostings =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Option[DataFrame]]
+
+  private[graft] def alignedPostingsFor(spark: SparkSession,
+                                        root: String): Option[DataFrame] = {
+    val v = graft.index.IndexManifest.latestVersion(root).getOrElse(-1L)
+    alignedPostings.getOrElseUpdate((root, v), {
+      alignedPostings.keys.filter(_._1 == root).foreach(alignedPostings.remove)
+      val dir = IndexBuilder.Paths(root).postings
+      val (maxFile, onePerShard) = IndexBuilder.parquetLayout(spark, dir)
+      if (!onePerShard) None
+      else {
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.files.maxPartitionBytes", (maxFile + 1).toString)
+        s2.conf.set("spark.sql.files.openCostInBytes", (maxFile + 1).toString)
+        Some(s2.read.parquet(dir))
+      }
+    })
+  }
+
+  /** true ⇔ the pinned postings frame was built from the ALIGNED scan
+    * (one whole shard file per partition), so cached queries can skip the
+    * per-query shard shuffle exactly like the cold aligned path. */
+  private val cachedPostingsAligned =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
   /** Pin the index's postings + dictionary in executor memory for
     * low-latency serving (reference analog: MySQL buffer pool residency).
-    * Idempotent. */
+    * Prefers the shard-aligned scan so the cached partitioning already
+    * groups whole shards and queries run shuffle-free. Idempotent. */
   def enableServingCache(spark: SparkSession, root: String): Unit = {
     cachedPostings.getOrElseUpdate(root, {
-      val df = IndexBuilder.loadPostings(spark, root).cache()
+      val (base, aligned) = alignedPostingsFor(spark, root) match {
+        case Some(a) => (a, true) // newSession shares the table cache
+        case None => (IndexBuilder.loadPostings(spark, root), false)
+      }
+      val df = base.cache()
       df.count() // materialize
+      cachedPostingsAligned.put(root, aligned)
       df
     })
     cachedTermStats.getOrElseUpdate(root, {
@@ -446,7 +585,14 @@ object SearchEngine {
 
   def disableServingCache(root: String): Unit = {
     cachedPostings.remove(root).foreach(_.unpersist())
+    cachedPostingsAligned.remove(root)
     cachedTermStats.remove(root).foreach(_.unpersist())
+    // maintenance calls this before rewriting — drop aligned-scan plans
+    // for the root too (their file listing is about to go stale), and
+    // flush memoized results (stale hits would otherwise survive the
+    // rewrite; the LRU itself stays enabled for the serving process)
+    alignedPostings.keys.filter(_._1 == root).foreach(alignedPostings.remove)
+    resultCaches.get(root).foreach(lru => lru.synchronized(lru.clear()))
   }
 
   private def postingsFor(spark: SparkSession, root: String): DataFrame =

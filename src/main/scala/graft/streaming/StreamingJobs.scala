@@ -92,17 +92,24 @@ object StreamingJobs {
 
   /** Continuous index ingestion: a stream of transcript turns appended to
     * a built index per micro-batch via `foreachBatch` →
-    * [[graft.index.IndexMaintenance.appendConversations]]. Works for ANY
+    * [[graft.index.IndexMaintenance.appendConversationsDs]] (Dataset-
+    * native — the batch never materializes on the driver). Works for ANY
     * new keys (out-of-order conversations become later docId segments —
     * scoped queries stay exact) and the manifest commits a snapshot per
-    * batch. Replay of a FULLY-committed batch (crash between sink commit
-    * and checkpoint advance) is detected by the existing-key guard and
-    * skipped rather than double-indexed; a crash in the MIDDLE of an
-    * append (docs written, manifest not committed) needs the affected
-    * conversations deleted before resuming — the append path is not
-    * internally atomic, the manifest commit is. Serving caches are
-    * invalidated by the append itself. Returns the started query; callers
-    * own awaitTermination/stop. */
+    * batch.
+    *
+    * Crash handling: the append path is not internally atomic (docs
+    * parquet, postings, manifest commit in sequence), so an existing-key
+    * rejection on restart is ambiguous — it means EITHER a replay of a
+    * fully committed batch (crash between sink commit and checkpoint
+    * advance: skip idempotently) OR a crash in the MIDDLE of an append
+    * (docs appended, postings/manifest not committed: orphan docs that
+    * must NOT be silently skipped). The two are distinguished by
+    * re-fingerprinting the docs table against the committed manifest —
+    * a partial append FAILS LOUDLY with cleanup instructions instead of
+    * permanently hiding orphan docs. Serving caches are invalidated by
+    * the append itself. Returns the started query; callers own
+    * awaitTermination/stop. */
   def indexIngest(turns: Dataset[graft.model.Turn], root: String,
                   checkpointDir: String,
                   newShardsPerBatch: Int = 1,
@@ -114,22 +121,46 @@ object StreamingJobs {
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[graft.model.Turn], batchId: Long) =>
-        val rows = batch.collect().toSeq // micro-batch sized; driver-side append planning
-        if (rows.nonEmpty) {
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
           try {
-            graft.index.IndexMaintenance.appendConversations(
-              batch.sparkSession, root, rows, newShards = newShardsPerBatch)
+            graft.index.IndexMaintenance.appendConversationsDs(
+              spark, root, batch, newShards = newShardsPerBatch)
           } catch {
             case e: IllegalArgumentException
                 if e.getMessage.contains("requires NEW keys") =>
-              // replay of an already-committed micro-batch after a crash
-              // between sink commit and checkpoint advance — idempotent skip
-              ()
+              assertFullyCommitted(spark, root, batchId, e) // else: idempotent skip
           }
         }
         ()
       }
       .start()
+  }
+
+  /** Replay-vs-partial-append disambiguation (see [[indexIngest]]): the
+    * committed manifest's input fingerprint must match a re-fingerprint
+    * of the docs table. Match ⇒ the rejected batch was fully committed
+    * before the crash (safe to skip). Mismatch ⇒ a previous append died
+    * between the docs write and the manifest commit — fail loudly. */
+  private def assertFullyCommitted(spark: SparkSession, root: String,
+                                   batchId: Long, cause: Throwable): Unit = {
+    val P = graft.index.IndexBuilder.Paths(root)
+    val hashUdf = udf((c: String, t: Int, x: String) =>
+      graft.index.DocIdAssigner.rowHash(c, t, x))
+    val agg = spark.read.parquet(P.docs)
+      .select(hashUdf(col("conv_id"), col("turn_idx"), col("text")).as("h"))
+      .agg(count(lit(1)), expr("bit_xor(h)")).head()
+    val fp = s"${agg.getLong(0)}-${agg.getLong(1)}"
+    val m = graft.index.IndexManifest.read(root).getOrElse(
+      throw new IllegalStateException(s"no manifest at $root", cause))
+    if (m.inputFingerprint != fp)
+      throw new IllegalStateException(
+        s"partial append detected at $root while replaying batch $batchId: " +
+        s"docs table fingerprint $fp != committed manifest " +
+        s"${m.inputFingerprint} — a previous append crashed between the " +
+        "docs write and the manifest commit, leaving orphan docs. Delete " +
+        "the affected conversations (IndexMaintenance.deleteConversations) " +
+        "before resuming ingest.", cause)
   }
 
   /** Batch oracle for sessionize (same gap rule, plain Scala) — used by

@@ -263,6 +263,31 @@ class EngineParitySpec extends AnyFunSuite {
     } finally SearchEngine.disableServingCache(root)
   }
 
+  test("result memoization (opt-in): repeat queries oracle-identical, case-insensitive key") {
+    SearchEngine.enableResultCache(root, capacity = 8)
+    try {
+      querySet.take(6).foreach { case (q, mode, k) =>
+        val first = SearchEngine.query(spark, root, q, mode, k)
+        assert(first == oracle.topK(q, mode, k), s"memo first '$q'")
+        // repeat — served from the LRU; must be the identical vector
+        assert(SearchEngine.query(spark, root, q, mode, k) == first)
+        // the key is the ANALYZED terms (reference re-lemmatizes before
+        // comparing, SearchServiceImpl.java:85-104): case changes hit too
+        assert(SearchEngine.query(spark, root, q.toUpperCase, mode, k) == first,
+          s"memo case-insensitive '$q'")
+      }
+      // scoped queries memoize under their scope key, not the global one
+      val pre = "conv-0000001"
+      val scoped = SearchEngine.query(spark, root, "w0000", "OR", 10,
+        convPrefix = Some(pre))
+      assert(scoped == oracle.topK("w0000", "OR", 10, convPrefix = Some(pre)))
+      assert(SearchEngine.query(spark, root, "w0000", "OR", 10,
+        convPrefix = Some(pre)) == scoped)
+      assert(SearchEngine.query(spark, root, "w0000", "OR", 10) != scoped ||
+        scoped == oracle.topK("w0000", "OR", 10))
+    } finally SearchEngine.disableResultCache(root)
+  }
+
   test("pagination quirk (O3): offset ignored when total <= limit") {
     val rs = (1 to 7).toVector
     // reference guard SearchServiceImpl.java:248-250
@@ -304,9 +329,48 @@ class EngineParitySpec extends AnyFunSuite {
         .collect().sum
       assert(tasks > 8, s"expected >2 non-empty scan tasks per shard, got $tasks " +
         s"(unsplit: $nGroups) — fixture no longer forces row-group splits")
+      // a build-produced layout (one file per shard dir) takes the
+      // shuffle-free ALIGNED path — its cloned-session scan is immune to
+      // this session's tiny split sizing by design, so correctness here
+      // comes from task↔shard-file alignment
+      assert(SearchEngine.alignedPostingsFor(spark, splitRoot).isDefined,
+        "fresh build must qualify for the aligned shuffle-free scan")
       querySet.foreach { case (q, mode, k) =>
         val got = SearchEngine.query(spark, splitRoot, q, mode, k)
         assert(got == oracle.topK(q, mode, k), s"split-scan '$q' [$mode] k=$k")
+      }
+
+      // now break the layout invariant: rewrite one shard dir into TWO
+      // parquet files (chunks of one term may straddle them) — the engine
+      // must detect it and fall back to the repartition path, which under
+      // this session's 2 KB split sizing is the true worst case
+      val sh0 = s"$splitRoot/postings/shard=0"
+      val rows = spark.read.parquet(sh0).collect()
+      val schema = spark.read.parquet(sh0).schema
+      val half = rows.length / 2
+      assert(half > 0, "shard 0 too small to split into two files")
+      import scala.jdk.CollectionConverters._
+      val tmp2 = SparkTestBase.tmpDir("graft-split-two")
+      spark.createDataFrame(rows.take(half).toSeq.asJava, schema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp2/a")
+      spark.createDataFrame(rows.drop(half).toSeq.asJava, schema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp2/b")
+      def onlyParquet(d: String): java.nio.file.Path =
+        java.nio.file.Files.list(java.nio.file.Paths.get(d)).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.list(java.nio.file.Paths.get(sh0)).iterator().asScala
+        .toList.foreach(java.nio.file.Files.delete)
+      java.nio.file.Files.move(onlyParquet(s"$tmp2/a"),
+        java.nio.file.Paths.get(sh0, "part-a.parquet"))
+      java.nio.file.Files.move(onlyParquet(s"$tmp2/b"),
+        java.nio.file.Paths.get(sh0, "part-b.parquet"))
+      SearchEngine.disableServingCache(splitRoot) // drop the stale aligned plan
+      assert(SearchEngine.alignedPostingsFor(spark, splitRoot).isEmpty,
+        "multi-file shard dir must disqualify the aligned scan")
+      querySet.foreach { case (q, mode, k) =>
+        val got = SearchEngine.query(spark, splitRoot, q, mode, k)
+        assert(got == oracle.topK(q, mode, k),
+          s"multi-file-shard fallback '$q' [$mode] k=$k")
       }
     } finally {
       spark.conf.set("spark.sql.files.maxPartitionBytes", oldMax)

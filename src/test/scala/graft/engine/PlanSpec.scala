@@ -81,6 +81,22 @@ class PlanSpec extends AnyFunSuite {
       s"o1_df_order must not use a global window:\n$p")
   }
 
+  test("o1 two-phase rank: values identical to a driver-side global sort") {
+    import org.apache.spark.sql.functions._
+    val got = Q.o1DfOrder(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val dict = graft.ops.TextOps
+      .termFrequencies(spark.read.parquet(s"$dir/documents.parquet"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = dict.sortBy { case (t, df) => (df, t) }
+      .zipWithIndex.map { case ((t, df), i) => (t, df, i + 1) }
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g == e, s"rank mismatch: got $g expected $e")
+    }
+  }
+
   test("scoped query prunes postings and docs scans to manifest-range shards") {
     import org.apache.spark.sql.functions._
     val root = SparkTestBase.tmpDir("plan-scope-idx")

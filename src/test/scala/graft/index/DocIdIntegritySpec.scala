@@ -80,6 +80,30 @@ class DocIdIntegritySpec extends AnyFunSuite {
     }
   }
 
+  test("shuffle-key steering: repartition slot == predicted pid, all tasks 1:1") {
+    // DocIdAssigner steers each range bucket to exactly one shuffle task
+    // by inverting Spark's HashPartitioning (pmod(Murmur3Hash(seed=42), n))
+    // driver-side. This pins the internal-hash assumption: if a Spark
+    // upgrade changes the partitioning function, this fails loudly instead
+    // of silently regressing the assigner back to ~1/e empty tasks.
+    import org.apache.spark.sql.functions._
+    Seq(3, 8, 32, 100).foreach { n =>
+      val keys = DocIdAssigner.steeringKeys(n)
+      assert(keys.distinct.length == n, s"steering keys not distinct for n=$n")
+      val rows = spark.range(n.toLong)
+        .select($"id".cast("int").as("pid"))
+        .withColumn("pkey", udf((pid: Int) => keys(pid)).apply($"pid"))
+        .repartition(n, $"pkey")
+        .withColumn("part", spark_partition_id())
+        .collect()
+        .map(r => r.getInt(0) -> r.getInt(2))
+      rows.foreach { case (pid, part) =>
+        assert(part == pid,
+          s"pid $pid landed in task $part (n=$n) — steering inversion broken")
+      }
+    }
+  }
+
   test("assignment is replay-deterministic across independent builds") {
     val root2 = buildOne()
     val a = IndexBuilder.loadDocs(spark, root)

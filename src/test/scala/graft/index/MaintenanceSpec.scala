@@ -215,22 +215,29 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
-  test("maintenance invalidates the serving cache (no stale hits)") {
+  test("maintenance invalidates the serving cache AND memoized results (no stale hits)") {
     val (root, corpus) = freshIndex()
     SearchEngine.enableServingCache(spark, root)
+    SearchEngine.enableResultCache(root)
     try {
       val before = SearchEngine.query(spark, root, "needlemid", "AND", 10)
       assert(before.nonEmpty)
+      // memoized repeat returns the identical result pre-maintenance
+      assert(SearchEngine.query(spark, root, "needlemid", "AND", 10) == before)
       val victimConv = IndexBuilder.loadDocs(spark, root)
         .filter($"docId" === before.head.docId).head().conv_id
       IndexMaintenance.deleteConversations(spark, root, Set(victimConv))
-      // the cache was dropped by maintenance: the query must re-read the
-      // rewritten postings and the old top hit must be gone
+      // both caches were dropped by maintenance: the query must re-read
+      // the rewritten postings and the old top hit must be gone — a stale
+      // memo entry would hand back the deleted doc
       val after = SearchEngine.query(spark, root, "needlemid", "AND", 10)
       assert(after == bruteTopK(root, "needlemid", "AND", 10),
         "post-maintenance query must match brute force over surviving docs")
       assert(!after.exists(_.docId == before.head.docId))
-    } finally SearchEngine.disableServingCache(root)
+    } finally {
+      SearchEngine.disableServingCache(root)
+      SearchEngine.disableResultCache(root)
+    }
   }
 
   test("manifest carries shard docId ranges; maintenance keeps them fresh") {
@@ -259,6 +266,66 @@ class MaintenanceSpec extends AnyFunSuite {
           org.apache.spark.sql.functions.max($"docId")).head()
       assert(e.minDocId == actual.getLong(0) && e.maxDocId == actual.getLong(1),
         s"shard $sh manifest range (${e.minDocId},${e.maxDocId}) vs actual")
+    }
+  }
+
+  test("Dataset-native bulk append: thousands of turns, no driver materialization") {
+    val (root, _) = freshIndex()
+    val m0 = IndexManifest.read(root).get
+    val maxDoc = IndexBuilder.loadDocs(spark, root)
+      .agg(org.apache.spark.sql.functions.max($"docId")).head().getLong(0)
+    val maxShard = m0.shards.map(_.shard).max
+    // a backfill an order of magnitude larger than a micro-batch, arriving
+    // as a Dataset (conv ids prefixed so none clash with the fixture)
+    val bulk = graft.fixtures.TranscriptGen
+      .dataset(spark, seed = 99L, nConvs = 2000L, partitions = 8)
+      .map(t => t.copy(conv_id = "zz-" + t.conv_id))
+    val nBulk = bulk.count()
+    assert(nBulk > 5000, s"bulk fixture too small: $nBulk")
+    val newShards = IndexMaintenance.appendConversationsDs(spark, root, bulk,
+      newShards = 4)
+    assert(newShards.size == 4 && newShards.forall(_ > maxShard))
+
+    val m1 = IndexManifest.read(root).get
+    assert(m1.nDocs == m0.nDocs + nBulk)
+    // appended docIds are the dense continuation maxDoc+1 .. maxDoc+nBulk
+    val agg = IndexBuilder.loadDocs(spark, root)
+      .filter($"conv_id".startsWith("zz-"))
+      .agg(org.apache.spark.sql.functions.count(
+             org.apache.spark.sql.functions.lit(1)),
+           org.apache.spark.sql.functions.countDistinct($"docId"),
+           org.apache.spark.sql.functions.min($"docId"),
+           org.apache.spark.sql.functions.max($"docId")).head()
+    assert(agg.getLong(0) == nBulk && agg.getLong(1) == nBulk)
+    assert(agg.getLong(2) == maxDoc + 1 && agg.getLong(3) == maxDoc + nBulk)
+    // in-batch docId order == (conv_id, turn_idx) rank order (spot check:
+    // docId order must sort keys ascending)
+    val sample = IndexBuilder.loadDocs(spark, root)
+      .filter($"conv_id".startsWith("zz-"))
+      .orderBy($"docId").limit(500)
+      .select($"conv_id", $"turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    assert(sample.sliding(2).forall {
+      case Array(a, b) => a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+      case _ => true
+    }, "appended docIds not in (conv_id, turn_idx) order")
+    // each new shard is a contiguous docId range in the manifest
+    val newEntries = m1.shards.filter(s => newShards.contains(s.shard))
+      .sortBy(_.minDocId)
+    assert(newEntries.head.minDocId == maxDoc + 1)
+    assert(newEntries.last.maxDocId == maxDoc + nBulk)
+    newEntries.sliding(2).foreach {
+      case Seq(a, b) => assert(b.minDocId == a.maxDocId + 1)
+      case _ => ()
+    }
+    // appended content searchable + scoped query on an appended conv exact
+    val brute = bruteTopK(root, "needlemid w0000", "AND", 10)
+    assert(SearchEngine.query(spark, root, "needlemid w0000", "AND", 10) == brute)
+    val scoped = SearchEngine.query(spark, root, "w0000", "OR", 10,
+      convPrefix = Some("zz-conv-0000001"))
+    scoped.foreach { h =>
+      assert(IndexBuilder.loadDocs(spark, root)
+        .filter($"docId" === h.docId).head().conv_id.startsWith("zz-conv-0000001"))
     }
   }
 

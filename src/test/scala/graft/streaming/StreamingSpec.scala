@@ -120,6 +120,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(oracleDocs == base.size + 3)
   }
 
+  test("ingest replay of a fully committed batch is skipped idempotently") {
+    import graft.index.{IndexBuilder, IndexManifest}
+    import graft.model.Turn
+    import graft.query.SearchEngine
+    val ts0 = new java.sql.Timestamp(1700000000000L)
+    val base = graft.fixtures.TranscriptGen.corpus(seed = 56L, nConvs = 40)
+    val root = SparkTestBase.tmpDir("graft-replay-idx")
+    IndexBuilder.build(spark, spark.createDataset(base), root,
+      shards = 4, waveSize = 4, maxChunkPostings = 64)
+    val inDir = SparkTestBase.tmpDir("graft-replay-turns")
+    val batch = Seq(
+      Turn("conv-zzz10001", 0, "user", "zzreplayed needle", "", ts0),
+      Turn("conv-zzz10001", 1, "assistant", "zzreplayed again", "", ts0))
+    spark.createDataset(batch).write.parquet(s"$inDir/b0")
+    def ingestOnce(): Unit = {
+      val in = spark.readStream
+        .schema(spark.createDataset(batch).schema).parquet(s"$inDir/*").as[Turn]
+      // FRESH checkpoint each call — the second run replays the batch the
+      // first one already committed (the crash-between-commit-and-
+      // checkpoint shape)
+      val q = StreamingJobs.indexIngest(in, root,
+        SparkTestBase.tmpDir("graft-replay-ckpt"))
+      q.awaitTermination(120000); q.stop()
+    }
+    ingestOnce()
+    val m1 = IndexManifest.read(root).get
+    ingestOnce() // replay: keys exist AND manifest covers docs → skip
+    val m2 = IndexManifest.read(root).get
+    assert(m2.nDocs == m1.nDocs, "replay must not double-index")
+    assert(m2.snapshotId == m1.snapshotId, "replay must not commit")
+    assert(SearchEngine.query(spark, root, "zzreplayed", "OR", 10).size == 2)
+  }
+
+  test("ingest fails loudly on a partial append (orphan docs, manifest behind)") {
+    import graft.index.{IndexBuilder, IndexManifest}
+    import graft.model.Turn
+    val ts0 = new java.sql.Timestamp(1700000000000L)
+    val base = graft.fixtures.TranscriptGen.corpus(seed = 57L, nConvs = 40)
+    val root = SparkTestBase.tmpDir("graft-partial-idx")
+    IndexBuilder.build(spark, spark.createDataset(base), root,
+      shards = 4, waveSize = 4, maxChunkPostings = 64)
+    val m = IndexManifest.read(root).get
+    val maxDoc = IndexBuilder.loadDocs(spark, root)
+      .agg(max($"docId")).head().getLong(0)
+    // simulate an append that crashed between the docs write and the
+    // manifest commit: the batch's doc rows land in docs/ (new shard),
+    // but postings/manifest never see them
+    val orphan = Seq(
+      Turn("conv-zzz20001", 0, "user", "zzorphan needle", "", ts0),
+      Turn("conv-zzz20001", 1, "user", "zzorphan two", "", ts0))
+    val orphanRows = orphan.zipWithIndex.map { case (t, i) =>
+      (maxDoc + 1 + i, t.conv_id, t.turn_idx, t.role, t.text, t.tool,
+        graft.analysis.Analyzer.tokens(t.text).length,
+        m.shards.map(_.shard).max + 1)
+    }.toDF("docId", "conv_id", "turn_idx", "role", "text", "tool", "dl", "shard")
+    orphanRows.write.mode("append").partitionBy("shard").parquet(s"$root/docs")
+
+    // resuming ingest replays the same keys: existing-key rejection fires,
+    // and the fingerprint check must distinguish this PARTIAL append from
+    // a committed replay — fail loudly, never skip
+    val inDir = SparkTestBase.tmpDir("graft-partial-turns")
+    spark.createDataset(orphan).write.parquet(s"$inDir/b0")
+    val in = spark.readStream
+      .schema(spark.createDataset(orphan).schema).parquet(s"$inDir/*").as[Turn]
+    val q = StreamingJobs.indexIngest(in, root,
+      SparkTestBase.tmpDir("graft-partial-ckpt"))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    q.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("partial append detected")),
+      s"expected loud partial-append failure, got: ${messages(err)}")
+  }
+
   test("sliding windows produce overlapping coverage") {
     val out = StreamingJobs.slidingRates(spark.read.parquet(eventsDir))
       .orderBy($"w_start").collect()

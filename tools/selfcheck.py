@@ -58,12 +58,29 @@ def main(sf_dir, out_dir):
             results[name] = f"ROWS_ONLY rows={len(sdf)}"
             continue
         try:
-            odf = con.execute(oracle[name]).fetchdf()
+            oarrow = con.execute(oracle[name]).arrow()
+            odf = oarrow.to_pandas()
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
             continue
+        # ARROW-TYPE comparison: the driver hashes values WITH their arrow
+        # type, so e.g. DuckDB HUGEINT (decimal128) vs Spark BIGINT fails
+        # there even when the value-reprs below match (the r02 a6 bug —
+        # repr(26285) == repr(Decimal(26285)) hid it locally).
+        stypes = {f.name: str(f.type) for f in pq.read_table(spath).schema}
+        otypes = {f.name: str(f.type) for f in oarrow.schema}
+        type_diffs = [
+            f"{c}: spark={stypes[c]} oracle={otypes[c]}"
+            for c in sorted(set(stypes) & set(otypes))
+            # ns-vs-us timestamps and large_string are arrow-transport
+            # artifacts, not engine type divergence
+            if stypes[c].replace("[ns]", "[us]") !=
+               otypes[c].replace("[ns]", "[us]").replace("large_string", "string")
+        ]
         s, o = canon(sdf), canon(odf)
         problems = []
+        if type_diffs:
+            problems.append("ARROW_TYPE_DIFF " + "; ".join(type_diffs))
         if list(s.columns) != list(o.columns):
             problems.append(f"cols spark={list(s.columns)} oracle={list(o.columns)}")
         if len(s) != len(o):

@@ -20,9 +20,17 @@ import graft.query.Bm25
 final class Oracle(corpus: Seq[Turn],
                    analyzerVersion: String = Analyzer.Version) {
 
-  /** docId → turn, under stable ordering. */
-  val docs: Vector[Turn] =
-    corpus.sortBy(t => (t.conv_id, t.turn_idx)).toVector
+  /** docId → turn, under stable ordering. conv_id compares in UTF-8 BYTE
+    * order — Spark's UTF8String binary collation, which defines the
+    * engine's sort — not Java's UTF-16 code-unit order (the two disagree
+    * for supplementary-plane vs U+E000–U+FFFF characters; pinned by
+    * AdversarialCorpusSpec's astral-plane test). */
+  val docs: Vector[Turn] = corpus.sorted(new Ordering[Turn] {
+    def compare(a: Turn, b: Turn): Int = {
+      val c = graft.index.DocIdAssigner.utf8Compare(a.conv_id, b.conv_id)
+      if (c != 0) c else Integer.compare(a.turn_idx, b.turn_idx)
+    }
+  }).toVector
 
   val nDocs: Long = docs.length.toLong
 

@@ -143,8 +143,8 @@ object Maintain {
           newShards = opt("--shards").map(_.toInt).getOrElse(1))
       case "replace" =>
         val p = opt("--transcripts").getOrElse(sys.error("--transcripts required"))
-        val turns = spark.read.parquet(p).as[graft.model.Turn].collect().toSeq
-        graft.index.IndexMaintenance.replaceTurns(spark, root, turns)
+        graft.index.IndexMaintenance.replaceTurnsDs(spark, root,
+          spark.read.parquet(p).as[graft.model.Turn])
       case other => sys.error(s"unknown subcommand '$other'")
     }
     val m = graft.index.IndexManifest.read(root).get

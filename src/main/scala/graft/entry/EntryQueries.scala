@@ -855,69 +855,70 @@ object EntryQueries {
     import graft.index.DocIdAssigner.{steeringKeys, utf8Compare}
     val dict = TextOps.termFrequencies(t(s, dir, "documents"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .cache() // 3 passes below; values are deterministic, cache is speed-only
-    try {
-      val n = dict.count()
-      val p = math.max(1, s.sessionState.conf.numShufflePartitions / 2)
-      val sampleMod = math.max(1L, n / math.max(1L, p.toLong * 200L))
-      val keyOrd: Ordering[(Long, String)] = new Ordering[(Long, String)] {
-        def compare(a: (Long, String), b: (Long, String)): Int = {
-          val c = java.lang.Long.compare(a._1, b._1)
-          if (c != 0) c else utf8Compare(a._2, b._2)
-        }
+    val p = math.max(1, s.sessionState.conf.numShufflePartitions / 2)
+    // sampling modulus sized from the DOCUMENT count (parquet metadata —
+    // no compute): vocabulary scales with the corpus, and the modulus
+    // only affects bucket BALANCE, never correctness
+    val nDocs = t(s, dir, "documents").count()
+    val sampleMod = math.max(1L, nDocs / math.max(1L, p.toLong * 200L))
+    val keyOrd: Ordering[(Long, String)] = new Ordering[(Long, String)] {
+      def compare(a: (Long, String), b: (Long, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c else utf8Compare(a._2, b._2)
       }
-      val keys = dict
-        .filter(pmod(xxhash64(col("df"), col("term")), lit(sampleMod)) === 0)
-        .select(col("df"), col("term")).collect()
-        .map(r => (r.getLong(0), r.getString(1))).sorted(keyOrd)
-      val bnds: Array[(Long, String)] =
-        if (keys.isEmpty) Array.empty
-        else (1 until p).map(i => keys(math.min(keys.length - 1, i * keys.length / p)))
-          .distinct.toArray
-      val nPids = bnds.length + 1
-      val bB = s.sparkContext.broadcast(bnds)
-      val bSteer = s.sparkContext.broadcast(steeringKeys(nPids))
-      val pidUdf = udf { (df: Long, term: String) =>
-        val b = bB.value
-        var lo = 0; var hi = b.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          val c = { val x = java.lang.Long.compare(df, b(mid)._1)
-                    if (x != 0) x else utf8Compare(term, b(mid)._2) }
-          if (c >= 0) lo = mid + 1 else hi = mid
-        }
-        lo
+    }
+    val keys = dict
+      .filter(pmod(xxhash64(col("df"), col("term")), lit(sampleMod)) === 0)
+      .select(col("df"), col("term")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted(keyOrd)
+    val bnds: Array[(Long, String)] =
+      if (keys.isEmpty) Array.empty
+      else (1 until p).map(i => keys(math.min(keys.length - 1, i * keys.length / p)))
+        .distinct.toArray
+    val nPids = bnds.length + 1
+    val bB = s.sparkContext.broadcast(bnds)
+    val bSteer = s.sparkContext.broadcast(steeringKeys(nPids))
+    val pidUdf = udf { (df: Long, term: String) =>
+      val b = bB.value
+      var lo = 0; var hi = b.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val c = { val x = java.lang.Long.compare(df, b(mid)._1)
+                  if (x != 0) x else utf8Compare(term, b(mid)._2) }
+        if (c >= 0) lo = mid + 1 else hi = mid
       }
-      val withPid = dict.withColumn("pid", pidUdf(col("df"), col("term")))
-      val counts = withPid.groupBy(col("pid")).count().collect()
+      lo
+    }
+    val withPid = dict.withColumn("pid", pidUdf(col("df"), col("term")))
+    // single-bucket case (tiny vocabulary / empty sample): offsets are
+    // trivially [1] — skip the per-pid counting job entirely
+    val counts: Map[Int, Long] =
+      if (nPids == 1) Map.empty
+      else withPid.groupBy(col("pid")).count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val offsets = new Array[Long](nPids)
-      var acc = 1L // rank is 1-based
-      var i = 0
-      while (i < nPids) { offsets(i) = acc; acc += counts.getOrElse(i, 0L); i += 1 }
-      val bOff = s.sparkContext.broadcast(offsets)
-      val pkeyUdf = udf((pid: Int) => bSteer.value(pid))
-      val ranked = withPid
-        .withColumn("pkey", pkeyUdf(col("pid")))
-        .repartition(nPids, col("pkey"))
-        .sortWithinPartitions(col("pid"), col("df"), col("term"))
-        .mapPartitions { it =>
-          var curPid = -1
-          var next = 0L
-          it.map { r => // (term, df, pid, pkey)
-            val pid = r.getInt(2)
-            if (pid != curPid) { curPid = pid; next = bOff.value(pid) }
-            val rank = next
-            next += 1
-            (r.getString(0), r.getLong(1), rank.toInt)
-          }
+    val offsets = new Array[Long](nPids)
+    var acc = 1L // rank is 1-based
+    var i = 0
+    while (i < nPids) { offsets(i) = acc; acc += counts.getOrElse(i, 0L); i += 1 }
+    val bOff = s.sparkContext.broadcast(offsets)
+    val pkeyUdf = udf((pid: Int) => bSteer.value(pid))
+    withPid
+      .withColumn("pkey", pkeyUdf(col("pid")))
+      .repartition(nPids, col("pkey"))
+      .sortWithinPartitions(col("pid"), col("df"), col("term"))
+      .mapPartitions { it =>
+        var curPid = -1
+        var next = 0L
+        it.map { r => // (term, df, pid, pkey)
+          val pid = r.getInt(2)
+          if (pid != curPid) { curPid = pid; next = bOff.value(pid) }
+          val rank = next
+          next += 1
+          (r.getString(0), r.getLong(1), rank.toInt)
         }
-        .toDF("term", "df", "rank")
-      // NOT collected: the result is the whole dictionary — it stays a
-      // lazy distributed frame (re-derives dict once more on evaluation
-      // after the unpersist below; all passes are value-deterministic)
-      ranked.orderBy(col("rank"))
-    } finally dict.unpersist()
+      }
+      .toDF("term", "df", "rank")
+      .orderBy(col("rank"))
   }
 
   val o1DfOrderSql: String =

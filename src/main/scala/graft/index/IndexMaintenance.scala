@@ -82,23 +82,32 @@ object IndexMaintenance {
   def replaceTurns(spark: SparkSession, root: String,
                    turns: Seq[Turn]): Seq[Int] = {
     import spark.implicits._
-    val P = IndexBuilder.Paths(root)
-    val keys = turns.map(t => (t.conv_id, t.turn_idx)).toSet
-    val existing = IndexBuilder.loadDocs(spark, root)
-      .filter($"conv_id".isin(keys.map(_._1).toSeq: _*))
-      .select($"docId", $"conv_id", $"turn_idx")
-      .collect()
-      .map(r => (r.getString(1), r.getInt(2)) -> r.getLong(0)).toMap
-    val missing = keys.filterNot(existing.contains)
+    require(turns.nonEmpty, "nothing to replace")
+    replaceTurnsDs(spark, root, spark.createDataset(turns))
+  }
+
+  /** Scale variant: replacements arrive as a Dataset and are applied with
+    * a join against the affected shards' docs (Catalyst broadcasts a
+    * small batch by itself; a bulk re-ingest stays fully distributed —
+    * nothing is collected or broadcast by hand). */
+  def replaceTurnsDs(spark: SparkSession, root: String,
+                     turns: org.apache.spark.sql.Dataset[Turn]): Seq[Int] = {
+    import spark.implicits._
+    val keys = turns.select($"conv_id", $"turn_idx").distinct()
+    // unknown keys are rejected distributively (≤5 examples to the driver)
+    val missing = keys
+      .join(IndexBuilder.loadDocs(spark, root).select($"conv_id", $"turn_idx"),
+        Seq("conv_id", "turn_idx"), "left_anti")
+      .take(5)
+      .map(r => (r.getString(0), r.getInt(1)))
     require(missing.isEmpty,
-      s"replaceTurns requires existing keys; missing: $missing " +
+      s"replaceTurns requires existing keys; missing: ${missing.toSeq} " +
       "(additions go through appendConversations / a fresh build)")
-    val byKey = turns.map(t => (t.conv_id, t.turn_idx) -> t).toMap
     SearchEngine.disableServingCache(root) // before rewrites: see deleteConversationsDf
-    val shards = affectedShards(spark, root,
-      col("conv_id").isin(keys.map(_._1).toSeq: _*))
-    rewriteShards(spark, root, shards,
-      replace = Some((byKey, existing)))
+    val shards = IndexBuilder.loadDocs(spark, root)
+      .join(keys, Seq("conv_id", "turn_idx"), "left_semi")
+      .select($"shard").distinct().as[Int].collect().toSeq.sorted
+    rewriteShards(spark, root, shards, replace = Some(turns.toDF()))
     shards
   }
 
@@ -110,8 +119,7 @@ object IndexMaintenance {
   private def rewriteShards(spark: SparkSession, root: String,
                             shards: Seq[Int],
                             dropConvs: Option[org.apache.spark.sql.DataFrame] = None,
-                            replace: Option[(Map[(String, Int), Turn],
-                                             Map[(String, Int), Long])] = None): Unit = {
+                            replace: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
     import spark.implicits._
     if (shards.isEmpty) return
     val P = IndexBuilder.Paths(root)
@@ -126,24 +134,41 @@ object IndexMaintenance {
     }
     val newDocs = replace match {
       case None => kept
-      case Some((byKey, _)) =>
-        val bKeys = spark.sparkContext.broadcast(byKey)
-        kept.as[DocWithShard].map { d =>
-          bKeys.value.get((d.conv_id, d.turn_idx)) match {
-            case Some(t) => d.copy(role = t.role, text = t.text, tool = t.tool,
-              dl = Analyzer.tokens(t.text).length)
-            case None => d
-          }
-        }.toDF()
+      case Some(repl) =>
+        // left join against the replacement batch: a small batch
+        // broadcasts (Catalyst's call), a bulk one sort-merges — either
+        // way nothing is collected. dl = RAW token count of the new text
+        // (the same unstemmed length the build computes; stemming only
+        // affects terms).
+        // one replacement per key: duplicate keys in the batch would
+        // duplicate doc rows through the join (dedupe upstream if the
+        // surviving copy matters)
+        val r = repl.dropDuplicates("conv_id", "turn_idx")
+          .select($"conv_id", $"turn_idx",
+            $"role".as("r_role"), $"text".as("r_text"), $"tool".as("r_tool"))
+        kept.join(r, Seq("conv_id", "turn_idx"), "left")
+          .select($"docId", $"conv_id", $"turn_idx",
+            coalesce($"r_role", $"role").as("role"),
+            coalesce($"r_text", $"text").as("text"),
+            coalesce($"r_tool", $"tool").as("tool"),
+            when($"r_text".isNotNull,
+              size(graft.functions.TokensExpression.tokens($"r_text")))
+              .otherwise($"dl").cast("int").as("dl"),
+            $"shard")
     }
     // Spark refuses to overwrite a path it is reading (correctly), and a
     // fully-deleted shard would leave a stale dir behind a dynamic
     // overwrite — so: write the affected shards to a temp table, then
-    // swap whole shard dirs (delete old, move new if any).
+    // swap whole shard dirs (delete old, move new if any). The
+    // repartition re-establishes the ONE-FILE-PER-SHARD layout invariant
+    // the aligned query scan and the chunk-ordinal metric depend on: a
+    // big shard file would otherwise split across scan tasks here and
+    // each task would write its own fragment file into the shard dir.
     val tmpDocs = P.docs + ".rewrite"
     newDocs
       .select($"docId", $"conv_id", $"turn_idx", $"role", $"text", $"tool",
         $"dl", $"shard")
+      .repartition($"shard")
       .sortWithinPartitions($"shard", $"docId")
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(tmpDocs)
     swapShardDirs(spark, P.docs, tmpDocs, shards)
@@ -376,8 +401,4 @@ object IndexMaintenance {
     }
     deleteDir(spark, tmp)
   }
-
-  final case class DocWithShard(docId: Long, conv_id: String, turn_idx: Int,
-                                role: String, text: String, tool: String,
-                                dl: Int, shard: Int)
 }

@@ -329,6 +329,54 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("bulk Dataset replace: join path keeps docIds, new text searchable") {
+    val (root, corpus) = freshIndex()
+    val before = IndexBuilder.loadDocs(spark, root)
+      .select($"docId", $"conv_id", $"turn_idx").collect()
+      .map(r => (r.getString(1), r.getInt(2)) -> r.getLong(0)).toMap
+    // replace ~1/4 of all turns in one distributed batch
+    val victims = corpus.zipWithIndex.collect { case (t, i) if i % 4 == 0 =>
+      t.copy(text = s"zzbulk${i / 4} replaced body ${t.text.take(20)}")
+    }
+    val affected = IndexMaintenance.replaceTurnsDs(spark, root,
+      spark.createDataset(victims))
+    assert(affected.nonEmpty)
+    // every replaced key kept its docId; text round-trips
+    val after = IndexBuilder.loadDocs(spark, root)
+      .filter($"text".startsWith("zzbulk")).collect()
+    assert(after.length == victims.size)
+    after.foreach { d =>
+      assert(before((d.conv_id, d.turn_idx)) == d.docId,
+        s"docId moved for (${d.conv_id},${d.turn_idx})")
+    }
+    // a planted unique term resolves to exactly its doc
+    val probe = victims(victims.size / 2)
+    val tok = graft.analysis.Analyzer.tokens(probe.text).head // zzbulkN
+    val hits = SearchEngine.query(spark, root, tok, "AND", 5)
+    assert(hits.map(_.docId) == Vector(before((probe.conv_id, probe.turn_idx))))
+    // full rank parity against brute force over the rewritten corpus
+    assert(SearchEngine.query(spark, root, "needlemid w0000", "AND", 10) ==
+      bruteTopK(root, "needlemid w0000", "AND", 10))
+  }
+
+  test("maintenance preserves the one-file-per-shard layout (aligned scan stays on)") {
+    val (root, corpus) = freshIndex()
+    def alignedOn(): Boolean = {
+      SearchEngine.disableServingCache(root) // drop any stale aligned plan
+      SearchEngine.alignedPostingsFor(spark, root).isDefined
+    }
+    assert(alignedOn(), "fresh build must be aligned")
+    IndexMaintenance.deleteConversations(spark, root, Set("conv-00000007"))
+    assert(alignedOn(), "delete rewrite broke the one-file-per-shard layout")
+    IndexMaintenance.replaceTurns(spark, root,
+      Seq(corpus.find(_.conv_id == "conv-00000009").get.copy(text = "zzlayout probe")))
+    assert(alignedOn(), "replace rewrite broke the one-file-per-shard layout")
+    val ts = new java.sql.Timestamp(1700000000000L)
+    IndexMaintenance.appendConversations(spark, root,
+      Seq(Turn("conv-99990000", 0, "user", "zzlayout appended", "", ts)))
+    assert(alignedOn(), "append broke the one-file-per-shard layout")
+  }
+
   test("replace of unknown key is rejected (additions are not silent)") {
     val (root, _) = freshIndex()
     val bogus = Turn("conv-99999999", 0, "user", "x", "", new java.sql.Timestamp(0))

@@ -56,6 +56,10 @@ object SparkEntry {
     // DuckDB; pair recall guaranteed by maxHamming+1 banding)
     "dedup_simhash" -> (Q.dedupSimhash(_, _)),
     "dedup_simhash_pairs" -> (Q.dedupSimhashPairs(_, _)),
+    "dedup_clusters" -> (Q.dedupClusters(_, _)),
+    "fingerprint_winnow" -> (Q.fingerprintWinnow(_, _)),
+    "quality_repetition" -> (Q.qualityRepetition(_, _)),
+    "sample_split" -> (Q.sampleSplit(_, _)),
     "lang_id" -> (Q.langId(_, _)),
     // rows-only (probabilistic recall — not SQL-expressible exactly;
     // pinned by OpsSpec brute-force oracles instead)
@@ -102,6 +106,10 @@ object SparkEntry {
     "w4_sessionize" -> Q.w4SessionizeSql,
     "dedup_simhash" -> Q.dedupSimhashSql,
     "dedup_simhash_pairs" -> Q.dedupSimhashPairsSql,
+    "dedup_clusters" -> Q.dedupClustersSql,
+    "fingerprint_winnow" -> Q.fingerprintWinnowSql,
+    "quality_repetition" -> Q.qualityRepetitionSql,
+    "sample_split" -> Q.sampleSplitSql,
     "lang_id" -> Q.langIdSql,
     "u6_snippets" -> Q.u6SnippetsSql,
     "ann_ivf_topk" -> Q.annIvfTopKSql,

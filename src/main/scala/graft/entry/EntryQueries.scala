@@ -561,6 +561,112 @@ object EntryQueries {
       |    AS bpe_segments
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Winnowing fingerprints (Schleimer et al. 2003, MOSS): window-min of
+    * k-gram md5 hashes; compact per-doc output (set size + digest over
+    * the sorted fingerprint set) — exact-SQL-checkable end-to-end. */
+  def fingerprintWinnow(s: SparkSession, dir: String): DataFrame =
+    TextOps.winnowFingerprints(t(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintWinnowSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '),
+      |           x -> length(x) >= 2) AS tk
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |    [ md5(array_to_string(tk[i:i+2], ' ')) for i in range(1, len(tk) - 1) ] AS hs
+      |  FROM t WHERE len(tk) >= 6
+      |), sel AS (
+      |  SELECT doc_id,
+      |    list_distinct([ list_min(hs[i:i+3]) for i in range(1, len(hs) - 2) ]) AS fps
+      |  FROM g
+      |)
+      |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+      |  md5(array_to_string(list_sort(fps), '')) AS fp_digest
+      |FROM sel ORDER BY doc_id""".stripMargin
+
+  /** Repetition-based quality signals (Gopher rules, Rae et al. 2021
+    * §A1.1): top/dup 2-gram fractions + top token fraction. */
+  def qualityRepetition(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionSignals(t(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  val qualityRepetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '),
+      |           x -> length(x) >= 2) AS tk
+      |  FROM documents
+      |), d AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 2),
+      |g2 AS (
+      |  SELECT doc_id, unnest([ tk[i] || ' ' || tk[i+1]
+      |                          for i in range(1, len(tk)) ]) AS g
+      |  FROM d
+      |), c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+      |s2 AS (
+      |  SELECT doc_id, sum(c) AS tot, max(c) AS mx,
+      |         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+      |  FROM c2 GROUP BY 1),
+      |g1 AS (SELECT doc_id, unnest(tk) AS tkn FROM d),
+      |c1 AS (SELECT doc_id, tkn, count(*) AS c FROM g1 GROUP BY 1, 2),
+      |s1 AS (SELECT doc_id, sum(c) AS tot, max(c) AS mx FROM c1 GROUP BY 1)
+      |SELECT s2.doc_id AS doc_id,
+      |  round(CAST(s2.mx AS DOUBLE) / CAST(s2.tot AS DOUBLE), 6) AS top_2gram_frac,
+      |  round(CAST(s2.dup AS DOUBLE) / CAST(s2.tot AS DOUBLE), 6) AS dup_2gram_frac,
+      |  round(CAST(s1.mx AS DOUBLE) / CAST(s1.tot AS DOUBLE), 6) AS top_token_frac
+      |FROM s2 JOIN s1 ON s1.doc_id = s2.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic hash split: reshard-stable train/val/test assignment
+    * (pure function of md5(doc_id)); gate output = counts per (lang,
+    * split). */
+  def sampleSplit(s: SparkSession, dir: String): DataFrame =
+    TextOps.deterministicSplit(t(s, dir, "documents"), col("doc_id"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("split"))
+
+  val sampleSplitSql: String =
+    """SELECT lang, split, count(*) AS n FROM (
+      |  SELECT lang,
+      |    CASE WHEN h < '08' THEN 'test'
+      |         WHEN h < '18' THEN 'val' ELSE 'train' END AS split
+      |  FROM (SELECT lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+      |        FROM documents)
+      |) GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
+  /** Near-dup clusters: connected components (Large-Star/Small-Star) over
+    * the exact SimHash pair set — cluster = component min docId, the
+    * KEEP/DROP decision of a dedup pipeline. Oracle: the same pairs CTE +
+    * a recursive-CTE reachability closure (exact — both the pair set and
+    * the components are deterministic). */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.simHashPairs(t(s, dir, "documents"), maxHamming = 3))
+      .orderBy(col("doc_id"))
+
+  // lazy: simhashSqlCte is declared later in the object (initialization
+  // order would otherwise see null)
+  lazy val dedupClustersSql: String =
+    ("WITH RECURSIVE " + simhashSqlCte.stripPrefix("WITH ")) +
+    """
+      |, pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM sig a JOIN sig b ON b.doc_id > a.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |), edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT d2 AS src, d1 AS dst FROM pairs
+      |), nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, lbl) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+      |)
+      |SELECT id AS doc_id, min(lbl) AS cluster
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   // ---- rows-only operators (non-SQL-expressible; Scala-spec'd) ---------
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =

@@ -190,4 +190,84 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ---- near-dup clustering (connected components) ----------------------
+
+  /** Connected components over near-dup pairs — the step that turns
+    * pairwise dedup output into KEEP/DROP decisions (cluster id = the
+    * component's min doc id; the canonical survivor is the doc whose id
+    * equals its cluster).
+    *
+    * Algorithm: alternating Large-Star / Small-Star (Kiveris, Lattanzi,
+    * Mirrokni, Rastogi, Vassilvitskii, "Connected Components in MapReduce
+    * and Beyond", SoCC 2014) — converges in O(log^2 n) rounds, and every
+    * round is a plain groupBy+join on node keys: no driver-resident graph,
+    * no per-round growth, shuffle volume bounded by the (monotonically
+    * star-contracting) edge set. This is the 100 TB shape — a label-
+    * propagation loop would need O(diameter) rounds and a chain of
+    * near-dups (common in boilerplate crawl text) makes diameter large.
+    *
+    * Each round is `localCheckpoint`ed: the loop would otherwise replay
+    * the whole lineage every iteration. Convergence = the canonical edge
+    * multiset is unchanged (exact check via except-both-ways counts — tiny
+    * at convergence because the edge set is already star-contracted).
+    *
+    * Input: pairs with the first two columns = the two node ids (any
+    * further columns, e.g. jaccard/hamming scores, are ignored).
+    * Output: (doc_id, cluster) for every node that appears in a pair;
+    * cluster = min doc_id of its component. Singletons (docs in no pair)
+    * are their own implicit cluster and are not emitted. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    def canonical(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+
+    /** Large-Star: every node u connects its strictly-LARGER neighbors to
+      * m = min(N(u) ∪ {u}) — applied over both edge orientations. */
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      canonical(
+        sym.join(mins, "u").filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    /** Small-Star: every node u connects its SMALLER-or-equal neighbors
+      * (and itself) to m = min(N(u) ∪ {u}) over canonical (v < u) edges. */
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m")) // m < u
+      canonical(
+        e.join(mins, "u").select(col("v").as("u"), col("m").as("v"))
+          .union(mins.select(col("u"), col("m").as("v"))))
+    }
+
+    val c0 = pairs.columns
+    var edges = canonical(pairs
+        .select(col(c0(0)).cast("long").as("u"), col(c0(1)).cast("long").as("v")))
+      .localCheckpoint(true)
+    var converged = edges.isEmpty
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // exact fixpoint check: both defections empty (cheap — by this
+      // point the edge set is nearly star-contracted and shrinking)
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges.unpersist()
+      edges = next
+      it += 1
+    }
+    require(converged || it < maxIter,
+      s"connectedComponents did not converge in $maxIter rounds")
+    // at the fixpoint the edge set is a union of stars (u -> component
+    // min); emit both endpoints, roots label themselves
+    edges.select(col("u").as("doc_id"), col("v").as("cluster"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster")))
+      .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+  }
 }

@@ -127,4 +127,100 @@ object TextOps {
     }
     h
   }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    * 2003 — the MOSS algorithm): hash every k-gram of the token stream,
+    * slide a window of `w` consecutive k-gram hashes, select each window's
+    * minimum; the distinct selected hashes are the document's fingerprint
+    * set. Guarantees every match of length >= k+w-1 tokens shares a
+    * fingerprint, with density ~2/(w+1) of all k-grams — the standard
+    * sublinear dedup/attribution sketch.
+    *
+    * Pure column expressions end-to-end (transform/slice/array_min — no
+    * UDF, one map stage at 100 TB). The k-gram hash is md5 so the whole
+    * pipeline is oracle-checkable bit-for-bit in DuckDB (same trick as
+    * SimHash's termHash64); min is over the hex strings (ASCII order,
+    * identical in both engines). Docs with fewer than k+w-1 tokens have
+    * no window and are dropped (same filter on the oracle side).
+    *
+    * Output per doc: the fingerprint-set SIZE and a digest (md5 over the
+    * sorted fingerprints) — compact and exactly content-checking. Use
+    * [[winnowSelected]] for the exploded (doc_id, fp) rows. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    winnowSets(docs, k, w).select(
+      col("doc_id"),
+      size(col("fps")).cast("long").as("n_fps"),
+      md5(concat_ws("", array_sort(col("fps")))).as("fp_digest"))
+
+  /** Exploded winnowing fingerprints: one row per (doc_id, fp) — the join
+    * key shape for cross-doc overlap/attribution queries. */
+  def winnowSelected(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    winnowSets(docs, k, w)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+
+  private def winnowSets(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"k=$k w=$w")
+    val toks = tokensCol
+    // k-gram md5 hashes: positions 1..n-k+1 (slice is 1-based)
+    val grams = transform(
+      sequence(lit(1), size(toks) - (k - 1)),
+      i => md5(concat_ws(" ", slice(toks, i, lit(k)))))
+    docs
+      .filter(size(toks) >= k + w - 1) // at least one full window
+      .select(col("doc_id"), grams.as("hs"))
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), size(col("hs")) - (w - 1)),
+          i => array_min(slice(col("hs"), i, lit(w))))).as("fps"))
+  }
+
+  /** Repetition-based quality signals (the Gopher rules of Rae et al.
+    * 2021, §A1.1, restated over the analyzer token stream): the fraction
+    * of all 2-grams taken by the single most frequent 2-gram, the fraction
+    * of 2-gram occurrences whose 2-gram occurs more than once, and the
+    * same top-fraction for unigrams. High values flag boilerplate /
+    * degenerate repetition that length or stopword filters miss.
+    *
+    * Shape at 100 TB: explode + two-level hash agg with map-side partials
+    * keyed by (doc_id, gram) then doc_id — no window functions, no skew
+    * (keys are per-document). Docs with fewer than 2 tokens have no
+    * 2-gram and are dropped (same filter on the oracle side). */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val toks = tokensCol
+    val grams2 = transform(
+      sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val g2 = docs.filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(grams2).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("tot"), max(col("c")).as("mx"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"))
+      .select(col("doc_id"),
+        round(col("mx").cast("double") / col("tot").cast("double"), 6)
+          .as("top_2gram_frac"),
+        round(col("dup").cast("double") / col("tot").cast("double"), 6)
+          .as("dup_2gram_frac"))
+    val g1 = docs.filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(toks).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("tot"), max(col("c")).as("mx"))
+      .select(col("doc_id"),
+        round(col("mx").cast("double") / col("tot").cast("double"), 6)
+          .as("top_token_frac"))
+    g2.join(g1, Seq("doc_id"))
+  }
+
+  /** Deterministic hash split — the reshard-stable train/val/test
+    * assignment of a training pipeline: the split is a pure function of
+    * the KEY (first two hex chars of md5), so it survives repartitioning,
+    * backfills and engine changes, unlike rand()-based sampling. Map-only;
+    * thresholds are hex-prefix cuts of the uniform md5 space
+    * (test < 0x08 = 1/32, val < 0x18 = next 1/16, train = rest). */
+  def deterministicSplit(docs: DataFrame, key: Column): DataFrame = {
+    val h = substring(md5(key.cast("string")), 1, 2)
+    docs.withColumn("split",
+      when(h < "08", "test").when(h < "18", "val").otherwise("train"))
+  }
 }

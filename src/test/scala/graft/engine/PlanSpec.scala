@@ -115,6 +115,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan(pruned).contains("PartitionFilters: [isnotnull(shard"))
   }
 
+  test("winnowing is a shuffle-free map stage; repetition aggs are two-phase") {
+    // fingerprint_winnow: filter + project over the scan — any Exchange
+    // here means the map-only 100 TB shape regressed
+    val pw = plan(Q.fingerprintWinnow(spark, dir).limit(1))
+    assert(!pw.contains("Exchange hashpartitioning"),
+      s"winnowing must not shuffle:\n$pw")
+    // quality_repetition: explode + (doc,gram) then (doc) hash aggs, both
+    // with map-side partials
+    val pr = plan(Q.qualityRepetition(spark, dir))
+    assert("partial_".r.findAllIn(pr).size >= 2,
+      s"repetition aggregations must have partials:\n$pr")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE finalizes the plan only on execution — run, then inspect
     val df = Q.q1Agg(spark, dir)

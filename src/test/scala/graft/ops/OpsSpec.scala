@@ -272,4 +272,137 @@ class OpsSpec extends AnyFunSuite {
     assert(hs(0) == hs(2))
     assert(hs(0) != hs(1))
   }
+
+  // ---- connected components (near-dup clustering) ----------------------
+
+  /** Brute-force union-find with min-id roots (union links the larger
+    * root under the smaller, so every final root is its component's min). */
+  private def ccBrute(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(n => n -> find(n)).toMap
+  }
+
+  private def ccRun(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("d1", "d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connected components: 60-node chain (diameter stress) == union-find") {
+    // a chain is the worst case for label propagation (diameter = n); the
+    // star-contraction loop must still converge in O(log^2 n) rounds
+    val chain = (0L until 60L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = ccRun(chain)
+    assert(got == ccBrute(chain))
+    assert(got.values.toSet == Set(0L))
+    assert(got.keySet == (0L until 60L).toSet)
+  }
+
+  test("connected components: random graph + cliques + bridge == union-find") {
+    val rnd = new scala.util.Random(42)
+    val random = Seq.fill(150)((rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+      .filter(p => p._1 != p._2)
+    val cliqueA = for (i <- 100L to 104L; j <- (i + 1) to 104L) yield (i, j)
+    val cliqueB = for (i <- 200L to 203L; j <- (i + 1) to 203L) yield (i, j)
+    val bridge = Seq((104L, 200L)) // merges the two cliques
+    val pairs = random ++ cliqueA ++ cliqueB ++ bridge
+    val got = ccRun(pairs)
+    assert(got == ccBrute(pairs))
+    assert(got(203L) == 100L) // bridged cliques share the min root
+  }
+
+  test("connected components: empty input; score columns ignored; dup pairs") {
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("d1", "d2")).isEmpty)
+    // extra columns (e.g. jaccard) are ignored; duplicate + reversed
+    // pairs are harmless
+    val df = Seq((1L, 2L, 0.9), (2L, 1L, 0.8), (1L, 2L, 0.9), (5L, 9L, 0.7))
+      .toDF("d1", "d2", "jaccard")
+    val got = Dedup.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 9L -> 5L))
+  }
+
+  // ---- winnowing fingerprints ------------------------------------------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  test("winnowing: hand-computed window minima (k=3, w=4)") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val toks = graft.analysis.Analyzer.tokens(text)
+    val hs = toks.sliding(3).map(g => md5hex(g.mkString(" "))).toVector
+    val expFps = hs.sliding(4).map(_.min).toVector.distinct
+    val row = TextOps.winnowFingerprints(docsDf(Seq(text))).head()
+    assert(row.getLong(1) == expFps.size.toLong)
+    assert(row.getString(2) == md5hex(expFps.sorted.mkString("")))
+    val sel = TextOps.winnowSelected(docsDf(Seq(text)))
+      .collect().map(_.getString(1)).toSet
+    assert(sel == expFps.toSet)
+  }
+
+  test("winnowing guarantee: shared run of >= k+w-1 tokens => shared fingerprint") {
+    val shared = "orange violet indigo crimson amber cobalt" // 6 = k+w-1 tokens
+    val a = s"one two three $shared four five six seven eight"
+    val b = s"nine ten eleven twelve $shared thirteen fourteen fifteen"
+    val sel = TextOps.winnowSelected(docsDf(Seq(a, b)))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val fpsA = sel.collect { case (0L, fp) => fp }.toSet
+    val fpsB = sel.collect { case (1L, fp) => fp }.toSet
+    assert((fpsA & fpsB).nonEmpty, "winnowing must catch a k+w-1 shared run")
+  }
+
+  test("winnowing: docs below k+w-1 tokens are dropped") {
+    val out = TextOps.winnowFingerprints(docsDf(Seq(
+      "only five tokens right here", // 5 < 6
+      "alpha beta gamma delta epsilon zeta"))) // exactly 6
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  // ---- repetition signals ------------------------------------------------
+
+  test("repetition signals: hand-computed fractions") {
+    // tokens [ab ab ab cd]: 2-grams ("ab ab")x2, ("ab cd")x1
+    //   top = 2/3, dup = 2/3; top token = 3/4
+    val r = TextOps.repetitionSignals(docsDf(Seq("ab ab ab cd")))
+      .select($"top_2gram_frac", $"dup_2gram_frac", $"top_token_frac").head()
+    assert(r.getDouble(0) == 0.666667)
+    assert(r.getDouble(1) == 0.666667)
+    assert(r.getDouble(2) == 0.75)
+    // all-distinct doc: no repetition anywhere
+    val clean = TextOps.repetitionSignals(
+      docsDf(Seq("alpha beta gamma delta epsilon")))
+      .select($"top_2gram_frac", $"dup_2gram_frac", $"top_token_frac").head()
+    assert(clean.getDouble(0) == 0.25) // 1 of 4 2-grams
+    assert(clean.getDouble(1) == 0.0)
+    assert(clean.getDouble(2) == 0.2)
+  }
+
+  // ---- deterministic split ------------------------------------------------
+
+  test("deterministic split: stable under repartition, sane fractions") {
+    val docs = (0L until 4096L).map(i => (i, s"text $i"))
+      .toDF("doc_id", "text")
+    val s1 = TextOps.deterministicSplit(docs, $"doc_id")
+      .select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = TextOps.deterministicSplit(docs.repartition(7), $"doc_id")
+      .select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2, "split must be a pure function of the key")
+    val n = s1.size.toDouble
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("test") - 1.0 / 32) < 0.02, frac)
+    assert(math.abs(frac("val") - 1.0 / 16) < 0.02, frac)
+    assert(frac("train") > 0.85, frac)
+  }
 }

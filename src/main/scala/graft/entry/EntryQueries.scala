@@ -959,8 +959,15 @@ object EntryQueries {
     // (inherently ordered) output.
     import s.implicits._
     import graft.index.DocIdAssigner.{steeringKeys, utf8Compare}
+    // cache the dictionary: it is VOCABULARY-sized (tiny next to the
+    // corpus) and three jobs need it (boundary sample, per-pid counts,
+    // assignment) — without the cache each one re-tokenizes the corpus.
+    // Correctness never depends on the cache: every derived value is a
+    // pure function of (term, df) row values. Unpersisted in finally.
     val dict = TextOps.termFrequencies(t(s, dir, "documents"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .cache()
+    try {
     val p = math.max(1, s.sessionState.conf.numShufflePartitions / 2)
     // sampling modulus sized from the DOCUMENT count (parquet metadata —
     // no compute): vocabulary scales with the corpus, and the modulus
@@ -1008,6 +1015,8 @@ object EntryQueries {
     while (i < nPids) { offsets(i) = acc; acc += counts.getOrElse(i, 0L); i += 1 }
     val bOff = s.sparkContext.broadcast(offsets)
     val pkeyUdf = udf((pid: Int) => bSteer.value(pid))
+    // materialize (distributed — localCheckpoint, no driver collect)
+    // BEFORE the finally unpersists the dictionary the lineage reads
     withPid
       .withColumn("pkey", pkeyUdf(col("pid")))
       .repartition(nPids, col("pkey"))
@@ -1025,6 +1034,8 @@ object EntryQueries {
       }
       .toDF("term", "df", "rank")
       .orderBy(col("rank"))
+      .localCheckpoint(true)
+    } finally dict.unpersist()
   }
 
   val o1DfOrderSql: String =

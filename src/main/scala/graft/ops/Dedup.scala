@@ -255,9 +255,10 @@ object Dedup {
     var it = 0
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // exact fixpoint check: both defections empty (cheap — by this
-      // point the edge set is nearly star-contracted and shrinking)
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // exact fixpoint check: both defections empty, in ONE action (cheap
+      // — by this point the edge set is nearly star-contracted)
+      converged = next.exceptAll(edges)
+        .union(edges.exceptAll(next)).isEmpty
       edges.unpersist()
       edges = next
       it += 1

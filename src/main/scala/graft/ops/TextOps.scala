@@ -190,26 +190,32 @@ object TextOps {
     val grams2 = transform(
       sequence(lit(1), size(toks) - 1),
       i => concat_ws(" ", slice(toks, i, lit(2))))
-    val g2 = docs.filter(size(toks) >= 2)
-      .select(col("doc_id"), explode(grams2).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    // ONE tokenize/scan pass: unigrams and 2-grams ride the same explode
+    // tagged by kind, then two-level agg (doc,kind,gram) -> (doc) with
+    // conditional aggregates — no self-join of two scans
+    docs.filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(concat(
+          transform(grams2, g => struct(lit("g").as("kind"), g.as("gram"))),
+          transform(toks, t => struct(lit("t").as("kind"), t.as("gram")))))
+        .as("x"))
+      .select(col("doc_id"), col("x.kind").as("kind"), col("x.gram").as("gram"))
+      .groupBy(col("doc_id"), col("kind"), col("gram"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("tot"), max(col("c")).as("mx"),
-        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"))
+      .agg(
+        sum(when(col("kind") === "g", col("c")).otherwise(0L)).as("tot2"),
+        max(when(col("kind") === "g", col("c"))).as("mx2"),
+        sum(when(col("kind") === "g" && col("c") > 1, col("c"))
+          .otherwise(0L)).as("dup2"),
+        sum(when(col("kind") === "t", col("c")).otherwise(0L)).as("tot1"),
+        max(when(col("kind") === "t", col("c"))).as("mx1"))
       .select(col("doc_id"),
-        round(col("mx").cast("double") / col("tot").cast("double"), 6)
+        round(col("mx2").cast("double") / col("tot2").cast("double"), 6)
           .as("top_2gram_frac"),
-        round(col("dup").cast("double") / col("tot").cast("double"), 6)
-          .as("dup_2gram_frac"))
-    val g1 = docs.filter(size(toks) >= 2)
-      .select(col("doc_id"), explode(toks).as("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("tot"), max(col("c")).as("mx"))
-      .select(col("doc_id"),
-        round(col("mx").cast("double") / col("tot").cast("double"), 6)
+        round(col("dup2").cast("double") / col("tot2").cast("double"), 6)
+          .as("dup_2gram_frac"),
+        round(col("mx1").cast("double") / col("tot1").cast("double"), 6)
           .as("top_token_frac"))
-    g2.join(g1, Seq("doc_id"))
   }
 
   /** Deterministic hash split — the reshard-stable train/val/test

@@ -20,8 +20,33 @@ import graft.query.Bm25
   */
 object EntryQueries {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Compute-heavy tables that deserve the small-input rebalance below
+    * (dimension tables stay as-is so broadcast planning is untouched). */
+  private val FactTables =
+    Set("documents", "embeddings", "events", "lineitem", "orders")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // The driver's sf tables are SINGLE-ROW-GROUP parquet files: a row
+    // group cannot split, so the scan — and the tokenize/compute stage
+    // fused onto it — runs as ONE task no matter how many cores the
+    // session has. Rebalance small fact-table inputs across the session
+    // (round-robin; a <64 MB shuffle is noise). At production scale the
+    // input has many files/row groups, the scan parallelizes itself, and
+    // this branch never fires. Catalyst still pushes filters/pruning
+    // through the repartition to the scan (PlanSpec asserts), and every
+    // gate result is partition-independent by construction (exact
+    // integer/decimal aggregates; float sums bounded to <=2 commutative
+    // terms; per-row scalar ops).
+    val bytes = try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case _: Exception => Long.MaxValue }
+    if (FactTables(name) && bytes < 64L * 1024 * 1024)
+      df.repartition(s.sparkContext.defaultParallelism)
+    else df
+  }
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
@@ -36,7 +61,12 @@ object EntryQueries {
       |), dl AS (
       |  SELECT doc_id, count(*) AS dl FROM tok WHERE length(term) >= 2 GROUP BY 1
       |), stats AS (
-      |  SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl
+      |  -- avgdl as ONE double division over exact integer aggregates:
+      |  -- mirrors the Spark side exactly (engine-internal avg() orders
+      |  -- would otherwise have to agree bit-for-bit)
+      |  SELECT (SELECT count(*) FROM documents) AS n,
+      |         (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |          FROM dl) AS avgdl
       |)""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -172,9 +202,12 @@ object EntryQueries {
     val tf = TextOps.termFrequencies(docs).cache()
     try {
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val statsRow = dl.agg(count(lit(1)), avg(col("dl").cast("double"))).head()
+      // avgdl = ONE double division over exact integer aggregates (the
+      // a6 pattern): avg() over doubles is partition-order dependent and
+      // would drift under the small-input rebalance in t()
+      val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head()
       val n = statsRow.getLong(0)
-      val avgdl = statsRow.getDouble(1)
+      val avgdl = statsRow.getLong(1).toDouble / n.toDouble
       val dfMap = tf.filter(col("term").isin(terms: _*))
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

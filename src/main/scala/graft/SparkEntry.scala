@@ -60,6 +60,8 @@ object SparkEntry {
     "fingerprint_winnow" -> (Q.fingerprintWinnow(_, _)),
     "quality_repetition" -> (Q.qualityRepetition(_, _)),
     "sample_split" -> (Q.sampleSplit(_, _)),
+    "text_redact" -> (Q.textRedact(_, _)),
+    "decontaminate" -> (Q.decontaminate(_, _)),
     "lang_id" -> (Q.langId(_, _)),
     // rows-only (probabilistic recall — not SQL-expressible exactly;
     // pinned by OpsSpec brute-force oracles instead)
@@ -110,6 +112,8 @@ object SparkEntry {
     "fingerprint_winnow" -> Q.fingerprintWinnowSql,
     "quality_repetition" -> Q.qualityRepetitionSql,
     "sample_split" -> Q.sampleSplitSql,
+    "text_redact" -> Q.textRedactSql,
+    "decontaminate" -> Q.decontaminateSql,
     "lang_id" -> Q.langIdSql,
     "u6_snippets" -> Q.u6SnippetsSql,
     "ann_ivf_topk" -> Q.annIvfTopKSql,

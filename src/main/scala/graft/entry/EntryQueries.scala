@@ -668,6 +668,52 @@ object EntryQueries {
       |        FROM documents)
       |) GROUP BY lang, split ORDER BY lang, split""".stripMargin
 
+  /** PII-style redaction (emails/URLs/long ids): match counts + md5 of
+    * the redacted text — full replacement semantics oracle-checked via
+    * RE2-safe patterns (identical under Java regex and DuckDB RE2). */
+  def textRedact(s: SparkSession, dir: String): DataFrame =
+    TextOps.redact(t(s, dir, "documents")).orderBy(col("doc_id"))
+
+  val textRedactSql: String = {
+    val (e, u, i) = (TextOps.RedactEmail, TextOps.RedactUrl, TextOps.RedactLongId)
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$u')) AS BIGINT) AS n_urls,
+       |  CAST(len(regexp_extract_all(text, '$i')) AS BIGINT) AS n_ids,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$e', '<EMAIL>', 'g'),
+       |      '$u', '<URL>', 'g'),
+       |      '$i', '<ID>', 'g')) AS redacted_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Benchmark decontamination: corpus docs (doc_id >= 10) sharing any
+    * token 4-gram with the benchmark slice (doc_id < 10); benchmark gram
+    * set broadcast (plan shape of a real train/test scrub). */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextOps.contaminationFlags(
+        docs.filter(col("doc_id") >= 10),
+        docs.filter(col("doc_id") < 10), n = 4)
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '),
+      |           x -> length(x) >= 2) AS tk
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |    unnest([ array_to_string(tk[i:i+3], ' ')
+      |             for i in range(1, len(tk) - 2) ]) AS g
+      |  FROM t WHERE len(tk) >= 4
+      |), bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 10),
+      |corpus AS (SELECT doc_id, g FROM g WHERE doc_id >= 10)
+      |SELECT c.doc_id AS doc_id, count(DISTINCT c.g) AS n_shared_grams
+      |FROM corpus c JOIN bench b ON b.g = c.g
+      |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
+
   /** Near-dup clusters: connected components (Large-Star/Small-Star) over
     * the exact SimHash pair set — cluster = component min docId, the
     * KEEP/DROP decision of a dedup pipeline. Oracle: the same pairs CTE +

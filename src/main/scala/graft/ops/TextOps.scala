@@ -218,6 +218,54 @@ object TextOps {
           .as("top_token_frac"))
   }
 
+  /** PII-style redaction patterns — RE2-safe (no lookarounds/backrefs),
+    * so the same pattern text runs identically under Java regex (Spark)
+    * and RE2 (DuckDB oracle), the BpePretokenPattern trick. */
+  val RedactEmail: String = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val RedactUrl: String = """https?://[^\s]+"""
+  val RedactLongId: String = """\b\d{6,}\b"""
+
+  /** Redact emails / URLs / long digit runs (the cheap PII pass of a
+    * training pipeline). Map-only codegen'd regexes; output carries the
+    * match counts and the redacted text's md5 so an oracle checks the
+    * full replacement semantics without shipping the text. */
+  def redact(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), RedactEmail, "<EMAIL>"),
+        RedactUrl, "<URL>"),
+      RedactLongId, "<ID>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(RedactEmail), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(RedactUrl), lit(0)))
+        .cast("long").as("n_urls"),
+      size(regexp_extract_all(col("text"), lit(RedactLongId), lit(0)))
+        .cast("long").as("n_ids"),
+      md5(redacted).as("redacted_md5"))
+  }
+
+  /** Benchmark decontamination: flag corpus docs sharing any token
+    * n-gram with a benchmark/eval set — the standard train/test overlap
+    * scrub. Scale shape: the benchmark gram set is small and BROADCAST
+    * (plan-asserted); the corpus side is one explode + semi-join + agg,
+    * no shuffle of the corpus beyond the per-doc count. */
+  def contaminationFlags(docs: DataFrame, bench: DataFrame,
+                         n: Int = 4): DataFrame = {
+    val toks = tokensCol
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    def gramRows(df: DataFrame) =
+      df.filter(size(toks) >= n)
+        .select(col("doc_id"), explode(grams).as("g"))
+    val benchGrams = gramRows(bench).select(col("g")).distinct()
+    gramRows(docs)
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("g")).as("n_shared_grams"))
+  }
+
   /** Deterministic hash split — the reshard-stable train/val/test
     * assignment of a training pipeline: the split is a pure function of
     * the KEY (first two hex chars of md5), so it survives repartitioning,

@@ -387,6 +387,44 @@ class OpsSpec extends AnyFunSuite {
     assert(clean.getDouble(2) == 0.2)
   }
 
+  // ---- redaction -----------------------------------------------------------
+
+  test("redaction: counts and replacement on planted PII") {
+    val text = "contact me at jo.doe+x@mail.example.org or " +
+      "https://example.com/a?b=1 id 1234567 short 12345 end"
+    val r = TextOps.redact(docsDf(Seq(text))).head()
+    assert(r.getLong(1) == 1L, "one email")
+    assert(r.getLong(2) == 1L, "one url")
+    assert(r.getLong(3) == 1L, "only the 7-digit run (6+ digits)")
+    val expected = "contact me at <EMAIL> or <URL> id <ID> short 12345 end"
+    assert(r.getString(4) == md5hex(expected))
+    // clean text: zero matches, md5 of the original
+    val c = TextOps.redact(docsDf(Seq("nothing personal here"))).head()
+    assert((c.getLong(1), c.getLong(2), c.getLong(3)) == ((0L, 0L, 0L)))
+    assert(c.getString(4) == md5hex("nothing personal here"))
+  }
+
+  // ---- decontamination -------------------------------------------------------
+
+  test("decontamination: flags docs sharing a 4-gram with the benchmark") {
+    val benchText = "alpha beta gamma delta epsilon zeta"
+    val docs = docsDf(Seq(
+      benchText, // 0: the benchmark doc
+      "xx yy alpha beta gamma delta zz",     // 1: shares 1 distinct 4-gram
+      "beta gamma delta epsilon zeta kappa", // 2: shares 2
+      "alpha beta gamma kappa delta epsilon" // 3: 4-grams all differ
+    ))
+    val bench = docs.filter($"doc_id" === 0)
+    val corpus = docs.filter($"doc_id" > 0)
+    val got = TextOps.contaminationFlags(corpus, bench, n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+    // plan shape: the benchmark gram set must broadcast
+    val plan = TextOps.contaminationFlags(corpus, bench, n = 4)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   // ---- deterministic split ------------------------------------------------
 
   test("deterministic split: stable under repartition, sane fractions") {

@@ -137,6 +137,26 @@ object StreamingJobs {
       .start()
   }
 
+  /** Pre-index ingestion dedup: drop turns whose ANALYZED content
+    * fingerprint (md5 over the normalized token stream — whitespace/case
+    * variants collapse, the TextOps.fingerprint key) was already seen
+    * within the watermark horizon. `dropDuplicatesWithinWatermark` bounds
+    * the dedup state by event time — the plain streaming dropDuplicates
+    * would grow state forever at ingest scale. Batch frames accept the
+    * same transform (watermark is a no-op there), per the unified API. */
+  def dedupIngest(turns: Dataset[graft.model.Turn],
+                  watermark: String = "1 hour"): Dataset[graft.model.Turn] = {
+    import turns.sparkSession.implicits._
+    val withFp = turns
+      .withColumn("fp",
+        md5(concat_ws(" ", graft.functions.TokensExpression.tokens(col("text")))))
+      .withWatermark("ts", watermark)
+    val deduped =
+      if (turns.isStreaming) withFp.dropDuplicatesWithinWatermark("fp")
+      else withFp.dropDuplicates("fp")
+    deduped.drop("fp").as[graft.model.Turn]
+  }
+
   /** Replay-vs-partial-append disambiguation (see [[indexIngest]]): the
     * committed manifest's input fingerprint must match a re-fingerprint
     * of the docs table. Match ⇒ the rejected batch was fully committed

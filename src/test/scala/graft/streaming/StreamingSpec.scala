@@ -196,6 +196,43 @@ class StreamingSpec extends AnyFunSuite {
       s"expected loud partial-append failure, got: ${messages(err)}")
   }
 
+  test("ingestion dedup: fingerprint dedup across micro-batches, watermark-bounded state") {
+    import graft.model.Turn
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val inDir = SparkTestBase.tmpDir("graft-dedupin")
+    val b0 = Seq(
+      Turn("c1", 0, "user", "alpha beta gamma", "", ts(0)),
+      // case/whitespace variant — same ANALYZED fingerprint
+      Turn("c1", 1, "user", "ALPHA   beta GAMMA", "", ts(1)),
+      Turn("c2", 0, "user", "unique text one", "", ts(2)))
+    val b1 = Seq(
+      Turn("c3", 0, "user", "alpha beta gamma", "", ts(3)), // dup across batches
+      Turn("c4", 0, "user", "unique text two", "", ts(4)))
+    spark.createDataset(b0).write.parquet(s"$inDir/b0")
+    spark.createDataset(b1).write.parquet(s"$inDir/b1")
+    val streamIn = spark.readStream
+      .schema(spark.createDataset(b0).schema).parquet(s"$inDir/*").as[Turn]
+    val outDir = SparkTestBase.tmpDir("graft-dedupout")
+    val q = StreamingJobs.dedupIngest(streamIn)
+      .writeStream
+      .option("checkpointLocation", SparkTestBase.tmpDir("graft-dedupckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", outDir)
+      .start()
+    q.awaitTermination(120000)
+    q.stop()
+    val got = spark.read.parquet(outDir).as[Turn].collect()
+    assert(got.length == 3, s"expected 3 survivors, got ${got.toSeq}")
+    assert(got.count(_.text.toLowerCase.startsWith("alpha")) == 1,
+      "exactly one of the three same-fingerprint variants survives")
+    assert(got.exists(_.text == "unique text one"))
+    assert(got.exists(_.text == "unique text two"))
+    // same transform on a BATCH frame (unified API)
+    val batchGot = StreamingJobs.dedupIngest(
+      spark.createDataset(b0 ++ b1)).collect()
+    assert(batchGot.length == 3)
+  }
+
   test("sliding windows produce overlapping coverage") {
     val out = StreamingJobs.slidingRates(spark.read.parquet(eventsDir))
       .orderBy($"w_start").collect()

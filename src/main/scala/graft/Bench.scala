@@ -60,6 +60,19 @@ object Bench {
 
     // ---- section 1: operator suite over sfDir -------------------------
     val spark1 = session(cpus)
+    // one-time session costs (executor spin-up, first-shuffle init, scan/
+    // agg codegen compile) otherwise land entirely on the alphabetically
+    // first query — warm them with a tiny read+explode+agg+join first,
+    // the same rationale as BenchBuild's warmup build (one-time costs
+    // amortize over hour-long stages on a real cluster)
+    locally {
+      import org.apache.spark.sql.functions._
+      val w = spark1.read.parquet(s"$sfDir/documents.parquet").limit(50)
+      w.select(explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("t")).count()
+        .join(w.select(col("doc_id")), col("t") =!= col("doc_id").cast("string"))
+        .agg(count(lit(1))).collect()
+    }
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, secs) = time {
         try fn(spark1, sfDir).count()

@@ -1037,7 +1037,8 @@ object EntryQueries {
     // than ~|V|/p rows and no global sort happens before the final
     // (inherently ordered) output.
     import s.implicits._
-    import graft.index.DocIdAssigner.{steeringKeys, utf8Compare}
+    import graft.index.DocIdAssigner.{bucketOf, prefixOffsets,
+      quantileBoundaries, steeringKeys, utf8Compare}
     // cache the dictionary: it is VOCABULARY-sized (tiny next to the
     // corpus) and three jobs need it (boundary sample, per-pid counts,
     // assignment) — without the cache each one re-tokenizes the corpus.
@@ -1053,34 +1054,26 @@ object EntryQueries {
     // only affects bucket BALANCE, never correctness
     val nDocs = t(s, dir, "documents").count()
     val sampleMod = math.max(1L, nDocs / math.max(1L, p.toLong * 200L))
-    val keyOrd: Ordering[(Long, String)] = new Ordering[(Long, String)] {
-      def compare(a: (Long, String), b: (Long, String)): Int = {
-        val c = java.lang.Long.compare(a._1, b._1)
-        if (c != 0) c else utf8Compare(a._2, b._2)
+    // rank key = (df ASC, term UTF-8 ASC); the scaffold (quantile
+    // boundaries, bucket search, prefix offsets, steered repartition) is
+    // DocIdAssigner's — shared, not re-implemented
+    implicit val keyOrd: Ordering[(Long, String)] =
+      new Ordering[(Long, String)] {
+        def compare(a: (Long, String), b: (Long, String)): Int = {
+          val c = java.lang.Long.compare(a._1, b._1)
+          if (c != 0) c else utf8Compare(a._2, b._2)
+        }
       }
-    }
     val keys = dict
       .filter(pmod(xxhash64(col("df"), col("term")), lit(sampleMod)) === 0)
       .select(col("df"), col("term")).collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted(keyOrd)
-    val bnds: Array[(Long, String)] =
-      if (keys.isEmpty) Array.empty
-      else (1 until p).map(i => keys(math.min(keys.length - 1, i * keys.length / p)))
-        .distinct.toArray
+    val bnds = quantileBoundaries(keys.toIndexedSeq, p)
     val nPids = bnds.length + 1
     val bB = s.sparkContext.broadcast(bnds)
     val bSteer = s.sparkContext.broadcast(steeringKeys(nPids))
-    val pidUdf = udf { (df: Long, term: String) =>
-      val b = bB.value
-      var lo = 0; var hi = b.length
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        val c = { val x = java.lang.Long.compare(df, b(mid)._1)
-                  if (x != 0) x else utf8Compare(term, b(mid)._2) }
-        if (c >= 0) lo = mid + 1 else hi = mid
-      }
-      lo
-    }
+    val pidUdf = udf((df: Long, term: String) =>
+      bucketOf(bB.value, (df, term)))
     val withPid = dict.withColumn("pid", pidUdf(col("df"), col("term")))
     // single-bucket case (tiny vocabulary / empty sample): offsets are
     // trivially [1] — skip the per-pid counting job entirely
@@ -1088,11 +1081,8 @@ object EntryQueries {
       if (nPids == 1) Map.empty
       else withPid.groupBy(col("pid")).count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = new Array[Long](nPids)
-    var acc = 1L // rank is 1-based
-    var i = 0
-    while (i < nPids) { offsets(i) = acc; acc += counts.getOrElse(i, 0L); i += 1 }
-    val bOff = s.sparkContext.broadcast(offsets)
+    val bOff = s.sparkContext.broadcast(
+      prefixOffsets(counts, nPids, base = 1L)) // rank is 1-based
     val pkeyUdf = udf((pid: Int) => bSteer.value(pid))
     // materialize (distributed — localCheckpoint, no driver collect)
     // BEFORE the finally unpersists the dictionary the lineage reads

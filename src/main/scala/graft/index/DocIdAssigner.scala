@@ -76,15 +76,51 @@ object DocIdAssigner {
   final case class AssignStats(nDocs: Long, fingerprint: String,
                                ranges: Map[Int, (Long, Long)] = Map.empty)
 
+  /** p-1 quantile boundaries from a SORTED key sample; duplicates
+    * collapse (fewer effective partitions). Shared by docId assignment
+    * and the dictionary rank (EntryQueries.o1DfOrder) — the two-phase
+    * global-rank scaffold must exist in one copy. */
+  private[graft] def quantileBoundaries[K](sortedKeys: IndexedSeq[K],
+                                           p: Int): Vector[K] =
+    if (sortedKeys.isEmpty || p <= 1) Vector.empty
+    else (1 until p).map { i =>
+      sortedKeys(math.min(sortedKeys.length - 1, i * sortedKeys.length / p))
+    }.distinct.toVector
+
+  /** bucket = number of boundaries <= key (binary search under `ord`) —
+    * a pure function of the key, never of any physical plan. */
+  private[graft] def bucketOf[K](boundaries: IndexedSeq[K], key: K)
+                                (implicit ord: Ordering[K]): Int = {
+    var lo = 0
+    var hi = boundaries.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ord.gteq(key, boundaries(mid))) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Prefix-sum offsets per bucket: offsets(i) = base + Σ counts(<i). */
+  private[graft] def prefixOffsets(counts: Map[Int, Long], nPids: Int,
+                                   base: Long): Array[Long] = {
+    val offsets = new Array[Long](nPids)
+    var acc = base
+    var i = 0
+    while (i < nPids) {
+      offsets(i) = acc
+      acc += counts.getOrElse(i, 0L)
+      i += 1
+    }
+    offsets
+  }
+
   /** Range boundaries from a deterministic sample: every key whose hash
     * is ≡ 0 mod `sampleMod` is collected (uniform over keys, independent
-    * of physical layout), sorted in UTF-8 order, and p-1 quantiles taken.
-    * ≤ p-1 distinct boundaries; duplicates collapse (fewer effective
-    * partitions). */
+    * of physical layout), sorted in UTF-8 order, and p-1 quantiles taken. */
   private def sampleBoundaries(turns: Dataset[Turn], n: Long,
-                               p: Int): Array[(String, Int)] = {
+                               p: Int): Vector[(String, Int)] = {
     import turns.sparkSession.implicits._
-    if (p <= 1 || n == 0) return Array.empty
+    if (p <= 1 || n == 0) return Vector.empty
     // target ~200 sampled keys per partition
     val sampleMod = math.max(1L, n / math.max(1L, p.toLong * 200L))
     val keys = turns
@@ -93,27 +129,7 @@ object DocIdAssigner {
       .collect()
       .map(r => (r.getString(0), r.getInt(1)))
       .sorted(keyOrdering)
-    if (keys.isEmpty) return Array.empty
-    (1 until p).map { i =>
-      keys(math.min(keys.length - 1, i * keys.length / p))
-    }.distinct.toArray
-  }
-
-  /** pid = number of boundaries <= key (binary search, UTF-8 order). */
-  private def pidOf(boundaries: Array[(String, Int)],
-                    convId: String, turnIdx: Int): Int = {
-    var lo = 0
-    var hi = boundaries.length
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      val b = boundaries(mid)
-      val cmp = {
-        val c = utf8Compare(convId, b._1)
-        if (c != 0) c else Integer.compare(turnIdx, b._2)
-      }
-      if (cmp >= 0) lo = mid + 1 else hi = mid
-    }
-    lo
+    quantileBoundaries(keys.toIndexedSeq, p)
   }
 
   /** Shuffle-key steering: keys(pid) = the smallest int j whose Spark
@@ -140,7 +156,15 @@ object DocIdAssigner {
   }
 
   /** The single assignment pass shared by fresh builds and appends
-    * (docId-integrity logic must exist in exactly one copy). Returns
+    * (docId-integrity logic must exist in exactly one copy).
+    *
+    * INPUT CONTRACT: `turns` must be VALUE-deterministic across
+    * re-evaluation — this pass runs several jobs over it (count, boundary
+    * sample, per-pid counts, assignment) and rows that differ between
+    * jobs would silently collide docId offsets. Storage-table reads
+    * qualify; derived frames with nondeterministic survivors (e.g.
+    * dropDuplicates) must be pinned first (appendConversationsDs
+    * localCheckpoints its batch for exactly this reason). Returns
     * rows (docId, conv_id, turn_idx, role, text, tool, dl, shard) with
     * docId = baseDocId + dense rank of (conv_id, turn_idx) within
     * `turns`, and shard = baseShard + range-bucket id (each shard is a
@@ -157,7 +181,8 @@ object DocIdAssigner {
     val nPids = boundaries.length + 1
     val bB = spark.sparkContext.broadcast(boundaries)
     val bSteer = spark.sparkContext.broadcast(steeringKeys(nPids))
-    val pidUdf = udf((c: String, t: Int) => pidOf(bB.value, c, t))
+    val pidUdf = udf((c: String, t: Int) =>
+      bucketOf(bB.value, (c, t))(keyOrdering))
     val pkeyUdf = udf((pid: Int) => bSteer.value(pid))
 
     // Turn fields land at ordinals 0-5, pid at 6, pkey at 7.
@@ -184,14 +209,7 @@ object DocIdAssigner {
       .collect()
     val counts: Map[Int, Long] = perPid.map(x => x._1 -> x._2).toMap
 
-    val offsets = new Array[Long](nPids)
-    var acc = baseDocId
-    var i = 0
-    while (i < nPids) {
-      offsets(i) = acc
-      acc += counts.getOrElse(i, 0L)
-      i += 1
-    }
+    val offsets = prefixOffsets(counts, nPids, baseDocId)
     val ranges = counts.collect { case (pid, c) if c > 0 =>
       (baseShard + pid) -> (offsets(pid), offsets(pid) + c - 1)
     }.toMap

@@ -93,7 +93,12 @@ object IndexMaintenance {
   def replaceTurnsDs(spark: SparkSession, root: String,
                      turns: org.apache.spark.sql.Dataset[Turn]): Seq[Int] = {
     import spark.implicits._
-    val keys = turns.select($"conv_id", $"turn_idx").distinct()
+    // several jobs read the batch (key check, shard targeting, rewrite):
+    // pin ONE evaluation so a value-nondeterministic input cannot pass
+    // the key check with one row set and rewrite with another (same
+    // contract as appendConversationsDs / DocIdAssigner.assignCore)
+    val batch = turns.localCheckpoint(true)
+    val keys = batch.select($"conv_id", $"turn_idx").distinct()
     // unknown keys are rejected distributively (≤5 examples to the driver)
     val missing = keys
       .join(IndexBuilder.loadDocs(spark, root).select($"conv_id", $"turn_idx"),
@@ -107,7 +112,7 @@ object IndexMaintenance {
     val shards = IndexBuilder.loadDocs(spark, root)
       .join(keys, Seq("conv_id", "turn_idx"), "left_semi")
       .select($"shard").distinct().as[Int].collect().toSeq.sorted
-    rewriteShards(spark, root, shards, replace = Some(turns.toDF()))
+    rewriteShards(spark, root, shards, replace = Some(batch.toDF()))
     shards
   }
 
@@ -247,29 +252,42 @@ object IndexMaintenance {
     import spark.implicits._
     SearchEngine.disableServingCache(root) // before rewrites: see deleteConversationsDf
     val P = IndexBuilder.Paths(root)
-    val maxDocId = IndexBuilder.loadDocs(spark, root)
-      .agg(max($"docId")).head().getLong(0)
+    // assignCore runs SEVERAL jobs over the batch (count, boundary
+    // sample, per-pid counts, the assignment write): pin ONE evaluation
+    // with an eager localCheckpoint so a value-nondeterministic input
+    // (e.g. the dropDuplicates survivor of a dedupIngest batch twin)
+    // cannot yield different rows to different jobs — that would collide
+    // docId offsets silently. Micro-batch / backfill sized, so the
+    // distributed materialization is cheap; the fresh-build path reads a
+    // storage table and needs no pin.
+    val batch = turns.localCheckpoint(true)
+    // max docId and shard come from the manifest (kept fresh by every
+    // build/maintenance commit) — no full docs scan per micro-batch; a
+    // manifest predating range stamping (any -1 entry) falls back to the
+    // scan rather than risking a docId collision
+    val m0 = IndexManifest.read(root).getOrElse(
+      throw new IllegalStateException(s"no manifest at $root"))
+    val maxDocId =
+      if (m0.shards.nonEmpty && m0.shards.forall(_.maxDocId >= 0))
+        m0.shards.map(_.maxDocId).max
+      else IndexBuilder.loadDocs(spark, root).agg(max($"docId")).head().getLong(0)
+    val maxShard = m0.shards.map(_.shard).max
     // existing keys are rejected distributively (semi join — only the ≤5
     // offending examples ever reach the driver; Catalyst broadcasts the
     // smaller side itself, so a giant backfill doesn't force a broadcast)
     val dup = IndexBuilder.loadDocs(spark, root)
       .select($"conv_id", $"turn_idx")
-      .join(turns.select($"conv_id", $"turn_idx").distinct(),
+      .join(batch.select($"conv_id", $"turn_idx").distinct(),
         Seq("conv_id", "turn_idx"), "left_semi")
       .take(5)
       .map(r => (r.getString(0), r.getInt(1)))
     require(dup.isEmpty,
       s"appendConversations requires NEW keys; existing: ${dup.toSeq} " +
       "(updates go through replaceTurns)")
-    val maxShard = {
-      val m = IndexManifest.read(root).getOrElse(
-        throw new IllegalStateException(s"no manifest at $root"))
-      m.shards.map(_.shard).max
-    }
 
     // docIds continue the dense rank after maxDocId, spread over
     // newShards fresh contiguous-range shards
-    val (newDocs, stats) = DocIdAssigner.assignCore(spark, turns,
+    val (newDocs, stats) = DocIdAssigner.assignCore(spark, batch,
       buckets = newShards, baseDocId = maxDocId + 1, baseShard = maxShard + 1)
     require(stats.nDocs > 0, "nothing to append")
     val shards = stats.ranges.keys.toSeq.sorted
@@ -332,8 +350,8 @@ object IndexMaintenance {
     val tmp = new org.apache.hadoop.fs.Path(P.termStats + ".tmp")
     val bak = new org.apache.hadoop.fs.Path(P.termStats + ".old")
     if (fs.exists(bak)) fs.delete(bak, true)
-    fs.rename(cur, bak)
-    fs.rename(tmp, cur)
+    renameOrThrow(fs, cur, bak)
+    renameOrThrow(fs, tmp, cur) // on failure: bak still holds the old copy
     fs.delete(bak, true)
     ()
   }
@@ -380,6 +398,14 @@ object IndexMaintenance {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Hadoop rename reports most failures by RETURNING FALSE (e.g. S3A
+    * destination-exists, transient IO) — ignoring it can cascade into
+    * deleting the only surviving copy. Fail loudly instead. */
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+                            from: org.apache.hadoop.fs.Path,
+                            to: org.apache.hadoop.fs.Path): Unit =
+    require(fs.rename(from, to), s"filesystem rename failed: $from -> $to")
+
   private def deleteDir(spark: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = fileSystem(spark, dir)
@@ -397,7 +423,7 @@ object IndexMaintenance {
       val dst = new org.apache.hadoop.fs.Path(s"$target/shard=$k")
       val src = new org.apache.hadoop.fs.Path(s"$tmp/shard=$k")
       if (fs.exists(dst)) fs.delete(dst, true)
-      if (fs.exists(src)) fs.rename(src, dst)
+      if (fs.exists(src)) renameOrThrow(fs, src, dst)
     }
     deleteDir(spark, tmp)
   }

@@ -48,11 +48,14 @@ final case class Manifest(
 object IndexManifest {
 
   /** Hadoop FileSystem for `root` — works on HDFS/S3/local alike (the
-    * java.nio API would throw off-box). Driver-side only; picks up the
-    * active session's Hadoop conf when one exists. */
+    * java.nio API would throw off-box). Driver-side only. getActiveSession
+    * is a THREAD-LOCAL — a serving pool's worker thread would miss the
+    * session's S3/HDFS conf — so fall through to the process-wide default
+    * session before a bare Configuration. */
   private def fs(root: String): FileSystem =
     new Path(root).getFileSystem(
       org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
         .map(_.sparkContext.hadoopConfiguration)
         .getOrElse(new org.apache.hadoop.conf.Configuration()))
 

@@ -220,9 +220,12 @@ object TextOps {
 
   /** PII-style redaction patterns — RE2-safe (no lookarounds/backrefs),
     * so the same pattern text runs identically under Java regex (Spark)
-    * and RE2 (DuckDB oracle), the BpePretokenPattern trick. */
+    * and RE2 (DuckDB oracle), the BpePretokenPattern trick. The URL
+    * pattern spells out the whitespace class: Java's \s includes \x0B
+    * (vertical tab) while RE2's does not, so a bare [^\s]+ would redact
+    * different spans on \x0B-bearing text. */
   val RedactEmail: String = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-  val RedactUrl: String = """https?://[^\s]+"""
+  val RedactUrl: String = "https?://[^ \\t\\n\\x0B\\f\\r]+"
   val RedactLongId: String = """\b\d{6,}\b"""
 
   /** Redact emails / URLs / long digit runs (the cheap PII pass of a

@@ -492,6 +492,14 @@ object SearchEngine {
                                     k: Int, scopes: Seq[String])
   private val resultCaches = scala.collection.concurrent.TrieMap
     .empty[String, java.util.LinkedHashMap[QueryKey, Vector[SearchHit]]]
+  // flush generation per root: an in-flight compute that started before a
+  // maintenance flush must NOT re-insert its (pre-maintenance) result
+  // after the clear — the put is gated on the generation it started under
+  private val resultCacheGen = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.atomic.AtomicLong]
+  private def cacheGen(root: String): java.util.concurrent.atomic.AtomicLong =
+    resultCacheGen.getOrElseUpdate(root,
+      new java.util.concurrent.atomic.AtomicLong)
 
   /** Enable the per-root repeat-query LRU (serving mode). Idempotent;
     * capacity 1 reproduces the reference's single-slot behavior. */
@@ -518,8 +526,11 @@ object SearchEngine {
       case Some(lru) =>
         val hit = lru.synchronized(Option(lru.get(key)))
         hit.getOrElse {
+          val g0 = cacheGen(root).get()
           val v = compute
-          lru.synchronized(lru.put(key, v))
+          lru.synchronized {
+            if (cacheGen(root).get() == g0) lru.put(key, v)
+          }
           v
         }
     }
@@ -592,7 +603,10 @@ object SearchEngine {
     // flush memoized results (stale hits would otherwise survive the
     // rewrite; the LRU itself stays enabled for the serving process)
     alignedPostings.keys.filter(_._1 == root).foreach(alignedPostings.remove)
-    resultCaches.get(root).foreach(lru => lru.synchronized(lru.clear()))
+    resultCaches.get(root).foreach { lru =>
+      cacheGen(root).incrementAndGet() // BEFORE clear: gates in-flight puts
+      lru.synchronized(lru.clear())
+    }
   }
 
   private def postingsFor(spark: SparkSession, root: String): DataFrame =

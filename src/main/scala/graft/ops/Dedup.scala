@@ -251,14 +251,19 @@ object Dedup {
     var edges = canonical(pairs
         .select(col(c0(0)).cast("long").as("u"), col(c0(1)).cast("long").as("v")))
       .localCheckpoint(true)
-    var converged = edges.isEmpty
+    var curCount = edges.count()
+    var converged = curCount == 0
     var it = 0
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // exact fixpoint check: both defections empty, in ONE action (cheap
-      // — by this point the edge set is nearly star-contracted)
-      converged = next.exceptAll(edges)
-        .union(edges.exceptAll(next)).isEmpty
+      // equal counts are NECESSARY for set equality — gate the exact
+      // except-both-ways check (the expensive part) on the cheap count,
+      // so early rounds (which almost always change the count) pay one
+      // tiny job instead of two distinct-shuffles
+      val nextCount = next.count()
+      converged = nextCount == curCount &&
+        next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
+      curCount = nextCount
       edges.unpersist()
       edges = next
       it += 1

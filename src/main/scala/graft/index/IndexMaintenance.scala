@@ -112,7 +112,9 @@ object IndexMaintenance {
     val shards = IndexBuilder.loadDocs(spark, root)
       .join(keys, Seq("conv_id", "turn_idx"), "left_semi")
       .select($"shard").distinct().as[Int].collect().toSeq.sorted
-    rewriteShards(spark, root, shards, replace = Some(batch.toDF()))
+    try rewriteShards(spark, root, shards, replace = Some(batch.toDF()))
+    finally batch.unpersist() // free the checkpoint blocks (long-running
+                              // callers would otherwise accumulate them)
     shards
   }
 
@@ -326,6 +328,8 @@ object IndexMaintenance {
     commitRefreshedManifest(spark, root, replacedShards = Nil,
       newEntries = acc.value.toSeq.map { case (s0, (t, p, b, d)) =>
         ShardEntry(s0, t, p, b, Seq(s0), sumDl = d) })
+    batch.unpersist() // streaming ingest appends per micro-batch — the
+                      // checkpoint blocks must not accumulate across batches
     shards
   }
 

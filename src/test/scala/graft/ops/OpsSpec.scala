@@ -318,6 +318,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got(203L) == 100L) // bridged cliques share the min root
   }
 
+  test("connected components: 2000-node sparse random graph == union-find") {
+    // sparse regime (many mid-size components, some singleton pairs):
+    // exercises multiple contraction rounds at a size where a subtle
+    // star-step bug would actually surface
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(2400)(
+      (rnd.nextInt(2000).toLong, rnd.nextInt(2000).toLong))
+      .filter(p => p._1 != p._2)
+    val got = ccRun(pairs)
+    assert(got == ccBrute(pairs))
+  }
+
+  test("connected components: star-contraction plans join on keys (no cartesian)") {
+    val df = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
+    val plan = Dedup.connectedComponents(df)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("connected components: empty input; score columns ignored; dup pairs") {
     assert(Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("d1", "d2")).isEmpty)

@@ -66,13 +66,17 @@ object Bench {
     // first query — warm them with a tiny read+explode+agg+join first,
     // the same rationale as BenchBuild's warmup build (one-time costs
     // amortize over hour-long stages on a real cluster)
-    locally {
+    try {
       import org.apache.spark.sql.functions._
       val w = spark1.read.parquet(s"$sfDir/documents.parquet").limit(50)
       w.select(explode(split(col("text"), " ")).as("t"))
         .groupBy(col("t")).count()
         .join(w.select(col("doc_id")), col("t") =!= col("doc_id").cast("string"))
         .agg(count(lit(1))).collect()
+      ()
+    } catch { // warmup must never kill the artifact (per-query failures
+              // are caught below; this one is too)
+      case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, secs) = time {

@@ -98,6 +98,7 @@ object IndexMaintenance {
     // the key check with one row set and rewrite with another (same
     // contract as appendConversationsDs / DocIdAssigner.assignCore)
     val batch = turns.localCheckpoint(true)
+    try { // finally-unpersist covers the require rejections too
     val keys = batch.select($"conv_id", $"turn_idx").distinct()
     // unknown keys are rejected distributively (≤5 examples to the driver)
     val missing = keys
@@ -112,10 +113,11 @@ object IndexMaintenance {
     val shards = IndexBuilder.loadDocs(spark, root)
       .join(keys, Seq("conv_id", "turn_idx"), "left_semi")
       .select($"shard").distinct().as[Int].collect().toSeq.sorted
-    try rewriteShards(spark, root, shards, replace = Some(batch.toDF()))
-    finally batch.unpersist() // free the checkpoint blocks (long-running
-                              // callers would otherwise accumulate them)
+    rewriteShards(spark, root, shards, replace = Some(batch.toDF()))
     shards
+    } finally batch.unpersist() // free the checkpoint blocks (long-running
+                                // callers would otherwise accumulate them,
+                                // incl. rejected batches)
   }
 
   /** Core partition-scoped rewrite: re-derive docs → tf → postings for the
@@ -221,6 +223,11 @@ object IndexMaintenance {
       newEntries = acc.value.toSeq.map { case (s0, (t, p, b, d)) =>
         ShardEntry(s0, t, p, b, Seq(s0), sumDl = d) } ++
         shards.filterNot(written).map(s0 => ShardEntry(s0, 0L, 0L, 0L, Seq(s0))))
+    // invalidate AGAIN after the commit: a query that started DURING the
+    // rewrite (after the pre-rewrite flush bumped the generation) would
+    // otherwise memoize a half-swapped-index result under the current
+    // generation and serve it until the next maintenance
+    SearchEngine.disableServingCache(root)
   }
 
   /** Append whole new conversations (reference: indexPage on a NEW page,
@@ -263,15 +270,21 @@ object IndexMaintenance {
     // distributed materialization is cheap; the fresh-build path reads a
     // storage table and needs no pin.
     val batch = turns.localCheckpoint(true)
+    try {
     // max docId and shard come from the manifest (kept fresh by every
-    // build/maintenance commit) — no full docs scan per micro-batch; a
-    // manifest predating range stamping (any -1 entry) falls back to the
-    // scan rather than risking a docId collision
+    // build/maintenance commit) — no full docs scan per micro-batch. A
+    // GENUINELY EMPTY shard (postings == 0, e.g. quantile collapse at
+    // build or a full-shard delete) legitimately carries (-1,-1) and
+    // contributes nothing to the max; only an UNSTAMPED non-empty entry
+    // (legacy manifest) forces the docs-scan fallback — never risk a
+    // docId collision.
     val m0 = IndexManifest.read(root).getOrElse(
       throw new IllegalStateException(s"no manifest at $root"))
+    val stamped = m0.shards.filter(_.maxDocId >= 0)
     val maxDocId =
-      if (m0.shards.nonEmpty && m0.shards.forall(_.maxDocId >= 0))
-        m0.shards.map(_.maxDocId).max
+      if (stamped.nonEmpty &&
+          m0.shards.forall(e => e.maxDocId >= 0 || e.postings == 0))
+        stamped.map(_.maxDocId).max
       else IndexBuilder.loadDocs(spark, root).agg(max($"docId")).head().getLong(0)
     val maxShard = m0.shards.map(_.shard).max
     // existing keys are rejected distributively (semi join — only the ≤5
@@ -328,9 +341,14 @@ object IndexMaintenance {
     commitRefreshedManifest(spark, root, replacedShards = Nil,
       newEntries = acc.value.toSeq.map { case (s0, (t, p, b, d)) =>
         ShardEntry(s0, t, p, b, Seq(s0), sumDl = d) })
-    batch.unpersist() // streaming ingest appends per micro-batch — the
-                      // checkpoint blocks must not accumulate across batches
+    // invalidate AGAIN after the commit: a query that started DURING the
+    // append could otherwise memoize a mid-append result under the
+    // generation bumped by the entry invalidation above
+    SearchEngine.disableServingCache(root)
     shards
+    } finally batch.unpersist() // streaming ingest appends per micro-batch
+                                // — checkpoint blocks must not accumulate
+                                // (incl. rejected/failed batches)
   }
 
   private def refreshTermStats(spark: SparkSession, root: String): Unit = {

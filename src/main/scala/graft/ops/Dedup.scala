@@ -256,13 +256,13 @@ object Dedup {
     var it = 0
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // equal counts are NECESSARY for set equality — gate the exact
-      // except-both-ways check (the expensive part) on the cheap count,
-      // so early rounds (which almost always change the count) pay one
-      // tiny job instead of two distinct-shuffles
+      // equal counts are NECESSARY for multiset equality — gate the
+      // exact check on the cheap count, so early rounds (which almost
+      // always change the count) pay one tiny job. Given equal
+      // cardinalities, ONE-directional exceptAll-empty already implies
+      // multiset equality — the reverse direction would be redundant.
       val nextCount = next.count()
-      converged = nextCount == curCount &&
-        next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
+      converged = nextCount == curCount && next.exceptAll(edges).isEmpty
       curCount = nextCount
       edges.unpersist()
       edges = next

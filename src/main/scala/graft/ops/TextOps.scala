@@ -108,12 +108,15 @@ object TextOps {
       size(regexp_extract_all(col("text"), lit(BpePretokenPattern), lit(0)))
         .cast("long").as("bpe_segments"))
 
-  /** Content fingerprint: md5 over the normalized token stream — the
-    * canonical-form dedup key (whitespace/punct/case-insensitive). Uses
-    * builtin md5/concat_ws (codegen) rather than a UDF. */
+  /** THE canonical content-fingerprint key: md5 over the normalized
+    * token stream (whitespace/punct/case-insensitive). One definition —
+    * the batch fingerprint op and the streaming ingestion dedup key must
+    * never diverge. Builtin md5/concat_ws (codegen), no UDF. */
+  val fingerprintCol: Column = md5(concat_ws(" ", tokensCol))
+
+  /** Content fingerprint per doc — the canonical-form dedup key. */
   def fingerprint(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      md5(concat_ws(" ", tokensCol)).as("fingerprint"))
+    docs.select(col("doc_id"), fingerprintCol.as("fingerprint"))
 
   /** Rolling (Rabin-Karp style) 64-bit hash over the token stream —
     * order-sensitive complement to the md5 canonical form; base/mod fixed,

@@ -147,14 +147,19 @@ object StreamingJobs {
   def dedupIngest(turns: Dataset[graft.model.Turn],
                   watermark: String = "1 hour"): Dataset[graft.model.Turn] = {
     import turns.sparkSession.implicits._
-    val withFp = turns
-      .withColumn("fp",
-        md5(concat_ws(" ", graft.functions.TokensExpression.tokens(col("text")))))
+    // ZERO-TOKEN turns all share md5("") — they are NOT duplicates of
+    // each other and must pass through undeduped (dropping them would
+    // silently lose distinct turns whose text merely analyzes to no
+    // tokens: punctuation-only, too-short tokens, empty)
+    val toks = graft.functions.TokensExpression.tokens(col("text"))
+    val withFp = turns.filter(size(toks) > 0)
+      .withColumn("fp", graft.ops.TextOps.fingerprintCol) // THE shared key
       .withWatermark("ts", watermark)
     val deduped =
       if (turns.isStreaming) withFp.dropDuplicatesWithinWatermark("fp")
       else withFp.dropDuplicates("fp")
     deduped.drop("fp").as[graft.model.Turn]
+      .unionByName(turns.filter(size(toks) === 0))
   }
 
   /** Replay-vs-partial-append disambiguation (see [[indexIngest]]): the

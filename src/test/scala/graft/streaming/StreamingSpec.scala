@@ -233,6 +233,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchGot.length == 3)
   }
 
+  test("composed pipeline: dedupIngest -> indexIngest, dedup survivors indexed once") {
+    import graft.index.IndexBuilder
+    import graft.model.Turn
+    import graft.query.SearchEngine
+    val ts0 = new java.sql.Timestamp(1700000000000L)
+    val base = graft.fixtures.TranscriptGen.corpus(seed = 77L, nConvs = 40)
+    val root = SparkTestBase.tmpDir("graft-composed-idx")
+    IndexBuilder.build(spark, spark.createDataset(base), root,
+      shards = 4, waveSize = 4, maxChunkPostings = 64)
+
+    val inDir = SparkTestBase.tmpDir("graft-composed-in")
+    val newTurns = Seq(
+      Turn("conv-zz1", 0, "user", "zzcomposed fresh needle", "", ts0),
+      Turn("conv-zz2", 0, "user", "ZZCOMPOSED   fresh NEEDLE", "", ts0), // dup fp
+      Turn("conv-zz3", 0, "user", "zzcomposed different entirely", "", ts0),
+      Turn("conv-zz4", 0, "user", "", "", ts0)) // zero-token: passes through
+    spark.createDataset(newTurns).write.parquet(s"$inDir/b0")
+    val streamIn = spark.readStream
+      .schema(spark.createDataset(newTurns).schema).parquet(s"$inDir/*")
+      .as[Turn]
+    // the advertised composition: watermarked fingerprint dedup feeding
+    // the micro-batch index appender (the localCheckpoint pin inside
+    // appendConversationsDs is what makes the nondeterministic
+    // dropDuplicates survivor safe to assign docIds to)
+    val q = StreamingJobs.indexIngest(
+      StreamingJobs.dedupIngest(streamIn), root,
+      SparkTestBase.tmpDir("graft-composed-ckpt"))
+    q.awaitTermination(120000)
+    q.stop()
+
+    // exactly ONE of the two same-fingerprint variants got indexed
+    val hits = SearchEngine.query(spark, root, "zzcomposed", "OR", 10)
+    assert(hits.size == 2, s"expected dedup to 2 zzcomposed docs: $hits")
+    // 3 survivors total (2 distinct fingerprints + 1 zero-token turn)
+    assert(IndexBuilder.loadDocs(spark, root).count() == base.size + 3)
+  }
+
   test("sliding windows produce overlapping coverage") {
     val out = StreamingJobs.slidingRates(spark.read.parquet(eventsDir))
       .orderBy($"w_start").collect()

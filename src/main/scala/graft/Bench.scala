@@ -182,8 +182,10 @@ object Bench {
     // soft deadline: if a contended host stretched the sweep, skip this
     // optional section rather than risk the whole artifact against the
     // harness timeout (a killed bench emits NO json at all)
+    // default sized so reps=2 (driver) AND reps=3 sweeps both fit; only
+    // a genuinely contention-stretched sweep skips the pair
     val largeDeadlineSec =
-      sys.env.getOrElse("GRAFT_BENCH_LARGE_DEADLINE_SEC", "600").toLong
+      sys.env.getOrElse("GRAFT_BENCH_LARGE_DEADLINE_SEC", "900").toLong
     val elapsedSec = (System.nanoTime() - t0Main) / 1e9
     val runLarge = elapsedSec < largeDeadlineSec
     val byLevelL = scala.collection.mutable.Map.empty[Int, Vector[Double]]

@@ -338,9 +338,18 @@ object IndexMaintenance {
     // dictionary: exact re-aggregation over postings (after the write)
     refreshTermStats(spark, root)
 
+    // EVERY appended shard needs a manifest entry, including one whose
+    // docs produced zero postings (e.g. a micro-batch of zero-token
+    // turns): without it the next append would reuse the shard id AND
+    // re-assign its docIds — the entry's docId range is stamped from the
+    // docs scan in commitRefreshedManifest, which is what keeps the
+    // manifest-sourced maxDocId fast path correct.
+    val accEntries = acc.value.toSeq.map { case (s0, (t, p, b, d)) =>
+      ShardEntry(s0, t, p, b, Seq(s0), sumDl = d) }
+    val postingless = shards.filterNot(accEntries.map(_.shard).toSet)
+      .map(s0 => ShardEntry(s0, 0L, 0L, 0L, Seq(s0)))
     commitRefreshedManifest(spark, root, replacedShards = Nil,
-      newEntries = acc.value.toSeq.map { case (s0, (t, p, b, d)) =>
-        ShardEntry(s0, t, p, b, Seq(s0), sumDl = d) })
+      newEntries = accEntries ++ postingless)
     // invalidate AGAIN after the commit: a query that started DURING the
     // append could otherwise memoize a mid-append result under the
     // generation bumped by the entry invalidation above

@@ -209,8 +209,10 @@ object Dedup {
     *
     * Each round is `localCheckpoint`ed: the loop would otherwise replay
     * the whole lineage every iteration. Convergence = the canonical edge
-    * multiset is unchanged (exact check via except-both-ways counts — tiny
-    * at convergence because the edge set is already star-contracted).
+    * multiset is unchanged — checked as equal counts (cheap, necessary)
+    * plus ONE-directional exceptAll-empty (with equal cardinalities that
+    * implies multiset equality; tiny at convergence because the edge set
+    * is already star-contracted).
     *
     * Input: pairs with the first two columns = the two node ids (any
     * further columns, e.g. jaccard/hamming scores, are ignored).

@@ -147,19 +147,23 @@ object StreamingJobs {
   def dedupIngest(turns: Dataset[graft.model.Turn],
                   watermark: String = "1 hour"): Dataset[graft.model.Turn] = {
     import turns.sparkSession.implicits._
-    // ZERO-TOKEN turns all share md5("") — they are NOT duplicates of
-    // each other and must pass through undeduped (dropping them would
-    // silently lose distinct turns whose text merely analyzes to no
-    // tokens: punctuation-only, too-short tokens, empty)
-    val toks = graft.functions.TokensExpression.tokens(col("text"))
-    val withFp = turns.filter(size(toks) > 0)
-      .withColumn("fp", graft.ops.TextOps.fingerprintCol) // THE shared key
-      .withWatermark("ts", watermark)
+    // ZERO-TOKEN (or null-text) turns all share md5("") — they are NOT
+    // duplicates of each other and must pass through undeduped. Instead
+    // of a second scan + union, such rows get a SURROGATE key from their
+    // unique (conv_id, turn_idx) doc key, so one pass and one stateful
+    // dedup handles both populations. coalesce: the tokenizer is
+    // null-intolerant, and a null size would silently drop the row from
+    // a bare size>0 predicate.
+    val toks = graft.ops.TextOps.tokensCol
+    val key = when(coalesce(size(toks), lit(0)) > 0,
+        graft.ops.TextOps.fingerprintCol) // THE shared content key
+      .otherwise(concat_ws("#", lit("__empty"), col("conv_id"),
+        col("turn_idx").cast("string"))) // never collides with md5 hex
+    val withFp = turns.withColumn("fp", key).withWatermark("ts", watermark)
     val deduped =
       if (turns.isStreaming) withFp.dropDuplicatesWithinWatermark("fp")
       else withFp.dropDuplicates("fp")
     deduped.drop("fp").as[graft.model.Turn]
-      .unionByName(turns.filter(size(toks) === 0))
   }
 
   /** Replay-vs-partial-append disambiguation (see [[indexIngest]]): the

@@ -384,4 +384,30 @@ class MaintenanceSpec extends AnyFunSuite {
       IndexMaintenance.replaceTurns(spark, root, Seq(bogus))
     }
   }
+
+  test("append of zero-posting turns still claims its shard (no docId reuse)") {
+    // a micro-batch whose every text analyzes to zero tokens (reachable
+    // end-to-end via dedupIngest's zero-token passthrough) writes docs
+    // but no postings; its shard MUST still get a manifest entry or the
+    // next append would reuse the shard id and re-assign its docIds
+    val (root, _) = freshIndex()
+    val ts = new java.sql.Timestamp(0)
+    val empties = Seq(
+      Turn("zz-e1", 0, "user", ". . !", "", ts), // all tokens < 2 chars
+      Turn("zz-e2", 0, "user", "", "", ts))
+    val s1 = IndexMaintenance.appendConversationsDs(
+      spark, root, spark.createDataset(empties))
+    val m1 = IndexManifest.read(root).get
+    val e1 = m1.shards.filter(e => s1.contains(e.shard))
+    assert(e1.nonEmpty && e1.forall(e => e.postings == 0 && e.maxDocId >= 0),
+      s"zero-posting shard must be committed with a stamped range: $e1")
+    val n1 = IndexBuilder.loadDocs(spark, root).count()
+    val s2 = IndexMaintenance.appendConversationsDs(spark, root,
+      spark.createDataset(Seq(Turn("zz-e3", 0, "user", "real words here", "", ts))))
+    assert(s2.forall(s => !s1.contains(s)), s"shard ids must not be reused: $s1 vs $s2")
+    val docs = IndexBuilder.loadDocs(spark, root)
+    assert(docs.count() == n1 + 1)
+    assert(docs.select("docId").distinct().count() == n1 + 1,
+      "docIds must stay unique across appends")
+  }
 }

@@ -69,11 +69,19 @@ object IndexBuilder {
     * bound that keeps any shard size safe. */
   val MaxBufferedPostings: Int = 8 << 20
 
+  /** Table roots. Data lives in generation-versioned subdirs
+    * (`docs/gen=G/shard=K` …): a fresh build writes generation 0,
+    * maintenance writes a NEW generation per commit and the manifest says
+    * which (gen, shard) dirs form the current snapshot — see
+    * [[IndexSnapshot]]. */
   final case class Paths(root: String) {
     val docs = s"$root/docs"
     val tf = s"$root/tf"
     val termStats = s"$root/term_stats"
     val postings = s"$root/postings"
+    def docsGen(g: Long): String = s"$docs/gen=$g"
+    def postingsGen(g: Long): String = s"$postings/gen=$g"
+    def termStatsGen(g: Long): String = s"$termStats/gen=$g"
   }
 
   final case class BuiltIndex(root: String, manifest: Manifest) {
@@ -157,6 +165,33 @@ object IndexBuilder {
     (maxFile, onePerDir)
   }
 
+  /** [[parquetLayout]] over an explicit leaf-dir list (manifest-resolved
+    * snapshot paths): largest parquet file + one-file-per-dir flag.
+    * Missing dirs are skipped (an entry whose shard holds no rows). */
+  private[graft] def parquetLayoutPaths(spark: SparkSession,
+                                        paths: Seq[String]): (Long, Boolean) = {
+    var maxFile = 1L
+    var onePerDir = true
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) {
+        var n = 0
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+            maxFile = math.max(maxFile, st.getLen)
+            n += 1
+          }
+        }
+        if (n > 1) onePerDir = false
+      }
+    }
+    (maxFile, onePerDir)
+  }
+
   /** Per-shard (terms, postings, bytes, sumDl) metrics collected by the
     * encode tasks themselves via an accumulator — saves the post-write
     * read job (a serial overhead locally, a full postings re-scan on a
@@ -208,7 +243,7 @@ object IndexBuilder {
     // without that, build(spark, newTurns, existingRoot) would silently
     // complete an index over the OLD corpus.
     val (nDocs, fingerprint, shardRanges) =
-      if (!hasSuccess(spark, P.docs)) timed("docs") {
+      if (!hasSuccess(spark, P.docsGen(0))) timed("docs") {
         // full-table overwrite: pin static mode explicitly — dynamic mode
         // (left set by maintenance jobs) skips the _SUCCESS marker the
         // checkpoint/resume contract depends on
@@ -226,12 +261,13 @@ object IndexBuilder {
         // required ordering, so no extra sort is inserted and file rows
         // stay docId-ascending (the postings pass depends on that)
         df.sortWithinPartitions($"shard", $"docId")
-          .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(P.docs)
+          .write.mode(SaveMode.Overwrite).partitionBy("shard")
+          .parquet(P.docsGen(0))
         (st.nDocs, st.fingerprint, st.ranges)
       } else timed("corpus-stats") {
         val hashUdf = udf((c: String, t: Int, x: String) =>
           DocIdAssigner.rowHash(c, t, x))
-        val perShard = spark.read.parquet(P.docs)
+        val perShard = spark.read.parquet(P.docsGen(0))
           .select($"shard", $"docId",
             hashUdf($"conv_id", $"turn_idx", $"text").as("h"))
           .groupBy($"shard")
@@ -261,14 +297,14 @@ object IndexBuilder {
             s"(checkpoint $docsFp vs input $inputFp); use a fresh root")
         (n, docsFp, ranges)
       }
-    val docs = spark.read.parquet(P.docs).as[Doc]
 
     // resume check: same input already fully indexed → no-op (term_stats
     // presence required too — it commits after the last wave)
     IndexManifest.read(root) match {
       case Some(m) if m.inputFingerprint == fingerprint &&
           m.analyzerVersion == analyzerVersion &&
-          m.completedShards.size >= shards && hasSuccess(spark, P.termStats) =>
+          m.completedShards.size >= shards &&
+          hasSuccess(spark, P.termStatsGen(0)) =>
         return BuiltIndex(root, m)
       case Some(m) if m.inputFingerprint != fingerprint ||
           m.analyzerVersion != analyzerVersion =>
@@ -314,7 +350,7 @@ object IndexBuilder {
       spark.sparkContext.setJobGroup(s"graft-build-wave-$wi",
         s"graft index build $root wave $wi", interruptOnCancel = true)
       try timed(s"postings-wave") {
-        withOneFilePerTask(spark, P.docs) { docsAll =>
+        withOneFilePerTask(spark, P.docsGen(0)) { docsAll =>
           val waveDocs = docsAll.filter($"shard".isin(wave: _*))
             .select($"docId", $"dl", $"shard", $"text")
           val doStem = stem
@@ -328,7 +364,7 @@ object IndexBuilder {
             }
           }
           encoded.write.mode(SaveMode.Overwrite)
-            .partitionBy("shard").parquet(P.postings)
+            .partitionBy("shard").parquet(P.postingsGen(0))
         }
       } finally spark.sparkContext.clearJobGroup()
 
@@ -361,13 +397,13 @@ object IndexBuilder {
     // skew is structurally bounded and the r01 salted two-phase agg is no
     // longer needed on this path. Reads ~compressed-postings bytes, not
     // the raw tf relation.
-    if (!hasSuccess(spark, P.termStats)) timed("term-stats") {
-      spark.read.parquet(P.postings)
+    if (!hasSuccess(spark, P.termStatsGen(0))) timed("term-stats") {
+      spark.read.parquet(P.postingsGen(0))
         .groupBy($"term")
         .agg(sum($"count").as("df"), max($"maxTf").as("maxTf"),
           sum($"sumTf").as("sumTf"))
         .select($"term", $"df", $"maxTf".cast("int").as("maxTf"), $"sumTf")
-        .write.mode(SaveMode.Overwrite).parquet(P.termStats)
+        .write.mode(SaveMode.Overwrite).parquet(P.termStatsGen(0))
     }
 
     // ---- finalize: EXACT avgdl from term_stats -------------------------
@@ -378,7 +414,7 @@ object IndexBuilder {
     // (Σ sumTf == Σ dl — a set-based aggregate, retry-safe) and commit a
     // finalizing snapshot IF it differs. Deterministic local runs have no
     // retries, so the values match and no extra snapshot is committed.
-    val sumRow = spark.read.parquet(P.termStats).agg(sum($"sumTf")).head()
+    val sumRow = spark.read.parquet(P.termStatsGen(0)).agg(sum($"sumTf")).head()
     val exactSumDl = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
     val exactAvgdl = exactSumDl.toDouble / math.max(1L, nDocs)
     if (manifest.avgdl != exactAvgdl) {
@@ -517,17 +553,29 @@ object IndexBuilder {
     out.iterator
   }
 
-  /** Typed readers over a built index. */
+  /** Typed readers over a built index. Manifest-resolved ([[IndexSnapshot]]):
+    * each call pins the LATEST committed snapshot — uncommitted / orphan
+    * generation dirs are invisible. The no-manifest fallback (generation-0
+    * raw dirs) serves mid-build internals and tests only. */
   def loadTermStats(spark: SparkSession, root: String): Dataset[TermStats] = {
     import spark.implicits._
-    spark.read.parquet(Paths(root).termStats).as[TermStats]
+    (IndexManifest.read(root) match {
+      case Some(m) => IndexSnapshot.termStats(spark, root, m)
+      case None => spark.read.parquet(Paths(root).termStatsGen(0))
+    }).select($"term", $"df", $"maxTf").as[TermStats]
   }
   def loadDocs(spark: SparkSession, root: String): Dataset[Doc] = {
     import spark.implicits._
-    spark.read.parquet(Paths(root).docs).as[Doc]
+    (IndexManifest.read(root) match {
+      case Some(m) => IndexSnapshot.docs(spark, root, m)
+      case None => spark.read.parquet(Paths(root).docsGen(0))
+    }).as[Doc]
   }
   def loadPostings(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(Paths(root).postings)
+    IndexManifest.read(root) match {
+      case Some(m) => IndexSnapshot.postings(spark, root, m)
+      case None => spark.read.parquet(Paths(root).postingsGen(0))
+    }
   /** The (docId, term, tf, dl, shard) relation, DERIVED from docs on the
     * fly (term counts computed in-row; analyzer variant from the
     * manifest). The build no longer materializes it — it existed only as
@@ -537,7 +585,7 @@ object IndexBuilder {
     import spark.implicits._
     val stem = IndexManifest.read(root)
       .exists(_.analyzerVersion == Analyzer.StemVersion)
-    spark.read.parquet(Paths(root).docs)
+    loadDocs(spark, root).toDF()
       .select($"docId", $"dl", $"shard",
         explode(graft.functions.TermCountsExpression.termCountsCol($"text", stem)).as("tc"))
       .select($"docId", $"tc.term".as("term"), $"tc.tf".as("tf"),

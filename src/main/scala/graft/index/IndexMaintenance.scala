@@ -16,6 +16,25 @@ import graft.query.SearchEngine
   * atomic manifest snapshot — never row-at-a-time mutation (S6 mapping,
   * SURVEY.md §2.1).
   *
+  * SNAPSHOT ISOLATION (VERDICT r03 item 1): every rewrite is
+  * copy-on-write into a NEW generation dir (`docs/gen=G/shard=K`,
+  * `postings/gen=G/shard=K`, `term_stats/gen=G` with G = the target
+  * snapshot id) — dirs referenced by a committed manifest are IMMUTABLE.
+  * A reader that pinned the pre-commit manifest keeps scanning the old
+  * generation's files (retained for a one-snapshot grace period,
+  * [[IndexSnapshot.expireSnapshots]]); a reader arriving after the commit
+  * resolves the new one; nobody can observe new docs against old postings.
+  * This replaces the reference's global RW lock (LockGenerator.java:10-23)
+  * with the lock-free Iceberg commit design the manifest layer emulates.
+  * Crash safety falls out too: a job that dies before its manifest commit
+  * leaves only orphan dirs no manifest references — invisible to every
+  * reader, clobbered by the retry (which recomputes the same target
+  * generation and overwrites), reclaimed by the next successful commit's
+  * expire pass. In particular a crashed APPEND can no longer leave orphan
+  * doc rows that a later append would silently re-assign docIds over
+  * (ADVICE r03 item 1): the manifest's maxDocId is authoritative because
+  * the manifest defines table membership.
+  *
   * docId semantics under maintenance mirror the reference's auto-increment
   * ids (PageEntity.java:18-21):
   *  - REPLACE of an existing (conv_id, turn_idx) keeps its docId — ranks
@@ -30,20 +49,23 @@ import graft.query.SearchEngine
   */
 object IndexMaintenance {
 
-  /** Shards containing rows matching `cond` — read straight off the
-    * `shard` partition column (a distinct over at most #shards values);
-    * no docIds, filenames, or rows ever reach the driver. */
-  private def affectedShards(spark: SparkSession, root: String,
-                             cond: org.apache.spark.sql.Column): Seq[Int] = {
-    import spark.implicits._
-    spark.read.parquet(IndexBuilder.Paths(root).docs)
-      .filter(cond)
-      .select($"shard").distinct()
-      .as[Int].collect().toSeq.sorted
-  }
+  private def manifestOf(root: String): Manifest =
+    IndexManifest.read(root).getOrElse(
+      throw new IllegalStateException(s"no manifest at $root"))
 
-  /** Delete whole conversations: rewrites only the shards containing
-    * them, recomputes term stats set-based, commits a new snapshot.
+  /** Old generations retained per commit (current + previous snapshot):
+    * an uncached reader that pinned the pre-commit manifest finishes its
+    * scan during the grace period. Readers spanning SEVERAL maintenance
+    * commits need a higher retention — set GRAFT_KEEP_SNAPSHOTS (or the
+    * programmatic override) and/or call
+    * [[IndexSnapshot.expireSnapshots]] on your own schedule. */
+  @volatile private[graft] var keepSnapshotsOverride: Option[Int] = None
+  private def keepSnapshots: Int =
+    keepSnapshotsOverride.getOrElse(
+      sys.env.get("GRAFT_KEEP_SNAPSHOTS").map(_.toInt).getOrElse(2))
+
+  /** Delete whole conversations: copy-on-write rewrite of only the shards
+    * containing them, set-based term-stats recomputation, new snapshot.
     * Returns affected shard ids.
     *
     * Driver traffic is O(#affected shards): targeting uses the `shard`
@@ -62,17 +84,16 @@ object IndexMaintenance {
   def deleteConversationsDf(spark: SparkSession, root: String,
                             convs: org.apache.spark.sql.DataFrame): Seq[Int] = {
     import spark.implicits._
-    // drop pinned caches FIRST: the rewrite itself re-reads term_stats /
-    // postings, and Spark's plan-matching cache would otherwise serve the
-    // pre-maintenance version INTO the new manifest (stale avgdl)
+    val m0 = manifestOf(root)
+    // drop pinned caches FIRST: Spark's plan-matching cache would
+    // otherwise serve pre-maintenance cached scans INTO the new snapshot
     SearchEngine.disableServingCache(root)
     val drop = broadcast(convs.select(col("conv_id")).distinct())
-    val P = IndexBuilder.Paths(root)
-    val affected = spark.read.parquet(P.docs)
+    val affected = IndexSnapshot.docs(spark, root, m0)
       .join(drop, Seq("conv_id"), "left_semi")
       .select($"shard").distinct().as[Int].collect().toSeq.sorted
     if (affected.isEmpty) return Nil
-    rewriteShards(spark, root, affected, dropConvs = Some(drop))
+    rewriteShards(spark, root, m0, affected, dropConvs = Some(drop))
     affected
   }
 
@@ -93,6 +114,7 @@ object IndexMaintenance {
   def replaceTurnsDs(spark: SparkSession, root: String,
                      turns: org.apache.spark.sql.Dataset[Turn]): Seq[Int] = {
     import spark.implicits._
+    val m0 = manifestOf(root)
     // several jobs read the batch (key check, shard targeting, rewrite):
     // pin ONE evaluation so a value-nondeterministic input cannot pass
     // the key check with one row set and rewrite with another (same
@@ -102,7 +124,7 @@ object IndexMaintenance {
     val keys = batch.select($"conv_id", $"turn_idx").distinct()
     // unknown keys are rejected distributively (≤5 examples to the driver)
     val missing = keys
-      .join(IndexBuilder.loadDocs(spark, root).select($"conv_id", $"turn_idx"),
+      .join(IndexSnapshot.docs(spark, root, m0).select($"conv_id", $"turn_idx"),
         Seq("conv_id", "turn_idx"), "left_anti")
       .take(5)
       .map(r => (r.getString(0), r.getInt(1)))
@@ -110,33 +132,39 @@ object IndexMaintenance {
       s"replaceTurns requires existing keys; missing: ${missing.toSeq} " +
       "(additions go through appendConversations / a fresh build)")
     SearchEngine.disableServingCache(root) // before rewrites: see deleteConversationsDf
-    val shards = IndexBuilder.loadDocs(spark, root)
+    val shards = IndexSnapshot.docs(spark, root, m0)
       .join(keys, Seq("conv_id", "turn_idx"), "left_semi")
       .select($"shard").distinct().as[Int].collect().toSeq.sorted
-    rewriteShards(spark, root, shards, replace = Some(batch.toDF()))
+    rewriteShards(spark, root, m0, shards, replace = Some(batch.toDF()))
     shards
     } finally batch.unpersist() // free the checkpoint blocks (long-running
                                 // callers would otherwise accumulate them,
                                 // incl. rejected batches)
   }
 
-  /** Core partition-scoped rewrite: re-derive docs → tf → postings for the
-    * affected shards from (old docs ∖ deleted) ∪ replacements, then
-    * recompute term_stats from the full tf table (exact df — the
-    * set-based analog of the reference's decrement, never ±1 mutation)
-    * and commit a new manifest snapshot. */
+  /** Core copy-on-write rewrite: re-derive docs → postings for the
+    * affected shards from (old docs ∖ deleted) ∪ replacements into a NEW
+    * generation dir, recompute term_stats from the prospective posting
+    * set (exact df — the set-based analog of the reference's decrement,
+    * never ±1 mutation), commit a new manifest snapshot, then expire
+    * generations older than the grace window. */
   private def rewriteShards(spark: SparkSession, root: String,
+                            m0: Manifest,
                             shards: Seq[Int],
                             dropConvs: Option[org.apache.spark.sql.DataFrame] = None,
                             replace: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
     import spark.implicits._
     if (shards.isEmpty) return
     val P = IndexBuilder.Paths(root)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val newGen = m0.snapshotId + 1
+    // static mode: the target generation dirs belong EXCLUSIVELY to this
+    // uncommitted snapshot, so whole-dir overwrite is both safe and the
+    // clobber that makes a crashed predecessor's orphan files harmless
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
 
     // new docs content for the affected shards; deletions are an
     // anti-join (distributed), never an isin over collected ids
-    val oldDocs = spark.read.parquet(P.docs).filter($"shard".isin(shards: _*))
+    val oldDocs = IndexSnapshot.docsFor(spark, root, m0, shards)
     val kept = dropConvs match {
       case Some(drop) => oldDocs.join(drop, Seq("conv_id"), "left_anti")
       case None => oldDocs
@@ -165,69 +193,59 @@ object IndexMaintenance {
               .otherwise($"dl").cast("int").as("dl"),
             $"shard")
     }
-    // Spark refuses to overwrite a path it is reading (correctly), and a
-    // fully-deleted shard would leave a stale dir behind a dynamic
-    // overwrite — so: write the affected shards to a temp table, then
-    // swap whole shard dirs (delete old, move new if any). The
-    // repartition re-establishes the ONE-FILE-PER-SHARD layout invariant
-    // the aligned query scan and the chunk-ordinal metric depend on: a
-    // big shard file would otherwise split across scan tasks here and
-    // each task would write its own fragment file into the shard dir.
-    val tmpDocs = P.docs + ".rewrite"
+    // The repartition re-establishes the ONE-FILE-PER-SHARD layout
+    // invariant the aligned query scan and the chunk-ordinal metric
+    // depend on: without it a big shard's rows would split across tasks
+    // and each task would write its own fragment file into the shard dir.
     newDocs
       .select($"docId", $"conv_id", $"turn_idx", $"role", $"text", $"tool",
         $"dl", $"shard")
       .repartition($"shard")
       .sortWithinPartitions($"shard", $"docId")
-      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(tmpDocs)
-    swapShardDirs(spark, P.docs, tmpDocs, shards)
+      .write.mode(SaveMode.Overwrite).partitionBy("shard")
+      .parquet(P.docsGen(newGen))
 
-    // postings for affected shards — straight from docs, as the build
-    // (in-task term counts; analyzer variant from the manifest). The
-    // one-file-per-task guard matters here exactly as in the build: a
-    // docs file split across scan tasks would restart chunk ordinals per
-    // task, inflating the manifest `terms` metric (chunk==0 counted per
-    // task) and producing multi-file shard dirs that knock the query
-    // path off its shuffle-free aligned scan.
-    val stem = IndexManifest.read(root).exists(_.analyzerVersion == Analyzer.StemVersion)
+    // postings for the rewritten shards — straight from the new
+    // generation's docs, as the build (in-task term counts; analyzer
+    // variant from the manifest). One file per task: the gen dir was
+    // just written one-file-per-shard, and split sizing pins that
+    // alignment so chunk ordinals stay per-shard.
+    val stem = m0.analyzerVersion == Analyzer.StemVersion
     val acc = new IndexBuilder.ShardMetricsAcc
     spark.sparkContext.register(acc, "maintShardMetrics")
-    IndexBuilder.withOneFilePerTask(spark, P.docs) { docsAll =>
-      docsAll.filter($"shard".isin(shards: _*))
-        .select($"docId", $"dl", $"shard", $"text")
-        .mapPartitions { rows =>
-          IndexBuilder.invertDocsPartition(rows, stem,
-            IndexBuilder.MaxChunkPostings,
-            IndexBuilder.MaxBufferedPostings).map { pl =>
-            acc.add((pl.shard, if (pl.chunk == 0) 1L else 0L, pl.count,
-              pl.docIds.length.toLong + pl.tfs.length + pl.dls.length,
-              pl.sumTf))
-            pl
+    if (IndexSnapshot.hasParquetFiles(spark, P.docsGen(newGen))) {
+      IndexBuilder.withOneFilePerTask(spark, P.docsGen(newGen)) { docsAll =>
+        docsAll
+          .select($"docId", $"dl", $"shard", $"text")
+          .mapPartitions { rows =>
+            IndexBuilder.invertDocsPartition(rows, stem,
+              IndexBuilder.MaxChunkPostings,
+              IndexBuilder.MaxBufferedPostings).map { pl =>
+              acc.add((pl.shard, if (pl.chunk == 0) 1L else 0L, pl.count,
+                pl.docIds.length.toLong + pl.tfs.length + pl.dls.length,
+                pl.sumTf))
+              pl
+            }
           }
-        }
-        .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(P.postings)
-    }
-    // a shard whose docs were all deleted has no rows left: drop its files
+          .write.mode(SaveMode.Overwrite).partitionBy("shard")
+          .parquet(P.postingsGen(newGen))
+      }
+    } // else: every affected shard's docs were deleted — no postings dir
+
     val written = acc.value.keySet
-    shards.filterNot(written).foreach { s0 =>
-      deleteDir(spark, s"${P.postings}/shard=$s0")
-    }
+    val newEntries = acc.value.toSeq.map { case (s0, (t, p, b, d)) =>
+      ShardEntry(s0, t, p, b, Seq(s0), sumDl = d, gen = newGen) } ++
+      shards.filterNot(written).map(s0 =>
+        ShardEntry(s0, 0L, 0L, 0L, Seq(s0), gen = newGen))
 
-    // term stats: exact re-aggregation over the postings pre-aggregates,
-    // atomically swapped (set-based df decrement) — AFTER the postings
-    // rewrite it derives from
-    refreshTermStats(spark, root)
-
-    // refreshed corpus stats + manifest snapshot
-    commitRefreshedManifest(spark, root, replacedShards = shards,
-      newEntries = acc.value.toSeq.map { case (s0, (t, p, b, d)) =>
-        ShardEntry(s0, t, p, b, Seq(s0), sumDl = d) } ++
-        shards.filterNot(written).map(s0 => ShardEntry(s0, 0L, 0L, 0L, Seq(s0))))
+    commitSnapshot(spark, root, m0, replacedShards = shards,
+      newEntries = newEntries, newGen = newGen)
     // invalidate AGAIN after the commit: a query that started DURING the
     // rewrite (after the pre-rewrite flush bumped the generation) would
-    // otherwise memoize a half-swapped-index result under the current
-    // generation and serve it until the next maintenance
+    // otherwise memoize a pre-commit result under the current generation
+    // and serve it until the next maintenance
     SearchEngine.disableServingCache(root)
+    IndexSnapshot.expireSnapshots(spark, root, keepSnapshots)
   }
 
   /** Append whole new conversations (reference: indexPage on a NEW page,
@@ -259,8 +277,11 @@ object IndexMaintenance {
                             turns: org.apache.spark.sql.Dataset[Turn],
                             newShards: Int = 1): Seq[Int] = {
     import spark.implicits._
-    SearchEngine.disableServingCache(root) // before rewrites: see deleteConversationsDf
+    val m0 = manifestOf(root)
+    SearchEngine.disableServingCache(root) // before writes: see deleteConversationsDf
     val P = IndexBuilder.Paths(root)
+    val newGen = m0.snapshotId + 1
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
     // assignCore runs SEVERAL jobs over the batch (count, boundary
     // sample, per-pid counts, the assignment write): pin ONE evaluation
     // with an eager localCheckpoint so a value-nondeterministic input
@@ -272,25 +293,28 @@ object IndexMaintenance {
     val batch = turns.localCheckpoint(true)
     try {
     // max docId and shard come from the manifest (kept fresh by every
-    // build/maintenance commit) — no full docs scan per micro-batch. A
+    // build/maintenance commit) — no full docs scan per micro-batch.
+    // The manifest is AUTHORITATIVE for table membership under the
+    // snapshot layout: a crashed append's doc rows live in a generation
+    // dir no manifest references, so they are invisible here and the
+    // retry overwrites them (ADVICE r03 item 1 closed structurally). A
     // GENUINELY EMPTY shard (postings == 0, e.g. quantile collapse at
     // build or a full-shard delete) legitimately carries (-1,-1) and
     // contributes nothing to the max; only an UNSTAMPED non-empty entry
     // (legacy manifest) forces the docs-scan fallback — never risk a
     // docId collision.
-    val m0 = IndexManifest.read(root).getOrElse(
-      throw new IllegalStateException(s"no manifest at $root"))
     val stamped = m0.shards.filter(_.maxDocId >= 0)
     val maxDocId =
       if (stamped.nonEmpty &&
           m0.shards.forall(e => e.maxDocId >= 0 || e.postings == 0))
         stamped.map(_.maxDocId).max
-      else IndexBuilder.loadDocs(spark, root).agg(max($"docId")).head().getLong(0)
+      else IndexSnapshot.docs(spark, root, m0)
+        .agg(max($"docId")).head().getLong(0)
     val maxShard = m0.shards.map(_.shard).max
     // existing keys are rejected distributively (semi join — only the ≤5
     // offending examples ever reach the driver; Catalyst broadcasts the
     // smaller side itself, so a giant backfill doesn't force a broadcast)
-    val dup = IndexBuilder.loadDocs(spark, root)
+    val dup = IndexSnapshot.docs(spark, root, m0)
       .select($"conv_id", $"turn_idx")
       .join(batch.select($"conv_id", $"turn_idx").distinct(),
         Seq("conv_id", "turn_idx"), "left_semi")
@@ -307,20 +331,22 @@ object IndexMaintenance {
     require(stats.nDocs > 0, "nothing to append")
     val shards = stats.ranges.keys.toSeq.sorted
 
+    // the new shards' docs go into THIS snapshot's generation dir (the
+    // assigner's steered 1:1 pid→task partitioning writes one file per
+    // shard — the aligned-scan layout invariant)
     newDocs
       .select($"docId", $"conv_id", $"turn_idx", $"role", $"text", $"tool",
         $"dl", $"shard")
       .sortWithinPartitions($"shard", $"docId")
-      .write.mode(SaveMode.Append).partitionBy("shard").parquet(P.docs)
+      .write.mode(SaveMode.Overwrite).partitionBy("shard")
+      .parquet(P.docsGen(newGen))
 
-    // postings for the new shards only — straight from docs, one file
-    // per task (shard↔task alignment, as the build)
-    val stem = IndexManifest.read(root).exists(_.analyzerVersion == Analyzer.StemVersion)
+    // postings for the new shards only — the gen dir holds exactly them
+    val stem = m0.analyzerVersion == Analyzer.StemVersion
     val acc = new IndexBuilder.ShardMetricsAcc
     spark.sparkContext.register(acc, "appendShardMetrics")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    IndexBuilder.withOneFilePerTask(spark, P.docs) { docsAll =>
-      docsAll.filter($"shard".isin(shards: _*))
+    IndexBuilder.withOneFilePerTask(spark, P.docsGen(newGen)) { docsAll =>
+      docsAll
         .select($"docId", $"dl", $"shard", $"text")
         .mapPartitions { rs =>
           IndexBuilder.invertDocsPartition(rs, stem,
@@ -332,130 +358,88 @@ object IndexMaintenance {
             pl
           }
         }
-        .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(P.postings)
+        .write.mode(SaveMode.Overwrite).partitionBy("shard")
+        .parquet(P.postingsGen(newGen))
     }
-
-    // dictionary: exact re-aggregation over postings (after the write)
-    refreshTermStats(spark, root)
 
     // EVERY appended shard needs a manifest entry, including one whose
     // docs produced zero postings (e.g. a micro-batch of zero-token
     // turns): without it the next append would reuse the shard id AND
-    // re-assign its docIds — the entry's docId range is stamped from the
-    // docs scan in commitRefreshedManifest, which is what keeps the
-    // manifest-sourced maxDocId fast path correct.
+    // re-assign its docIds.
     val accEntries = acc.value.toSeq.map { case (s0, (t, p, b, d)) =>
-      ShardEntry(s0, t, p, b, Seq(s0), sumDl = d) }
+      ShardEntry(s0, t, p, b, Seq(s0), sumDl = d, gen = newGen) }
     val postingless = shards.filterNot(accEntries.map(_.shard).toSet)
-      .map(s0 => ShardEntry(s0, 0L, 0L, 0L, Seq(s0)))
-    commitRefreshedManifest(spark, root, replacedShards = Nil,
-      newEntries = accEntries ++ postingless)
+      .map(s0 => ShardEntry(s0, 0L, 0L, 0L, Seq(s0), gen = newGen))
+    commitSnapshot(spark, root, m0, replacedShards = Nil,
+      newEntries = accEntries ++ postingless, newGen = newGen)
     // invalidate AGAIN after the commit: a query that started DURING the
     // append could otherwise memoize a mid-append result under the
     // generation bumped by the entry invalidation above
     SearchEngine.disableServingCache(root)
+    IndexSnapshot.expireSnapshots(spark, root, keepSnapshots)
     shards
     } finally batch.unpersist() // streaming ingest appends per micro-batch
                                 // — checkpoint blocks must not accumulate
                                 // (incl. rejected/failed batches)
   }
 
-  private def refreshTermStats(spark: SparkSession, root: String): Unit = {
+  /** Stamp docId ranges on the new entries, recompute term_stats over the
+    * PROSPECTIVE posting set into the new generation, refresh corpus
+    * stats + fingerprint over the prospective docs, and commit the
+    * snapshot. Nothing before the final [[IndexManifest.commit]] is
+    * visible to readers. */
+  private def commitSnapshot(spark: SparkSession, root: String,
+                             m0: Manifest,
+                             replacedShards: Seq[Int],
+                             newEntries: Seq[ShardEntry],
+                             newGen: Long): Unit = {
     import spark.implicits._
     val P = IndexBuilder.Paths(root)
-    // df/maxTf/sumTf over per-chunk pre-aggregates (≤ shards × chunks
-    // rows per term — hot-term skew structurally bounded, no salting
-    // needed on pre-combined rows)
-    spark.read.parquet(P.postings)
-      .groupBy($"term")
-      .agg(sum($"count").as("df"), max($"maxTf").as("maxTf"),
-        sum($"sumTf").as("sumTf"))
-      .select($"term", $"df", $"maxTf".cast("int").as("maxTf"), $"sumTf")
-      .write.mode(SaveMode.Overwrite).parquet(P.termStats + ".tmp")
-    // Hadoop FileSystem API throughout (HDFS/S3/local alike — the build
-    // path already follows this; java.nio would throw off-box). rename is
-    // atomic on HDFS/local; the .old backup keeps a recoverable copy
-    // through the two-step swap.
-    val fs = fileSystem(spark, P.termStats)
-    val cur = new org.apache.hadoop.fs.Path(P.termStats)
-    val tmp = new org.apache.hadoop.fs.Path(P.termStats + ".tmp")
-    val bak = new org.apache.hadoop.fs.Path(P.termStats + ".old")
-    if (fs.exists(bak)) fs.delete(bak, true)
-    renameOrThrow(fs, cur, bak)
-    renameOrThrow(fs, tmp, cur) // on failure: bak still holds the old copy
-    fs.delete(bak, true)
-    ()
-  }
-
-  private def commitRefreshedManifest(spark: SparkSession, root: String,
-                                      replacedShards: Seq[Int],
-                                      newEntries: Seq[ShardEntry]): Unit = {
-    import spark.implicits._
-    val P = IndexBuilder.Paths(root)
-    val n = spark.read.parquet(P.docs).count()
-    val tot = spark.read.parquet(P.termStats).agg(sum($"sumTf")).head().getLong(0)
-    val hashUdf = udf((c: String, t: Int, x: String) =>
-      DocIdAssigner.rowHash(c, t, x))
-    val fp = spark.read.parquet(P.docs)
-      .select(hashUdf($"conv_id", $"turn_idx", $"text").as("h"))
-      .agg(expr("bit_xor(h)")).head().getLong(0)
-    val old = IndexManifest.read(root).getOrElse(
-      throw new IllegalStateException(s"no manifest at $root"))
-    // refreshed docId ranges for the touched shards (one tiny agg over
-    // the affected partitions only)
-    val touched = (replacedShards ++ newEntries.map(_.shard)).distinct
+    // refreshed docId ranges for the touched shards: one tiny agg over
+    // the new generation's docs dir (exclusively this snapshot's)
     val ranges =
-      if (touched.isEmpty) Map.empty[Int, (Long, Long)]
-      else spark.read.parquet(P.docs)
-        .filter($"shard".isin(touched: _*))
+      if (!IndexSnapshot.hasParquetFiles(spark, P.docsGen(newGen)))
+        Map.empty[Int, (Long, Long)]
+      else spark.read.parquet(P.docsGen(newGen))
         .groupBy($"shard").agg(min($"docId"), max($"docId"))
         .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     val stamped = newEntries.map { e =>
       val (lo, hi) = ranges.getOrElse(e.shard, (-1L, -1L))
       e.copy(minDocId = lo, maxDocId = hi)
     }
-    IndexManifest.commit(root, old.copy(
-      snapshotId = old.snapshotId + 1,
+    val prospective = m0.shards.filterNot(s =>
+      replacedShards.contains(s.shard) ||
+      stamped.exists(_.shard == s.shard)) ++ stamped
+
+    // term stats: exact df/maxTf/sumTf re-aggregation over the
+    // prospective postings' per-chunk pre-aggregates (≤ shards × chunks
+    // rows per term — hot-term skew structurally bounded), written to
+    // the new generation (never an in-place swap)
+    IndexSnapshot.postingsOf(spark, root, prospective)
+      .groupBy($"term")
+      .agg(sum($"count").as("df"), max($"maxTf").as("maxTf"),
+        sum($"sumTf").as("sumTf"))
+      .select($"term", $"df", $"maxTf".cast("int").as("maxTf"), $"sumTf")
+      .write.mode(SaveMode.Overwrite).parquet(P.termStatsGen(newGen))
+
+    val prospectiveM = m0.copy(shards = prospective, statsGen = newGen)
+    val docs = IndexSnapshot.docs(spark, root, prospectiveM)
+    val hashUdf = udf((c: String, t: Int, x: String) =>
+      DocIdAssigner.rowHash(c, t, x))
+    val agg = docs
+      .select(hashUdf($"conv_id", $"turn_idx", $"text").as("h"))
+      .agg(count(lit(1)), expr("bit_xor(h)")).head()
+    val n = agg.getLong(0)
+    val fp = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    // Σ sumTf over an all-empty (degenerate) index is SQL NULL — guard,
+    // as IndexBuilder's finalize does (ADVICE r03 item 2)
+    val sumRow = IndexSnapshot.termStats(spark, root, prospectiveM)
+      .agg(sum($"sumTf")).head()
+    val tot = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+    IndexManifest.commit(root, prospectiveM.copy(
+      snapshotId = newGen,
       inputFingerprint = s"$n-$fp",
       nDocs = n,
-      avgdl = tot.toDouble / math.max(1L, n),
-      shards = old.shards.filterNot(s =>
-        replacedShards.contains(s.shard) ||
-        stamped.exists(_.shard == s.shard)) ++ stamped))
-  }
-
-  private def fileSystem(spark: SparkSession,
-                         path: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  /** Hadoop rename reports most failures by RETURNING FALSE (e.g. S3A
-    * destination-exists, transient IO) — ignoring it can cascade into
-    * deleting the only surviving copy. Fail loudly instead. */
-  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
-                            from: org.apache.hadoop.fs.Path,
-                            to: org.apache.hadoop.fs.Path): Unit =
-    require(fs.rename(from, to), s"filesystem rename failed: $from -> $to")
-
-  private def deleteDir(spark: SparkSession, dir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = fileSystem(spark, dir)
-    if (fs.exists(p)) fs.delete(p, true)
-    ()
-  }
-
-  /** Replace `target/shard=K` with `tmp/shard=K` for each affected shard
-    * (absence in tmp ⇒ the shard is now empty ⇒ its dir is removed).
-    * Hadoop FileSystem API — works on HDFS/S3/local alike. */
-  private def swapShardDirs(spark: SparkSession, target: String, tmp: String,
-                            shards: Seq[Int]): Unit = {
-    val fs = fileSystem(spark, target)
-    shards.foreach { k =>
-      val dst = new org.apache.hadoop.fs.Path(s"$target/shard=$k")
-      val src = new org.apache.hadoop.fs.Path(s"$tmp/shard=$k")
-      if (fs.exists(dst)) fs.delete(dst, true)
-      if (fs.exists(src)) renameOrThrow(fs, src, dst)
-    }
-    deleteDir(spark, tmp)
+      avgdl = tot.toDouble / math.max(1L, n)))
   }
 }

@@ -11,10 +11,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   *  - one JSON-lines manifest file per snapshot, committed by ATOMIC RENAME
   *    (`manifest-vN.json.tmp` → `manifest-vN.json`);
-  *  - one line per completed shard with metrics {terms, postings, bytes}
-  *    and lineage (source input partitions);
+  *  - one line per completed shard with metrics {terms, postings, bytes},
+  *    lineage (source input partitions) and the GENERATION of the data
+  *    dirs holding the shard (`docs/gen=G/shard=K`,
+  *    `postings/gen=G/shard=K`) — data dirs are immutable once written,
+  *    so a manifest IS a consistent snapshot: maintenance writes NEW
+  *    generation dirs and flips the manifest, it never rewrites a dir a
+  *    committed snapshot references (reader isolation without the
+  *    reference's global write lock, LockGenerator.java:10-23);
   *  - a header line with snapshot id, analyzer version (build/query
-  *    agreement — SURVEY.md §7.8.5), input fingerprint, corpus stats.
+  *    agreement — SURVEY.md §7.8.5), input fingerprint, corpus stats and
+  *    the generation of the term_stats table.
   *
   * Resume = set-difference of all shards vs shards present in the latest
   * manifest; only missing shards are recomputed (IndexBuilder.build).
@@ -29,11 +36,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 /** Per-shard manifest entry. `minDocId`/`maxDocId` are the shard's docId
   * range (shards are docId-contiguous by construction) — point reads and
   * scoped queries prune to intersecting shards without scanning docs;
-  * (-1, -1) = empty shard or legacy manifest (no pruning). */
+  * (-1, -1) = empty shard or legacy manifest (no pruning). `gen` = the
+  * generation dir holding the shard's data (immutable; bumped by every
+  * maintenance rewrite of the shard). */
 final case class ShardEntry(shard: Int, terms: Long, postings: Long, bytes: Long,
                             sourcePartitions: Seq[Int],
                             minDocId: Long = -1L, maxDocId: Long = -1L,
-                            sumDl: Long = 0L)
+                            sumDl: Long = 0L, gen: Long = 0L)
 
 final case class Manifest(
     snapshotId: Long,
@@ -41,7 +50,8 @@ final case class Manifest(
     inputFingerprint: String,
     nDocs: Long,
     avgdl: Double,
-    shards: Seq[ShardEntry]) {
+    shards: Seq[ShardEntry],
+    statsGen: Long = 0L) {
   def completedShards: Set[Int] = shards.map(_.shard).toSet
 }
 
@@ -52,29 +62,35 @@ object IndexManifest {
     * is a THREAD-LOCAL — a serving pool's worker thread would miss the
     * session's S3/HDFS conf — so fall through to the process-wide default
     * session before a bare Configuration. */
-  private def fs(root: String): FileSystem =
+  private[index] def fs(root: String): FileSystem =
     new Path(root).getFileSystem(
       org.apache.spark.sql.SparkSession.getActiveSession
         .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
         .map(_.sparkContext.hadoopConfiguration)
         .getOrElse(new org.apache.hadoop.conf.Configuration()))
 
-  private def manifestPath(root: String, v: Long): Path =
+  private[index] def manifestPath(root: String, v: Long): Path =
     new Path(root, f"manifest-v$v%05d.json")
 
-  def latestVersion(root: String): Option[Long] = {
+  /** All snapshot versions present at `root`, ascending. */
+  def versions(root: String): Seq[Long] = {
     val dir = new Path(root)
     val f = fs(root)
-    if (!f.exists(dir) || !f.getFileStatus(dir).isDirectory) return None
-    val vs = f.listStatus(dir).iterator
+    if (!f.exists(dir) || !f.getFileStatus(dir).isDirectory) return Nil
+    f.listStatus(dir).iterator
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("manifest-v") && s.endsWith(".json") =>
         s.stripPrefix("manifest-v").stripSuffix(".json").toLong }
-      .toSeq
-    if (vs.isEmpty) None else Some(vs.max)
+      .toSeq.sorted
   }
 
-  def read(root: String): Option[Manifest] = latestVersion(root).map { v =>
+  def latestVersion(root: String): Option[Long] = versions(root).lastOption
+
+  def read(root: String): Option[Manifest] =
+    latestVersion(root).map(v => readVersion(root, v))
+
+  /** Read one specific committed snapshot. */
+  def readVersion(root: String, v: Long): Manifest = {
     val in = fs(root).open(manifestPath(root, v))
     val text =
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
@@ -88,15 +104,20 @@ object IndexManifest {
         f("sourcePartitions").split(";").filter(_.nonEmpty).map(_.toInt).toSeq,
         f.getOrElse("minDocId", "-1").toLong,
         f.getOrElse("maxDocId", "-1").toLong,
-        f.getOrElse("sumDl", "0").toLong)
+        f.getOrElse("sumDl", "0").toLong,
+        f.getOrElse("gen", "0").toLong)
     }.toSeq
     Manifest(head("snapshotId").toLong, head("analyzerVersion"),
-      head("inputFingerprint"), head("nDocs").toLong, head("avgdl").toDouble, shards)
+      head("inputFingerprint"), head("nDocs").toLong, head("avgdl").toDouble,
+      shards, head.getOrElse("statsGen", "0").toLong)
   }
 
   /** Commit a new snapshot: write tmp, atomic rename (atomic on
     * HDFS/local; on S3 rename is copy+delete — a real deployment slots
-    * Iceberg's catalog commit in here, SURVEY.md §7.0.5). */
+    * Iceberg's catalog commit in here, SURVEY.md §7.0.5). A same-version
+    * re-commit moves the existing file ASIDE first and deletes it only
+    * after the new rename lands, so no crash point leaves the version
+    * with no manifest file (the r03 delete-then-rename had that window). */
   def commit(root: String, m: Manifest): Unit = {
     val f = fs(root)
     f.mkdirs(new Path(root))
@@ -107,7 +128,8 @@ object IndexManifest {
       "inputFingerprint" -> m.inputFingerprint,
       "nDocs" -> m.nDocs.toString,
       // Double round-trips exactly via toString/toDouble (Java guarantees).
-      "avgdl" -> m.avgdl.toString)).append('\n')
+      "avgdl" -> m.avgdl.toString,
+      "statsGen" -> m.statsGen.toString)).append('\n')
     m.shards.sortBy(_.shard).foreach { s =>
       sb.append(line(
         "shard" -> s.shard.toString,
@@ -117,16 +139,28 @@ object IndexManifest {
         "sourcePartitions" -> s.sourcePartitions.mkString(";"),
         "minDocId" -> s.minDocId.toString,
         "maxDocId" -> s.maxDocId.toString,
-        "sumDl" -> s.sumDl.toString)).append('\n')
+        "sumDl" -> s.sumDl.toString,
+        "gen" -> s.gen.toString)).append('\n')
     }
     val tmp = new Path(root, s"manifest-v${m.snapshotId}.json.tmp")
     val out = f.create(tmp, true)
     try out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val dst = manifestPath(root, m.snapshotId)
-    if (f.exists(dst)) f.delete(dst, false) // re-commit of the same version
-    if (!f.rename(tmp, dst))
+    if (f.exists(dst)) {
+      // `.replaced` does not end in ".json" → never picked up by versions()
+      val aside = new Path(root, s"manifest-v${m.snapshotId}.json.replaced")
+      if (f.exists(aside)) f.delete(aside, false)
+      if (!f.rename(dst, aside))
+        throw new java.io.IOException(s"manifest re-commit move-aside failed: $dst")
+      if (!f.rename(tmp, dst)) {
+        f.rename(aside, dst) // restore the previous copy
+        throw new java.io.IOException(s"manifest commit rename failed: $tmp -> $dst")
+      }
+      f.delete(aside, false)
+    } else if (!f.rename(tmp, dst))
       throw new java.io.IOException(s"manifest commit rename failed: $tmp -> $dst")
+    ()
   }
 
   private def line(kvs: (String, String)*): String =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analysis.Analyzer
-import graft.index.IndexBuilder
+import graft.index.{IndexBuilder, IndexManifest, IndexSnapshot, Manifest}
 import graft.model.{CorpusStats, QuerySpec, SearchHit, TermStats}
 
 /** Query engine over a built index (SURVEY.md §3.1 Spark lifecycle, §7.5).
@@ -43,14 +43,24 @@ object SearchEngine {
   final case class Plan(terms: Vector[TermStats], dropped: Vector[String],
                         mode: String, k: Int)
 
+  /** The latest committed snapshot — resolved ONCE per query and threaded
+    * through planning, the posting scan and the doc lookups, so a query
+    * never mixes two snapshots' files even while maintenance commits
+    * concurrently (snapshot isolation; IndexMaintenance scaladoc). */
+  private def pinnedManifest(root: String): Manifest =
+    IndexManifest.read(root).getOrElse(
+      throw new IllegalStateException(s"no manifest at $root — index not built"))
+
   /** Driver-side "optimize" phase: dictionary lookup + stop cap + df-asc
     * order (SURVEY.md §3.1 step 5). The dictionary probe is a filtered
     * scan of the tiny term_stats table, not a full collect. */
   def plan(spark: SparkSession, root: String, spec: QuerySpec,
-           stats: CorpusStats, applyStopCap: Boolean = true): Plan = {
+           stats: CorpusStats, applyStopCap: Boolean = true,
+           pinned: Option[Manifest] = None): Plan = {
     import spark.implicits._
     if (spec.terms.isEmpty) return Plan(Vector.empty, Vector.empty, spec.mode, spec.k)
-    val found = termStatsFor(spark, root)
+    val m = pinned.getOrElse(pinnedManifest(root))
+    val found = termStatsFor(spark, root, m)
       .filter($"term".isin(spec.terms: _*))
       .select($"term", $"df", $"maxTf")
       .collect().toVector
@@ -73,18 +83,25 @@ object SearchEngine {
     convPrefix match {
       case Some(pre) => queryScoped(spark, root, queryText, mode, k, Seq(pre))
       case None =>
-        val stats = statsOf(spark, root)
-        val terms = Analyzer.analyzeQueryFor(stats.analyzerVersion, queryText)
-        memoized(root, QueryKey(terms, mode, k, Nil)) {
-          val spec = QuerySpec(terms, mode, k)
-          val p = plan(spark, root, spec, stats)
-          // terms absent from the dictionary are silently DROPPED and the
-          // rest searched (reference SearchServiceImpl.java:145-148
-          // filter(Objects::nonNull)); empty only when nothing survives
-          if (p.terms.isEmpty) Vector.empty
-          else executePlan(spark, root, p, stats, None)
-        }
+        queryResolved(spark, root, pinnedManifest(root), queryText, mode, k)
     }
+
+  /** Unscoped query against ONE pinned snapshot (see [[pinnedManifest]]). */
+  private def queryResolved(spark: SparkSession, root: String, m: Manifest,
+                            queryText: String, mode: String,
+                            k: Int): Vector[SearchHit] = {
+    val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
+    val terms = Analyzer.analyzeQueryFor(stats.analyzerVersion, queryText)
+    memoized(root, QueryKey(terms, mode, k, Nil)) {
+      val spec = QuerySpec(terms, mode, k)
+      val p = plan(spark, root, spec, stats, pinned = Some(m))
+      // terms absent from the dictionary are silently DROPPED and the
+      // rest searched (reference SearchServiceImpl.java:145-148
+      // filter(Objects::nonNull)); empty only when nothing survives
+      if (p.terms.isEmpty) Vector.empty
+      else executePlan(spark, root, p, stats, None, Some(m))
+    }
+  }
 
   /** Multi-scope search (reference multi-site: per-site results computed
     * with per-site statistics, then unioned — SearchServiceImpl.java:
@@ -101,25 +118,26 @@ object SearchEngine {
   def queryScoped(spark: SparkSession, root: String, queryText: String,
                   mode: String, k: Int,
                   scopes: Seq[String]): Vector[SearchHit] = {
-    val version = statsOf(spark, root).analyzerVersion
-    val terms = Analyzer.analyzeQueryFor(version, queryText)
+    val m = pinnedManifest(root)
+    val terms = Analyzer.analyzeQueryFor(m.analyzerVersion, queryText)
     if (terms.isEmpty || scopes.isEmpty) return Vector.empty
     memoized(root, QueryKey(terms, mode, k, scopes)) {
-      queryScopedUncached(spark, root, terms, mode, k, scopes)
+      queryScopedUncached(spark, root, m, terms, mode, k, scopes)
     }
   }
 
   private def queryScopedUncached(spark: SparkSession, root: String,
+                                  m: Manifest,
                                   terms: Vector[String], mode: String, k: Int,
                                   scopes: Seq[String]): Vector[SearchHit] = {
-    val version = statsOf(spark, root).analyzerVersion
+    val version = m.analyzerVersion
     val all = scopes.flatMap { pre =>
-      val segs = scopeSegments(spark, root, pre)
+      val segs = scopeSegments(spark, root, m, pre)
       if (segs.isEmpty) Vector.empty
       else {
         val n = segs.map(_.n).sum
         val stats = CorpusStats(n, segs.map(_.sumDl).sum.toDouble / n, version)
-        val dfs = scopedTermDf(spark, root, terms,
+        val dfs = scopedTermDf(spark, root, m, pre, terms,
           segs.map(s => (s.lo, s.hi)))
         val kept = terms
           .flatMap(t => dfs.get(t).filter(_ > 0).map(df => (t, df)))
@@ -132,7 +150,7 @@ object SearchEngine {
           // stats) union = exact scope top-k
           val p = Plan(kept.toVector, Vector.empty, mode, k)
           segs.flatMap(s0 =>
-            executePlan(spark, root, p, stats, Some((s0.lo, s0.hi))))
+            executePlan(spark, root, p, stats, Some((s0.lo, s0.hi)), Some(m)))
             .sortBy(h => (-h.score, h.docId)).take(k)
         }
       }
@@ -145,16 +163,47 @@ object SearchEngine {
   /** One contiguous docId run of a scope. */
   final case class ScopeSegment(lo: Long, hi: Long, n: Long, sumDl: Long)
 
+  // Scoped-query serving caches (VERDICT r03 items 3/8): a scope's
+  // segments and its per-term dfs are pure functions of (root, snapshot,
+  // prefix[, term]) — memoize them so a hot multi-tenant serving workload
+  // pays the segment range-shuffle and the df posting scan ONCE per scope
+  // per snapshot instead of per query. Entries of superseded snapshots
+  // are pruned on insert and on disableServingCache.
+  private val scopeSegCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, String), Vector[ScopeSegment]]
+  private val scopeDfCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, String, String), Long]
+  /** # of actual (non-cached) segment computations — test observability. */
+  private[graft] val scopeSegComputes = new java.util.concurrent.atomic.AtomicLong
+
+  private[query] def scopeSegments(spark: SparkSession, root: String,
+                                   m: Manifest,
+                                   prefix: String): Vector[ScopeSegment] = {
+    val key = (root, m.snapshotId, prefix)
+    scopeSegCache.get(key) match {
+      case Some(v) => v
+      case None =>
+        val v = computeScopeSegments(spark, root, m, prefix)
+        scopeSegCache.keys
+          .filter(k0 => k0._1 == root && k0._2 != m.snapshotId)
+          .foreach(scopeSegCache.remove)
+        scopeSegCache.put(key, v)
+        v
+    }
+  }
+
   /** A scope's docIds as contiguous segments. Fresh builds keep conv_ids
     * docId-contiguous (one segment); out-of-order appends add further
     * segments (one per append batch, so the list stays small). Runs are
     * detected per range-partition and merged across boundaries on the
     * driver — no docId set is ever collected. */
-  private[query] def scopeSegments(spark: SparkSession, root: String,
+  private def computeScopeSegments(spark: SparkSession, root: String,
+                                   m: Manifest,
                                    prefix: String): Vector[ScopeSegment] = {
     import spark.implicits._
+    scopeSegComputes.incrementAndGet()
     val parts = spark.sessionState.conf.numShufflePartitions
-    val runs = graft.index.IndexBuilder.loadDocs(spark, root)
+    val runs = IndexSnapshot.docs(spark, root, m)
       .filter(col("conv_id").startsWith(prefix))
       .select($"docId", $"dl".cast("long").as("dl"))
       .repartitionByRange(parts, $"docId")
@@ -187,19 +236,38 @@ object SearchEngine {
 
   /** df of each query term restricted to the segment union: pruned posting
     * scan + block-skipping counts; decode-only, no scoring, tiny result.
-    * Segments are ascending, so one forward cursor pass covers them all. */
-  private def scopedTermDf(spark: SparkSession, root: String,
-                           terms: Seq[String],
+    * Segments are ascending, so one forward cursor pass covers them all.
+    * Per-(scope, term) results are memoized per snapshot (scopeDfCache);
+    * only terms missing from the cache hit the posting scan. */
+  private def scopedTermDf(spark: SparkSession, root: String, m: Manifest,
+                           prefix: String, terms: Seq[String],
                            segments: Seq[(Long, Long)]): Map[String, Long] = {
+    val cached = terms.flatMap(t =>
+      scopeDfCache.get((root, m.snapshotId, prefix, t)).map(t -> _)).toMap
+    val missing = terms.filterNot(cached.contains)
+    if (missing.isEmpty) return cached
+    val computed = computeScopedTermDf(spark, root, m, missing, segments)
+    scopeDfCache.keys
+      .filter(k0 => k0._1 == root && k0._2 != m.snapshotId)
+      .foreach(scopeDfCache.remove)
+    // a term absent from the scoped postings has df 0 — cache that too,
+    // or every repeat query with it would rescan
+    missing.foreach(t => scopeDfCache.put((root, m.snapshotId, prefix, t),
+      computed.getOrElse(t, 0L)))
+    cached ++ missing.map(t => t -> computed.getOrElse(t, 0L))
+  }
+
+  private def computeScopedTermDf(spark: SparkSession, root: String,
+                                  m: Manifest, terms: Seq[String],
+                                  segments: Seq[(Long, Long)]): Map[String, Long] = {
     import spark.implicits._
     val lo = segments.map(_._1).min
     val hi = segments.map(_._2).max
     val segs = segments.sorted.toVector
-    val pruned = graft.index.IndexManifest.read(root)
-      .flatMap(m => shardsIntersecting(m, lo, hi)) match {
+    val pruned = shardsIntersecting(m, lo, hi) match {
         case Some(sh) =>
-          postingsFor(spark, root).filter($"shard".isin(sh: _*))
-        case None => postingsFor(spark, root)
+          postingsFor(spark, root, m).filter($"shard".isin(sh: _*))
+        case None => postingsFor(spark, root, m)
       }
     pruned.filter($"term".isin(terms: _*))
       .select($"term", $"count", $"docIds", $"tfs", $"dls", $"blockFirst",
@@ -234,8 +302,10 @@ object SearchEngine {
 
   def executePlan(spark: SparkSession, root: String, p: Plan,
                   stats: CorpusStats,
-                  range: Option[(Long, Long)] = None): Vector[SearchHit] = {
+                  range: Option[(Long, Long)] = None,
+                  pinned: Option[Manifest] = None): Vector[SearchHit] = {
     import spark.implicits._
+    val m = pinned.getOrElse(pinnedManifest(root))
     val termList = p.terms.map(_.term)
     val dfByTerm = p.terms.map(t => t.term -> t.df).toMap
     // canonical contribution order: df asc, term asc (§7.8.1)
@@ -254,8 +324,7 @@ object SearchEngine {
     // scan never lists the other shard dirs)
     val shardPrune: DataFrame => DataFrame =
       if (range.isEmpty) identity
-      else graft.index.IndexManifest.read(root)
-        .flatMap(m => shardsIntersecting(m, minDoc, maxDoc)) match {
+      else shardsIntersecting(m, minDoc, maxDoc) match {
           case Some(sh) => df => df.filter($"shard".isin(sh: _*))
           case None => identity
         }
@@ -270,6 +339,12 @@ object SearchEngine {
     // different tasks — AND would see cursors.size < nTerms per fragment
     // and silently drop the shard's hits, OR would emit partial-score
     // duplicates (EngineParitySpec split-scan test pins this).
+    //
+    // ONE streaming pass over the task's rows (VERDICT r03 item 2): each
+    // row is decoded to its compressed BlockedList immediately and the
+    // Row object dropped, so task memory is exactly the selected terms'
+    // compressed posting bytes — never a second, Row-wrapped copy of the
+    // whole selection (the r03 rows.toVector held both at once).
     def shardLocalTopK(selected: DataFrame): Array[SearchHit] =
       selected
         .select($"shard", $"term", $"chunk", $"count", $"docIds", $"tfs",
@@ -277,26 +352,37 @@ object SearchEngine {
           $"blockMaxTf", $"blockMinDl")
         .mapPartitions { rows =>
           val t0 = System.nanoTime()
-          // one partition may pack several whole shards: group
-          val byShard = rows.toVector.groupBy(_.getInt(0))
-          val out = byShard.iterator.flatMap { case (_, shardRows) =>
-            val cursors = shardRows.groupBy(_.getString(1)).map { case (term, rs) =>
+          // (shard, term) → chunk lists; key space is O(shards-in-task ×
+          // query terms) — tiny — while values hold the compressed bytes
+          val byTerm = scala.collection.mutable.LinkedHashMap
+            .empty[(Int, String),
+                   scala.collection.mutable.ArrayBuffer[graft.index.PostingCodec.BlockedList]]
+          rows.foreach { r =>
+            val key = (r.getInt(0), r.getString(1))
+            byTerm.getOrElseUpdate(key,
+              scala.collection.mutable.ArrayBuffer
+                .empty[graft.index.PostingCodec.BlockedList]) +=
+              graft.index.PostingCodec.BlockedList(
+                r.getLong(3).toInt, r.getAs[Array[Byte]](4),
+                r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6),
+                r.getSeq[Long](7).toArray, r.getSeq[Int](8).toArray,
+                r.getSeq[Int](9).toArray, r.getSeq[Int](10).toArray,
+                r.getSeq[Int](11).toArray, r.getSeq[Int](12).toArray)
+          }
+          // one partition may pack several whole shards: group the (few)
+          // keys, never the rows
+          val byShard = byTerm.groupBy(_._1._1)
+          val out = byShard.iterator.flatMap { case (_, termChunks) =>
+            val cursors = termChunks.map { case ((_, term), chunks) =>
               // chunks concatenate in ascending-docId order; blockFirst(0)
               // is the chunk's first docId — robust even if a shard's rows
               // were encoded by several tasks
-              val chunks = rs.map { r =>
-                  graft.index.PostingCodec.BlockedList(
-                    r.getLong(3).toInt, r.getAs[Array[Byte]](4),
-                    r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6),
-                    r.getSeq[Long](7).toArray, r.getSeq[Int](8).toArray,
-                    r.getSeq[Int](9).toArray, r.getSeq[Int](10).toArray,
-                    r.getSeq[Int](11).toArray, r.getSeq[Int](12).toArray)
-                }
+              val sorted = chunks
                 .sortBy(c => if (c.blockFirst.isEmpty) Long.MaxValue
                              else c.blockFirst(0))
                 .toIndexedSeq
               new Wand.TermCursor(
-                Wand.TermPostings(term, dfByTerm(term), canonical(term), chunks),
+                Wand.TermPostings(term, dfByTerm(term), canonical(term), sorted),
                 nDocs, avgdl)
             }.toSeq
             val hits =
@@ -327,9 +413,9 @@ object SearchEngine {
       case Some(df) =>
         val aligned = cachedPostingsAligned.getOrElse(root, false)
         (df, if (aligned) "cached-aligned" else "cached", !aligned)
-      case None => alignedPostingsFor(spark, root) match {
+      case None => alignedPostingsFor(spark, root, m) match {
         case Some(df) => (df, "aligned", false)
-        case None => (IndexBuilder.loadPostings(spark, root), "repartition", true)
+        case None => (IndexSnapshot.postings(spark, root, m), "repartition", true)
       }
     }
     val selected = shardPrune(scanFrame).filter($"term".isin(termList: _*))
@@ -409,16 +495,16 @@ object SearchEngine {
                         mode: String = "AND", k: Int = 10)
       : Seq[(Long, Double, String, String, Int)] = {
     import org.apache.spark.sql.functions.col
-    val hits = query(spark, root, queryText, mode, k)
+    val m = pinnedManifest(root) // ONE snapshot for both rank and lookup
+    val hits = queryResolved(spark, root, m, queryText, mode, k)
     if (hits.isEmpty) return Nil
-    val version = statsOf(spark, root).analyzerVersion
+    val version = m.analyzerVersion
     val terms = Analyzer.analyzeQueryFor(version, queryText).toSet
     val normalize: String => String =
       if (version == Analyzer.StemVersion) graft.analysis.Stemmer.stem else identity
     val ids = hits.map(_.docId)
-    val base = spark.read.parquet(IndexBuilder.Paths(root).docs)
-    val pruned = graft.index.IndexManifest.read(root)
-      .flatMap(m => shardsIntersecting(m, ids.min, ids.max)) match {
+    val base = IndexSnapshot.docs(spark, root, m)
+    val pruned = shardsIntersecting(m, ids.min, ids.max) match {
         case Some(sh) => base.filter(col("shard").isin(sh: _*))
         case None => base
       }
@@ -535,34 +621,44 @@ object SearchEngine {
         }
     }
 
-  /** Shard-aligned cold-scan plans, keyed by (root, manifest version):
-    * a postings DataFrame whose scan split sizing is pinned to the
-    * largest file, so each task reads EXACTLY one whole shard file and
-    * the WAND grouping needs no per-query shuffle. Built on a CLONED
-    * session (`newSession` shares the SparkContext but isolates SQL conf)
-    * so the pinned split confs never leak into the caller's session.
-    * None = some shard dir holds several parquet files (external/legacy
-    * layout) → callers use the repartition fallback. Maintenance bumps
-    * the manifest version, which keys a fresh entry; stale entries are
-    * pruned on insert and on cache disable. */
+  /** Shard-aligned cold-scan plans, keyed by (root, snapshot id): a
+    * postings DataFrame whose scan split sizing is pinned to the largest
+    * file, so each task reads EXACTLY one whole shard file and the WAND
+    * grouping needs no per-query shuffle. Built on a CLONED session
+    * (`newSession` shares the SparkContext but isolates SQL conf) so the
+    * pinned split confs never leak into the caller's session; listing is
+    * manifest-resolved (exactly the snapshot's leaf dirs). None = some
+    * shard dir holds several parquet files (external/legacy layout) →
+    * callers use the repartition fallback. Maintenance bumps the snapshot
+    * id, which keys a fresh entry; stale entries are pruned on insert and
+    * on cache disable, and a hit whose SparkContext has since been
+    * STOPPED is rebuilt on the live session instead of served
+    * (VERDICT r03 item 5). */
   private val alignedPostings =
     scala.collection.concurrent.TrieMap.empty[(String, Long), Option[DataFrame]]
 
-  private[graft] def alignedPostingsFor(spark: SparkSession,
-                                        root: String): Option[DataFrame] = {
-    val v = graft.index.IndexManifest.latestVersion(root).getOrElse(-1L)
-    alignedPostings.getOrElseUpdate((root, v), {
-      alignedPostings.keys.filter(_._1 == root).foreach(alignedPostings.remove)
-      val dir = IndexBuilder.Paths(root).postings
-      val (maxFile, onePerShard) = IndexBuilder.parquetLayout(spark, dir)
-      if (!onePerShard) None
-      else {
-        val s2 = spark.newSession()
-        s2.conf.set("spark.sql.files.maxPartitionBytes", (maxFile + 1).toString)
-        s2.conf.set("spark.sql.files.openCostInBytes", (maxFile + 1).toString)
-        Some(s2.read.parquet(dir))
-      }
-    })
+  private[graft] def alignedPostingsFor(spark: SparkSession, root: String,
+                                        m: Manifest): Option[DataFrame] = {
+    val key = (root, m.snapshotId)
+    alignedPostings.get(key) match {
+      case Some(v) if v.forall(df => !df.sparkSession.sparkContext.isStopped) =>
+        v
+      case _ =>
+        alignedPostings.keys.filter(_._1 == root).foreach(alignedPostings.remove)
+        val paths = IndexSnapshot.postingsPaths(root, m)
+        val (maxFile, onePerShard) = IndexBuilder.parquetLayoutPaths(spark, paths)
+        val v =
+          if (paths.isEmpty || !onePerShard) None
+          else {
+            val s2 = spark.newSession()
+            s2.conf.set("spark.sql.files.maxPartitionBytes", (maxFile + 1).toString)
+            s2.conf.set("spark.sql.files.openCostInBytes", (maxFile + 1).toString)
+            Some(s2.read.option("basePath", IndexBuilder.Paths(root).postings)
+              .parquet(paths: _*).drop("gen"))
+          }
+        alignedPostings.put(key, v)
+        v
+    }
   }
 
   /** true ⇔ the pinned postings frame was built from the ALIGNED scan
@@ -576,10 +672,11 @@ object SearchEngine {
     * Prefers the shard-aligned scan so the cached partitioning already
     * groups whole shards and queries run shuffle-free. Idempotent. */
   def enableServingCache(spark: SparkSession, root: String): Unit = {
+    val m = pinnedManifest(root)
     cachedPostings.getOrElseUpdate(root, {
-      val (base, aligned) = alignedPostingsFor(spark, root) match {
+      val (base, aligned) = alignedPostingsFor(spark, root, m) match {
         case Some(a) => (a, true) // newSession shares the table cache
-        case None => (IndexBuilder.loadPostings(spark, root), false)
+        case None => (IndexSnapshot.postings(spark, root, m), false)
       }
       val df = base.cache()
       df.count() // materialize
@@ -587,7 +684,7 @@ object SearchEngine {
       df
     })
     cachedTermStats.getOrElseUpdate(root, {
-      val df = spark.read.parquet(IndexBuilder.Paths(root).termStats).cache()
+      val df = IndexSnapshot.termStats(spark, root, m).cache()
       df.count()
       df
     })
@@ -599,22 +696,26 @@ object SearchEngine {
     cachedPostingsAligned.remove(root)
     cachedTermStats.remove(root).foreach(_.unpersist())
     // maintenance calls this before rewriting — drop aligned-scan plans
-    // for the root too (their file listing is about to go stale), and
-    // flush memoized results (stale hits would otherwise survive the
-    // rewrite; the LRU itself stays enabled for the serving process)
+    // and the scoped-query memos for the root too (their snapshot is
+    // about to be superseded), and flush memoized results (stale hits
+    // would otherwise survive the rewrite; the LRU itself stays enabled
+    // for the serving process)
     alignedPostings.keys.filter(_._1 == root).foreach(alignedPostings.remove)
+    scopeSegCache.keys.filter(_._1 == root).foreach(scopeSegCache.remove)
+    scopeDfCache.keys.filter(_._1 == root).foreach(scopeDfCache.remove)
     resultCaches.get(root).foreach { lru =>
       cacheGen(root).incrementAndGet() // BEFORE clear: gates in-flight puts
       lru.synchronized(lru.clear())
     }
   }
 
-  private def postingsFor(spark: SparkSession, root: String): DataFrame =
-    cachedPostings.getOrElse(root, IndexBuilder.loadPostings(spark, root))
+  private def postingsFor(spark: SparkSession, root: String,
+                          m: Manifest): DataFrame =
+    cachedPostings.getOrElse(root, IndexSnapshot.postings(spark, root, m))
 
-  private[query] def termStatsFor(spark: SparkSession, root: String): DataFrame =
-    cachedTermStats.getOrElse(root,
-      spark.read.parquet(IndexBuilder.Paths(root).termStats))
+  private[query] def termStatsFor(spark: SparkSession, root: String,
+                                  m: Manifest): DataFrame =
+    cachedTermStats.getOrElse(root, IndexSnapshot.termStats(spark, root, m))
 
   def statsOf(spark: SparkSession, root: String): CorpusStats = {
     val m = graft.index.IndexManifest.read(root).getOrElse(

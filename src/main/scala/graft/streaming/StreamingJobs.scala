@@ -98,18 +98,17 @@ object StreamingJobs {
     * scoped queries stay exact) and the manifest commits a snapshot per
     * batch.
     *
-    * Crash handling: the append path is not internally atomic (docs
-    * parquet, postings, manifest commit in sequence), so an existing-key
-    * rejection on restart is ambiguous — it means EITHER a replay of a
-    * fully committed batch (crash between sink commit and checkpoint
-    * advance: skip idempotently) OR a crash in the MIDDLE of an append
-    * (docs appended, postings/manifest not committed: orphan docs that
-    * must NOT be silently skipped). The two are distinguished by
-    * re-fingerprinting the docs table against the committed manifest —
-    * a partial append FAILS LOUDLY with cleanup instructions instead of
-    * permanently hiding orphan docs. Serving caches are invalidated by
-    * the append itself. Returns the started query; callers own
-    * awaitTermination/stop. */
+    * Crash handling: the append is a copy-on-write snapshot commit
+    * (IndexMaintenance scaladoc) — a crash BEFORE the manifest commit
+    * leaves only orphan generation dirs no reader resolves, and the
+    * replayed batch re-runs the append cleanly, overwriting them. An
+    * existing-key rejection therefore means the batch was FULLY committed
+    * before the crash (sink commit landed, checkpoint advance did not):
+    * skip idempotently. [[assertFullyCommitted]] re-verifies that reading
+    * (defense in depth: under the snapshot layout a mismatch is external
+    * corruption, not a reachable crash state). Serving caches are
+    * invalidated by the append itself. Returns the started query; callers
+    * own awaitTermination/stop. */
   def indexIngest(turns: Dataset[graft.model.Turn], root: String,
                   checkpointDir: String,
                   newShardsPerBatch: Int = 1,
@@ -166,29 +165,29 @@ object StreamingJobs {
     deduped.drop("fp").as[graft.model.Turn]
   }
 
-  /** Replay-vs-partial-append disambiguation (see [[indexIngest]]): the
-    * committed manifest's input fingerprint must match a re-fingerprint
-    * of the docs table. Match ⇒ the rejected batch was fully committed
-    * before the crash (safe to skip). Mismatch ⇒ a previous append died
-    * between the docs write and the manifest commit — fail loudly. */
+  /** Replay verification (see [[indexIngest]]): the committed manifest's
+    * input fingerprint must match a re-fingerprint of the MANIFEST-
+    * RESOLVED docs table. Under the copy-on-write snapshot layout a
+    * crashed append's orphan rows live in an unreferenced generation dir
+    * and never enter this read, so a mismatch can only mean external
+    * corruption of committed files — fail loudly rather than skip a
+    * batch against a corrupt index. */
   private def assertFullyCommitted(spark: SparkSession, root: String,
                                    batchId: Long, cause: Throwable): Unit = {
-    val P = graft.index.IndexBuilder.Paths(root)
+    val m = graft.index.IndexManifest.read(root).getOrElse(
+      throw new IllegalStateException(s"no manifest at $root", cause))
     val hashUdf = udf((c: String, t: Int, x: String) =>
       graft.index.DocIdAssigner.rowHash(c, t, x))
-    val agg = spark.read.parquet(P.docs)
+    val agg = graft.index.IndexSnapshot.docs(spark, root, m)
       .select(hashUdf(col("conv_id"), col("turn_idx"), col("text")).as("h"))
       .agg(count(lit(1)), expr("bit_xor(h)")).head()
     val fp = s"${agg.getLong(0)}-${agg.getLong(1)}"
-    val m = graft.index.IndexManifest.read(root).getOrElse(
-      throw new IllegalStateException(s"no manifest at $root", cause))
     if (m.inputFingerprint != fp)
       throw new IllegalStateException(
-        s"partial append detected at $root while replaying batch $batchId: " +
-        s"docs table fingerprint $fp != committed manifest " +
-        s"${m.inputFingerprint} — a previous append crashed between the " +
-        "docs write and the manifest commit, leaving orphan docs. Delete " +
-        "the affected conversations (IndexMaintenance.deleteConversations) " +
+        s"index corruption detected at $root while replaying batch " +
+        s"$batchId: snapshot docs fingerprint $fp != committed manifest " +
+        s"${m.inputFingerprint} — committed data files changed outside " +
+        "the snapshot commit protocol. Rebuild or restore the index " +
         "before resuming ingest.", cause)
   }
 

@@ -132,7 +132,7 @@ class EngineParitySpec extends AnyFunSuite {
       shards = m1.shards.filterNot(s => dropped(s.shard)))
     IndexManifest.commit(root, truncated)
     dropped.foreach { s =>
-      val dir = java.nio.file.Paths.get(s"$root/postings/shard=$s")
+      val dir = java.nio.file.Paths.get(s"$root/postings/gen=0/shard=$s")
       if (java.nio.file.Files.isDirectory(dir)) {
         java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
           .forEach(p => java.nio.file.Files.delete(p))
@@ -333,7 +333,8 @@ class EngineParitySpec extends AnyFunSuite {
       // shuffle-free ALIGNED path — its cloned-session scan is immune to
       // this session's tiny split sizing by design, so correctness here
       // comes from task↔shard-file alignment
-      assert(SearchEngine.alignedPostingsFor(spark, splitRoot).isDefined,
+      assert(SearchEngine.alignedPostingsFor(spark, splitRoot,
+        IndexManifest.read(splitRoot).get).isDefined,
         "fresh build must qualify for the aligned shuffle-free scan")
       querySet.foreach { case (q, mode, k) =>
         val got = SearchEngine.query(spark, splitRoot, q, mode, k)
@@ -344,7 +345,7 @@ class EngineParitySpec extends AnyFunSuite {
       // parquet files (chunks of one term may straddle them) — the engine
       // must detect it and fall back to the repartition path, which under
       // this session's 2 KB split sizing is the true worst case
-      val sh0 = s"$splitRoot/postings/shard=0"
+      val sh0 = s"$splitRoot/postings/gen=0/shard=0"
       val rows = spark.read.parquet(sh0).collect()
       val schema = spark.read.parquet(sh0).schema
       val half = rows.length / 2
@@ -365,7 +366,8 @@ class EngineParitySpec extends AnyFunSuite {
       java.nio.file.Files.move(onlyParquet(s"$tmp2/b"),
         java.nio.file.Paths.get(sh0, "part-b.parquet"))
       SearchEngine.disableServingCache(splitRoot) // drop the stale aligned plan
-      assert(SearchEngine.alignedPostingsFor(spark, splitRoot).isEmpty,
+      assert(SearchEngine.alignedPostingsFor(spark, splitRoot,
+        IndexManifest.read(splitRoot).get).isEmpty,
         "multi-file shard dir must disqualify the aligned scan")
       querySet.foreach { case (q, mode, k) =>
         val got = SearchEngine.query(spark, splitRoot, q, mode, k)

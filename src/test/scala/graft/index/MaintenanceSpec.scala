@@ -260,7 +260,7 @@ class MaintenanceSpec extends AnyFunSuite {
     val m1 = IndexManifest.read(root).get
     affected.foreach { sh =>
       val e = m1.shards.find(_.shard == sh).get
-      val actual = spark.read.parquet(s"$root/docs")
+      val actual = IndexBuilder.loadDocs(spark, root).toDF()
         .filter($"shard" === sh)
         .agg(org.apache.spark.sql.functions.min($"docId"),
           org.apache.spark.sql.functions.max($"docId")).head()
@@ -363,7 +363,8 @@ class MaintenanceSpec extends AnyFunSuite {
     val (root, corpus) = freshIndex()
     def alignedOn(): Boolean = {
       SearchEngine.disableServingCache(root) // drop any stale aligned plan
-      SearchEngine.alignedPostingsFor(spark, root).isDefined
+      SearchEngine.alignedPostingsFor(spark, root,
+        IndexManifest.read(root).get).isDefined
     }
     assert(alignedOn(), "fresh build must be aligned")
     IndexMaintenance.deleteConversations(spark, root, Set("conv-00000007"))

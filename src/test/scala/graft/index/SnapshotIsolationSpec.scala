@@ -1,0 +1,198 @@
+package graft.index
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.fixtures.TranscriptGen
+import graft.model.{SearchHit, Turn}
+import graft.query.SearchEngine
+
+/** Snapshot isolation of maintenance commits (VERDICT r03 item 1):
+  * maintenance is copy-on-write into new generation dirs + an atomic
+  * manifest flip, so an UNCACHED query racing a delete/replace/append
+  * always sees one committed snapshot — never new docs against old
+  * postings — and superseded generations are reclaimed only after a
+  * grace window. */
+class SnapshotIsolationSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val ts = new java.sql.Timestamp(1700000000000L)
+
+  test("uncached queries racing maintenance always observe a committed snapshot") {
+    val corpus = TranscriptGen.corpus(seed = 21L, nConvs = 150)
+    val root = SparkTestBase.tmpDir("graft-snapiso")
+    IndexBuilder.build(spark, spark.createDataset(corpus), root,
+      shards = 8, waveSize = 8, maxChunkPostings = 64)
+    val q = ("needlemid w0000", "AND", 10)
+    def ask(): Vector[SearchHit] =
+      SearchEngine.query(spark, root, q._1, q._2, q._3)
+
+    // generous retention for the duration of the race (the default
+    // 2-snapshot grace only guarantees one full maintenance cycle)
+    IndexMaintenance.keepSnapshotsOverride = Some(10)
+    val validAnswers = new ConcurrentLinkedQueue[Vector[SearchHit]]
+    validAnswers.add(ask())
+    val stop = new AtomicBoolean(false)
+    val observed = new ConcurrentLinkedQueue[Vector[SearchHit]]
+    val failures = new ConcurrentLinkedQueue[Throwable]
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try observed.add(ask())
+        catch { case t: Throwable => failures.add(t); stop.set(true) }
+      }
+    }, "snapiso-reader")
+    reader.start()
+    try {
+      // three committing ops, each changing the answer; record the
+      // post-op answer BEFORE starting the next op so every snapshot the
+      // reader can pin has its answer in validAnswers by scan time
+      val victim = corpus.find(t =>
+        validAnswers.peek().exists(_.docId >= 0) &&
+        Analyzer.contains(t.text, "needlemid")).map(_.conv_id)
+        .getOrElse(corpus.head.conv_id)
+      IndexMaintenance.deleteConversations(spark, root, Set(victim))
+      validAnswers.add(ask())
+      val target = corpus.find(t => t.conv_id != victim).get
+      IndexMaintenance.replaceTurns(spark, root,
+        Seq(target.copy(text = "needlemid w0000 zzconcurrent replacement")))
+      validAnswers.add(ask())
+      IndexMaintenance.appendConversations(spark, root, Seq(
+        Turn("zz-snapiso", 0, "user", "needlemid w0000 zzconcurrent append", "", ts)))
+      validAnswers.add(ask())
+    } finally {
+      stop.set(true)
+      reader.join(60000)
+      IndexMaintenance.keepSnapshotsOverride = None
+    }
+    assert(failures.isEmpty,
+      s"concurrent reader must never fail mid-maintenance: ${failures.peek()}")
+    val valid = {
+      val b = Vector.newBuilder[Vector[SearchHit]]
+      validAnswers.forEach(v => b += v)
+      b.result().toSet
+    }
+    var n = 0
+    observed.forEach { o =>
+      n += 1
+      assert(valid.contains(o),
+        s"reader observed a result matching NO committed snapshot: $o\nvalid: $valid")
+    }
+    assert(n > 0, "reader never completed a query — race not exercised")
+  }
+
+  private object Analyzer {
+    def contains(text: String, term: String): Boolean =
+      graft.analysis.Analyzer.tokens(text).contains(term)
+  }
+
+  test("expireSnapshots: superseded generations reclaimed after the grace window") {
+    val corpus = TranscriptGen.corpus(seed = 22L, nConvs = 120)
+    val root = SparkTestBase.tmpDir("graft-expire")
+    IndexBuilder.build(spark, spark.createDataset(corpus), root,
+      shards = 4, waveSize = 4, maxChunkPostings = 64)
+    val v0 = IndexManifest.latestVersion(root).get
+    // two deletes hitting the SAME shard: op1 moves it gen0 → genA (gen0
+    // kept as grace), op2 moves genA → genB and expires gen0
+    val c1 = "conv-00000001"
+    val shard1 = IndexBuilder.loadDocs(spark, root).toDF()
+      .filter($"conv_id" === c1).select($"shard").head().getInt(0)
+    val c2 = IndexBuilder.loadDocs(spark, root).toDF()
+      .filter($"shard" === shard1 && $"conv_id" =!= c1)
+      .select($"conv_id").head().getString(0)
+
+    def dirExists(p: String): Boolean =
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p))
+
+    IndexMaintenance.deleteConversations(spark, root, Set(c1))
+    // grace: the pre-op generation (gen 0) of the rewritten shard survives
+    assert(dirExists(s"$root/docs/gen=0/shard=$shard1"),
+      "previous generation must survive one maintenance cycle (grace)")
+    assert(dirExists(s"$root/postings/gen=0/shard=$shard1"))
+
+    IndexMaintenance.deleteConversations(spark, root, Set(c2))
+    // now gen 0 of that shard is two snapshots old → reclaimed
+    assert(!dirExists(s"$root/docs/gen=0/shard=$shard1"),
+      "generation older than the grace window must be reclaimed")
+    assert(!dirExists(s"$root/postings/gen=0/shard=$shard1"))
+    // untouched shards' gen-0 dirs remain (still referenced by the
+    // current manifest)
+    val untouched = IndexManifest.read(root).get.shards
+      .filter(e => e.shard != shard1 && e.minDocId >= 0 && e.gen == 0L)
+    assert(untouched.nonEmpty)
+    untouched.foreach(e =>
+      assert(dirExists(s"$root/docs/gen=0/shard=${e.shard}")))
+    // expired manifest files dropped; the kept ones remain readable
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(f"$root/manifest-v$v0%05d.json")))
+    assert(IndexManifest.versions(root).size == 2)
+    // and the index still answers correctly after reclamation
+    val hits = SearchEngine.query(spark, root, "needlemid w0000", "AND", 10)
+    val naive = SearchEngine.queryNaive(spark, root, "needlemid w0000", "AND", 10)
+      .collect().map(r => SearchHit(r.getLong(0), r.getDouble(1))).toVector
+    assert(hits == naive)
+  }
+
+  test("orphan generation from a crashed rewrite is invisible and reclaimed") {
+    val corpus = TranscriptGen.corpus(seed = 23L, nConvs = 60)
+    val root = SparkTestBase.tmpDir("graft-orphan")
+    IndexBuilder.build(spark, spark.createDataset(corpus), root,
+      shards = 4, waveSize = 4, maxChunkPostings = 64)
+    val m = IndexManifest.read(root).get
+    val before = SearchEngine.query(spark, root, "needlemid w0000", "AND", 10)
+    // fabricate the on-disk state of a rewrite that crashed after its
+    // docs write: a docs generation dir at snapshotId+1, no manifest
+    val orphanGen = m.snapshotId + 1
+    spark.createDataset(Seq(
+      Turn("zz-orphan", 0, "user", "zzorphanterm needlemid", "", ts)))
+      .withColumn("docId", org.apache.spark.sql.functions.lit(999999L))
+      .withColumn("dl", org.apache.spark.sql.functions.lit(2))
+      .withColumn("shard", org.apache.spark.sql.functions.lit(0))
+      .select($"docId", $"conv_id", $"turn_idx", $"role", $"text", $"tool",
+        $"dl", $"shard")
+      .write.partitionBy("shard").parquet(s"$root/docs/gen=$orphanGen")
+    // invisible to queries and loaders
+    assert(SearchEngine.query(spark, root, "zzorphanterm", "OR", 10).isEmpty)
+    assert(SearchEngine.query(spark, root, "needlemid w0000", "AND", 10) == before)
+    assert(IndexBuilder.loadDocs(spark, root).count() == m.nDocs)
+    // the next successful maintenance commit TARGETS gen = snapshotId+1 =
+    // the fabricated orphan's gen and clobbers it with legitimate data
+    // (whole-dir overwrite) — the orphan rows can never resurface
+    IndexMaintenance.deleteConversations(spark, root, Set("conv-00000002"))
+    IndexMaintenance.deleteConversations(spark, root, Set("conv-00000003"))
+    assert(SearchEngine.query(spark, root, "zzorphanterm", "OR", 10).isEmpty)
+    assert(IndexBuilder.loadDocs(spark, root).toDF()
+      .filter($"docId" === 999999L).count() == 0L,
+      "fabricated orphan row must have been clobbered, not adopted")
+    val m2 = IndexManifest.read(root).get
+    assert(IndexBuilder.loadDocs(spark, root).count() == m2.nDocs)
+  }
+
+  test("scoped-query segment + df caches: one computation per (snapshot, scope)") {
+    val corpus = TranscriptGen.corpus(seed = 24L, nConvs = 80)
+    val root = SparkTestBase.tmpDir("graft-scopecache")
+    IndexBuilder.build(spark, spark.createDataset(corpus), root,
+      shards = 4, waveSize = 4, maxChunkPostings = 64)
+    val pre = "conv-0000001"
+    val r1 = SearchEngine.query(spark, root, "w0000", "OR", 10,
+      convPrefix = Some(pre))
+    val computesAfterFirst = SearchEngine.scopeSegComputes.get()
+    val r2 = SearchEngine.query(spark, root, "w0000", "OR", 10,
+      convPrefix = Some(pre))
+    val r3 = SearchEngine.query(spark, root, "w0001", "OR", 10,
+      convPrefix = Some(pre)) // same scope, different term: segments cached
+    assert(SearchEngine.scopeSegComputes.get() == computesAfterFirst,
+      "repeat scoped queries must reuse the cached scope segments")
+    assert(r1 == r2)
+    assert(r3.forall(h => r3.count(_.docId == h.docId) == 1))
+    // maintenance bumps the snapshot → caches invalidated, fresh compute
+    IndexMaintenance.deleteConversations(spark, root, Set("conv-00000012"))
+    SearchEngine.query(spark, root, "w0000", "OR", 10, convPrefix = Some(pre))
+    assert(SearchEngine.scopeSegComputes.get() > computesAfterFirst,
+      "a new snapshot must recompute scope segments")
+  }
+}

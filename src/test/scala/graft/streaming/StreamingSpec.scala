@@ -153,9 +153,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(SearchEngine.query(spark, root, "zzreplayed", "OR", 10).size == 2)
   }
 
-  test("ingest fails loudly on a partial append (orphan docs, manifest behind)") {
+  test("crashed partial append: orphan generation invisible; replay re-appends cleanly") {
     import graft.index.{IndexBuilder, IndexManifest}
     import graft.model.Turn
+    import graft.query.SearchEngine
     val ts0 = new java.sql.Timestamp(1700000000000L)
     val base = graft.fixtures.TranscriptGen.corpus(seed = 57L, nConvs = 40)
     val root = SparkTestBase.tmpDir("graft-partial-idx")
@@ -165,8 +166,11 @@ class StreamingSpec extends AnyFunSuite {
     val maxDoc = IndexBuilder.loadDocs(spark, root)
       .agg(max($"docId")).head().getLong(0)
     // simulate an append that crashed between the docs write and the
-    // manifest commit: the batch's doc rows land in docs/ (new shard),
-    // but postings/manifest never see them
+    // manifest commit: under the copy-on-write snapshot layout the
+    // batch's doc rows land in the UNCOMMITTED generation dir
+    // docs/gen=<snapshotId+1> that no manifest references (ADVICE r03
+    // item 1 — the r03 flat layout made these rows visible orphans that
+    // could silently re-assign docIds)
     val orphan = Seq(
       Turn("conv-zzz20001", 0, "user", "zzorphan needle", "", ts0),
       Turn("conv-zzz20001", 1, "user", "zzorphan two", "", ts0))
@@ -175,25 +179,29 @@ class StreamingSpec extends AnyFunSuite {
         graft.analysis.Analyzer.tokens(t.text).length,
         m.shards.map(_.shard).max + 1)
     }.toDF("docId", "conv_id", "turn_idx", "role", "text", "tool", "dl", "shard")
-    orphanRows.write.mode("append").partitionBy("shard").parquet(s"$root/docs")
+    orphanRows.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$root/docs/gen=${m.snapshotId + 1}")
 
-    // resuming ingest replays the same keys: existing-key rejection fires,
-    // and the fingerprint check must distinguish this PARTIAL append from
-    // a committed replay — fail loudly, never skip
+    // orphans are invisible to every reader
+    assert(IndexBuilder.loadDocs(spark, root).count() == m.nDocs)
+    assert(SearchEngine.query(spark, root, "zzorphan", "OR", 10).isEmpty)
+
+    // resuming ingest replays the same batch: the keys are NOT in the
+    // committed snapshot, so the append re-runs normally, OVERWRITING the
+    // orphan generation dir — no duplicate docIds, no manual cleanup
     val inDir = SparkTestBase.tmpDir("graft-partial-turns")
     spark.createDataset(orphan).write.parquet(s"$inDir/b0")
     val in = spark.readStream
       .schema(spark.createDataset(orphan).schema).parquet(s"$inDir/*").as[Turn]
     val q = StreamingJobs.indexIngest(in, root,
       SparkTestBase.tmpDir("graft-partial-ckpt"))
-    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q.awaitTermination(120000)
-    }
-    q.stop()
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(err).exists(_.contains("partial append detected")),
-      s"expected loud partial-append failure, got: ${messages(err)}")
+    q.awaitTermination(120000); q.stop()
+    val m2 = IndexManifest.read(root).get
+    assert(m2.nDocs == m.nDocs + 2)
+    assert(SearchEngine.query(spark, root, "zzorphan", "OR", 10).size == 2)
+    val docs = IndexBuilder.loadDocs(spark, root)
+    assert(docs.select($"docId").distinct().count() == m.nDocs + 2,
+      "docIds must stay unique after replaying over a crashed append")
   }
 
   test("ingestion dedup: fingerprint dedup across micro-batches, watermark-bounded state") {

@@ -190,6 +190,11 @@ object Bench {
     val runLarge = elapsedSec < largeDeadlineSec
     val byLevelL = scala.collection.mutable.Map.empty[Int, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    // ≥3 interleaved rounds for the large pair (VERDICT r03 item 4): the
+    // r3 run's 2 samples/level could not separate Amdahl amortization
+    // from a multi-minute contention window; a third round one window
+    // later usually can, and best-of keeps the quiet sample.
+    val repsLarge = math.max(reps, 3)
     if (runLarge) {
       val inputLarge = {
         val s = session(cpus)
@@ -199,7 +204,7 @@ object Bench {
         s.stop()
         p
       }
-      (1 to reps).foreach { _ =>
+      (1 to repsLarge).foreach { _ =>
         Seq(8, 32).foreach(c =>
           byLevelL(c) = byLevelL(c) :+ buildOnce(c, inputLarge, nConvsLarge))
       }
@@ -208,6 +213,12 @@ object Bench {
     val thL32 = if (runLarge) byLevelL(32).max else 0.0
     val efficiency8to32Large =
       if (runLarge) thL32 / (4.0 * thL8) else 0.0
+    // per-level relative spread (max-min)/max — the noise-window gauge
+    def spread(xs: Vector[Double]): Double =
+      if (xs.size < 2 || xs.max == 0.0) 0.0 else (xs.max - xs.min) / xs.max
+    val spreadL8 = spread(byLevelL(8))
+    val spreadL32 = spread(byLevelL(32))
+    val largeQuiet = runLarge && spreadL8 < 0.15 && spreadL32 < 0.15
 
     // free the tmpfs scratch
     Files.walk(Paths.get(scratch)).sorted(java.util.Comparator.reverseOrder())
@@ -276,13 +287,22 @@ object Bench {
       ("w0001 w0002", "AND", 10), ("needlemid w0000", "OR", 10),
       ("roleuser w0004", "OR", 25), ("roleassistant roletool", "AND", 50),
       ("w0000", "OR", 100), ("w0010 w0020 w0030", "AND", 10))
-    // warm-up, then measure — cold (parquet scan per query)
-    queries.foreach { case (q, m, k) => SearchEngine.query(spark3, qRoot, q, m, k) }
+    // TRUE cold = the very first pass (JIT-cold code paths, first file
+    // listing, first parquet footers) — measured BEFORE any warm loop
+    // (ADVICE r03 item 4: the old 'cold' label was post-warmup). The
+    // steady-state uncached numbers (a parquet scan per query, hot JVM)
+    // keep the p50_sec/p95_sec keys for cross-round comparability and
+    // are labeled warm-uncached in BASELINE.md.
+    val firstPass = queries.map { case (q, m, k) =>
+      time(SearchEngine.query(spark3, qRoot, q, m, k))._2
+    }.sorted
     val lat = (1 to 3).flatMap { _ =>
       queries.map { case (q, m, k) =>
         time(SearchEngine.query(spark3, qRoot, q, m, k))._2
       }
     }.sorted
+    val p50cold = firstPass(firstPass.size / 2)
+    val p95cold = firstPass.last
     val p50 = lat(lat.size / 2)
     val p95 = lat(math.min(lat.size - 1, (lat.size * 0.95).toInt))
     // serving mode: postings + dictionary pinned in executor memory
@@ -305,7 +325,7 @@ object Bench {
     val samplesJson = levels.map(c =>
       "\"local" + c + "\":[" + byLevel(c).map(fmt).mkString(",") + "]")
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"index-build throughput (turns/sec) + operator suite","value":${fmt(totalSecs)},"unit":"sec","queries":$qJson,"sf":"$sfDir","build":{"convs":$nConvs,"reps_per_level":$reps,"samples":$samplesJson,"throughput_local1":${fmt(th1)},"throughput_local4":${fmt(th4)},"throughput_N_local2":${fmt(thN)},"throughput_4N_local8":${fmt(th4N)},"throughput_local32":${fmt(thMax)},"scaling_efficiency_1_to_4":${fmt(efficiency1to4)},"scaling_efficiency_2_to_8":${fmt(efficiency)},"scaling_efficiency_8_to_32":${fmt(efficiency8to32)},"convs_large":$nConvsLarge,"large_pair_ran":$runLarge,"samples_large":{"local8":[${byLevelL(8).map(fmt).mkString(",")}],"local32":[${byLevelL(32).map(fmt).mkString(",")}]},"throughput_large_local8":${fmt(thL8)},"throughput_large_local32":${fmt(thL32)},"scaling_efficiency_8_to_32_large":${fmt(efficiency8to32Large)},"hw_busyloop_ceiling_2_to_8":${fmt(hwCeiling2to8)},"hw_busyloop_ceiling_8_to_32":${fmt(hwCeiling8to32)},"hw_memstream_probe_8_to_32":${fmt(streamCeiling8to32)},"note":"same reps at every level (best-of-$reps). busyloop = the hardware CEILING (pure register arithmetic; no software can scale better than the VM's clocks allow). memstream = a fully-bandwidth-bound REFERENCE probe (1GB array streams/task), NOT a ceiling: its value swings with the shared host's contention windows round to round (observed 0.09-0.47 at 8->32), so it calibrates VM volatility rather than bounding a mixed compute/stream engine."},"query_latency":{"p50_sec":${fmt(p50)},"p95_sec":${fmt(p95)},"p50_cached_sec":${fmt(p50c)},"p95_cached_sec":${fmt(p95c)}}}"""
+    val json = s"""{"metric":"index-build throughput (turns/sec) + operator suite","value":${fmt(totalSecs)},"unit":"sec","queries":$qJson,"sf":"$sfDir","build":{"convs":$nConvs,"reps_per_level":$reps,"samples":$samplesJson,"throughput_local1":${fmt(th1)},"throughput_local4":${fmt(th4)},"throughput_N_local2":${fmt(thN)},"throughput_4N_local8":${fmt(th4N)},"throughput_local32":${fmt(thMax)},"scaling_efficiency_1_to_4":${fmt(efficiency1to4)},"scaling_efficiency_2_to_8":${fmt(efficiency)},"scaling_efficiency_8_to_32":${fmt(efficiency8to32)},"convs_large":$nConvsLarge,"large_pair_ran":$runLarge,"reps_large":$repsLarge,"samples_large":{"local8":[${byLevelL(8).map(fmt).mkString(",")}],"local32":[${byLevelL(32).map(fmt).mkString(",")}]},"spread_large_local8":${fmt(spreadL8)},"spread_large_local32":${fmt(spreadL32)},"throughput_large_local8":${fmt(thL8)},"throughput_large_local32":${fmt(thL32)},"scaling_efficiency_8_to_32_large":${fmt(efficiency8to32Large)},"hw_busyloop_ceiling_2_to_8":${fmt(hwCeiling2to8)},"hw_busyloop_ceiling_8_to_32":${fmt(hwCeiling8to32)},"hw_memstream_probe_8_to_32":${fmt(streamCeiling8to32)},"note":"same reps at every level (best-of-$reps). busyloop = the hardware CEILING (pure register arithmetic; no software can scale better than the VM's clocks allow). memstream = a fully-bandwidth-bound REFERENCE probe (1GB array streams/task), NOT a ceiling: its value swings with the shared host's contention windows round to round (observed 0.09-0.47 at 8->32), so it calibrates VM volatility rather than bounding a mixed compute/stream engine."},"query_latency":{"p50_sec":${fmt(p50)},"p95_sec":${fmt(p95)},"p50_cold_first_pass_sec":${fmt(p50cold)},"p95_cold_first_pass_sec":${fmt(p95cold)},"p50_cached_sec":${fmt(p50c)},"p95_cached_sec":${fmt(p95c)},"note":"p50_sec/p95_sec = warm-uncached (hot JVM, parquet scan per query; keys kept for cross-round comparability); cold_first_pass = the true first pass"}}"""
     println(json)
 
     // BENCH/BASELINE.md (BASELINE.md points here for measured numbers)
@@ -361,10 +381,21 @@ object Bench {
                |the corpus (${nConvsLarge / 1000}k convs, builds of ~15-70 s
                |— the closer proxy for minutes-long cluster stages):
                |
-               |parallelism | throughput (turns/sec) | all samples
+               |parallelism | throughput (turns/sec) | all samples (best-of-$repsLarge, interleaved)
                |---|---|---
                |local[8]  | ${fmt(thL8)} | ${byLevelL(8).map(fmt).mkString(", ")}
                |local[32] | ${fmt(thL32)} | ${byLevelL(32).map(fmt).mkString(", ")}
+               |
+               |Per-level sample spread (max−min)/max: local[8]
+               |${fmt(spreadL8)}, local[32] ${fmt(spreadL32)} — ${
+                 if (largeQuiet)
+                   "under the 15% bar: this pair's samples caught quiet windows and the number is trustworthy."
+                 else
+                   """over the 15% bar: a shared-host contention window landed
+                     |inside the sweep, so this run's large-pair number mixes
+                     |amortization with host noise; read the best-of values as
+                     |lower bounds.""".stripMargin
+               }
                |
                |**8→32 at 4× corpus = ${fmt(efficiency8to32Large)}** vs
                |${fmt(efficiency8to32)} at the small corpus. ${
@@ -430,12 +461,25 @@ object Bench {
          |
          || mode | p50 | p95 |
          ||---|---|---|
-         || cold (parquet scan) | ${fmt(p50)} s | ${fmt(p95)} s |
+         || true cold (first pass: JIT-cold, first listing/footers) | ${fmt(p50cold)} s | ${fmt(p95cold)} s |
+         || warm uncached (hot JVM, parquet scan per query) | ${fmt(p50)} s | ${fmt(p95)} s |
          || serving cache (postings pinned) | ${fmt(p50c)} s | ${fmt(p95c)} s |
+         |
+         |(The JSON keys p50_sec/p95_sec carry the warm-uncached numbers —
+         |unchanged meaning vs earlier rounds, now labeled honestly;
+         |cold_first_pass is measured before any warm loop.)
          |
          |## Operator suite (${queryTimes.size} queries, $sfDir)
          |
          |total ${fmt(totalSecs)} s
+         |
+         |Each query is timed ONCE (driver contract), so a single
+         |shared-host contention window lands directly on whichever
+         |queries it overlaps — cross-round per-query deltas under ~2×
+         |are noise unless reproduced by `graft.cli.OpProbe` best-of-N.
+         |(r3→r4 check: the r3 drift on j1_and_intersect 0.75→1.31 and
+         |a6_events_hourly 0.72→1.02 probed at 0.74 / 0.37 best-of-3 on a
+         |quiet window — no plan regression; both plans unchanged.)
          |
          || query | sec |
          ||---|---|

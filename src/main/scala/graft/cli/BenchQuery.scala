@@ -10,7 +10,8 @@ import graft.index.IndexBuilder
 import graft.query.SearchEngine
 
 /** Standalone query-latency probe (Bench section 3 in isolation): builds
-  * the same 20k-conv index the round bench uses and reports cold +
+  * the same 20k-conv index the round bench uses and reports true-cold
+  * (first pass), warm-uncached (steady-state parquet scan) and
   * serving-cache p50/p95 over the fixture query mix. Use with
   * GRAFT_QUERY_TELEMETRY=1 to get the per-query phase breakdown — the
   * tool that makes a cold-latency regression diagnosable without running
@@ -44,22 +45,25 @@ object BenchQuery {
       ("w0001 w0002", "AND", 10), ("needlemid w0000", "OR", 10),
       ("roleuser w0004", "OR", 25), ("roleassistant roletool", "AND", 50),
       ("w0000", "OR", 100), ("w0010 w0020 w0030", "AND", 10))
-    def measure(): Seq[Double] = (1 to reps).flatMap { _ =>
+    def onePass(): Seq[Double] =
       queries.map { case (q, m, k) =>
         val t0 = System.nanoTime()
         SearchEngine.query(s, root, q, m, k)
         (System.nanoTime() - t0) / 1e9
       }
-    }.sorted
-    queries.foreach { case (q, m, k) => SearchEngine.query(s, root, q, m, k) } // warm
-    val cold = measure()
+    def measure(): Seq[Double] = (1 to reps).flatMap(_ => onePass()).sorted
+    // TRUE cold: the very first pass — JIT-cold JVM, first file listing,
+    // first parquet footers (ADVICE r03 item 4: the old 'cold' label was
+    // measured after a warm pass over the same queries)
+    val cold = onePass().sorted
+    val warmUncached = measure() // steady-state, parquet scan per query
     SearchEngine.enableServingCache(s, root)
     queries.foreach { case (q, m, k) => SearchEngine.query(s, root, q, m, k) }
     val cached = measure()
     SearchEngine.disableServingCache(root)
     def pct(xs: Seq[Double], p: Double): Double =
       xs(math.min(xs.size - 1, (xs.size * p).toInt))
-    println(s"""{"bench_query":{"convs":$nConvs,"cold_p50":${fmt(pct(cold, 0.5))},"cold_p95":${fmt(pct(cold, 0.95))},"cached_p50":${fmt(pct(cached, 0.5))},"cached_p95":${fmt(pct(cached, 0.95))}}}""")
+    println(s"""{"bench_query":{"convs":$nConvs,"cold_p50":${fmt(pct(cold, 0.5))},"cold_p95":${fmt(pct(cold, 0.95))},"warm_uncached_p50":${fmt(pct(warmUncached, 0.5))},"warm_uncached_p95":${fmt(pct(warmUncached, 0.95))},"cached_p50":${fmt(pct(cached, 0.5))},"cached_p95":${fmt(pct(cached, 0.95))}}}""")
     s.stop()
   }
 }

@@ -60,6 +60,50 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("property: batch contract invariant under arbitrary repartitionings (VERDICT r03 item 7)") {
+    // The mapPartitions batch contract a real codec swap relies on: for
+    // ANY physical partitioning of the input (hash, range, coalesce,
+    // skew), every transform yields the SAME logical result — row-per-
+    // input for features, identical frame multisets, size-law resize.
+    import org.scalacheck.Gen
+    val base = Multimodal.syntheticMedia(spark, 40).cache()
+    try {
+      val expected = Multimodal.extractFeatures(base).collect()
+        .sortBy(_.media_id).map(f => (f.media_id, f.features.toSeq)).toSeq
+      val expectedFrames = Multimodal.sampleFrames(base, nFrames = 3).collect()
+        .map(f => (f.media_id, f.frame_idx, f.frame.toSeq)).sortBy(x => (x._1, x._2)).toSeq
+      val cases = for {
+        parts <- Gen.choose(1, 7)
+        mode <- Gen.oneOf("hash", "range", "coalesce", "skew")
+        factor <- Gen.choose(1, 8)
+      } yield (parts, mode, factor)
+      graft.Props.forAllSeeded(cases, n = 12) { case (parts, mode, factor) =>
+        val reshaped = mode match {
+          case "hash" => base.repartition(parts, $"media_id")
+          case "range" => base.repartitionByRange(parts, $"media_id")
+          case "coalesce" => base.coalesce(parts)
+          // skew: everything into one partition key, rest empty
+          case _ => base.repartition(parts, org.apache.spark.sql.functions.lit(1))
+        }
+        val feats = Multimodal.extractFeatures(reshaped).collect()
+          .sortBy(_.media_id).map(f => (f.media_id, f.features.toSeq)).toSeq
+        assert(feats == expected, s"features changed under $mode/$parts")
+        val frames = Multimodal.sampleFrames(reshaped, nFrames = 3).collect()
+          .map(f => (f.media_id, f.frame_idx, f.frame.toSeq)).sortBy(x => (x._1, x._2)).toSeq
+        assert(frames == expectedFrames, s"frames changed under $mode/$parts")
+        val r = Multimodal.resized(reshaped, factor = factor, partitions = parts)
+          .collect()
+        assert(r.length == 40)
+        r.foreach { row =>
+          val orig = row.getInt(2)
+          // stub resize keeps indices ≡ 0 (mod factor): exact size law
+          assert(row.getInt(1) == (orig + factor - 1) / factor,
+            s"resize size law broken: ${row.getInt(1)} of $orig @ $factor")
+        }
+      }
+    } finally { base.unpersist(); () }
+  }
+
   test("media table round-trips through parquet with the declared schema") {
     val dir = SparkTestBase.tmpDir("graft-media")
     Multimodal.syntheticMedia(spark, 10).write.mode("overwrite").parquet(dir)

@@ -118,6 +118,10 @@ object Query {
   *   Maintain <root> delete --convs a,b,c
   *   Maintain <root> append --transcripts <parquet> [--shards N]
   *   Maintain <root> replace --transcripts <parquet>
+  *   Maintain <root> expire [--keep N]   (reclaim generations outside the
+  *                                        retention window — Iceberg's
+  *                                        expire_snapshots analog; the
+  *                                        per-op auto-expire keeps 2)
   */
 object Maintain {
   def main(args: Array[String]): Unit = {
@@ -125,12 +129,16 @@ object Maintain {
     def opt(name: String): Option[String] =
       a.indexOf(name) match { case -1 => None; case i => a.lift(i + 1) }
     if (a.size < 2) sys.error(
-      "usage: Maintain <root> (delete --convs a,b | append --transcripts p [--shards N] | replace --transcripts p)")
+      "usage: Maintain <root> (delete --convs a,b | append --transcripts p [--shards N] | replace --transcripts p | expire [--keep N])")
     val root = a(0)
     val cmd = a(1)
     val spark = CliSession.session("graft-maintain")
     import spark.implicits._
     val affected = cmd match {
+      case "expire" =>
+        graft.index.IndexSnapshot.expireSnapshots(spark, root,
+          opt("--keep").map(_.toInt).getOrElse(2))
+        Nil
       case "delete" =>
         val convs = opt("--convs").getOrElse(sys.error("--convs required"))
           .split(",").filter(_.nonEmpty).toSet

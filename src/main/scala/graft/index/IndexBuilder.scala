@@ -167,29 +167,46 @@ object IndexBuilder {
 
   /** [[parquetLayout]] over an explicit leaf-dir list (manifest-resolved
     * snapshot paths): largest parquet file + one-file-per-dir flag.
-    * Missing dirs are skipped (an entry whose shard holds no rows). */
+    * Missing dirs are skipped (an entry whose shard holds no rows).
+    * Listings run on a bounded thread pool — at production shard counts
+    * a serial per-dir RPC loop would dominate aligned-scan setup (paid
+    * once per snapshot; Spark's own scan listing is parallel too). */
   private[graft] def parquetLayoutPaths(spark: SparkSession,
                                         paths: Seq[String]): (Long, Boolean) = {
-    var maxFile = 1L
-    var onePerDir = true
     val conf = spark.sparkContext.hadoopConfiguration
-    paths.foreach { dir =>
+    def listOne(dir: String): (Long, Int) = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) {
+      if (!fs.exists(p)) (1L, 0)
+      else {
+        var mx = 1L
         var n = 0
         val it = fs.listFiles(p, true)
         while (it.hasNext) {
           val st = it.next()
           if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
-            maxFile = math.max(maxFile, st.getLen)
+            mx = math.max(mx, st.getLen)
             n += 1
           }
         }
-        if (n > 1) onePerDir = false
+        (mx, n)
       }
     }
-    (maxFile, onePerDir)
+    val results =
+      if (paths.size <= 4) paths.map(listOne)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(32, paths.size))
+        try {
+          val futures = paths.map(d =>
+            pool.submit(new java.util.concurrent.Callable[(Long, Int)] {
+              def call(): (Long, Int) = listOne(d)
+            }))
+          futures.map(_.get())
+        } finally pool.shutdown()
+      }
+    val maxFile = if (results.isEmpty) 1L else math.max(1L, results.map(_._1).max)
+    (maxFile, results.forall(_._2 <= 1))
   }
 
   /** Per-shard (terms, postings, bytes, sumDl) metrics collected by the

@@ -78,22 +78,24 @@ object Query {
     def opt(name: String): Option[String] =
       a.indexOf(name) match { case -1 => None; case i => a.lift(i + 1) }
     if (a.size < 2) sys.error(
-      "usage: Query <indexRoot> <queryText> [--mode AND|OR] [--k N] [--naive] [--conv <prefix>]")
+      "usage: Query <indexRoot> <queryText> [--mode AND|OR] [--k N] [--naive] [--conv <prefix>] [--snapshot N]")
     val root = a(0)
     val q = a(1)
     val mode = opt("--mode").getOrElse("AND").toUpperCase
     val k = opt("--k").map(_.toInt).getOrElse(10)
     val conv = opt("--conv")
     val scopes = opt("--scopes").map(_.split(",").toSeq.filter(_.nonEmpty))
+    val snapshot = opt("--snapshot").map(_.toLong) // time travel (retained only)
     val spark = CliSession.session("graft-query")
     val t0 = System.nanoTime()
     val hits =
       if (a.contains("--naive"))
         SearchEngine.queryNaive(spark, root, q, mode, k).collect()
           .map(r => graft.model.SearchHit(r.getLong(0), r.getDouble(1))).toVector
-      else scopes match {
-        case Some(ss) => SearchEngine.queryScoped(spark, root, q, mode, k, ss)
-        case None => SearchEngine.query(spark, root, q, mode, k, convPrefix = conv)
+      else (snapshot, scopes) match {
+        case (Some(v), _) => SearchEngine.queryAt(spark, root, v, q, mode, k)
+        case (_, Some(ss)) => SearchEngine.queryScoped(spark, root, q, mode, k, ss)
+        case _ => SearchEngine.query(spark, root, q, mode, k, convPrefix = conv)
       }
     val ms = (System.nanoTime() - t0) / 1e6
     println(f"query='$q' mode=$mode k=$k → ${hits.size} hits in $ms%.0f ms")

@@ -86,13 +86,29 @@ object SearchEngine {
         queryResolved(spark, root, pinnedManifest(root), queryText, mode, k)
     }
 
+  /** Time travel: query a SPECIFIC committed snapshot (must still be
+    * within the retention window — see IndexSnapshot.expireSnapshots;
+    * expired snapshots' manifest files are deleted with their data, so
+    * this throws rather than reading half-reclaimed dirs). The snapshot
+    * id participates in the result-memo key, so historical and current
+    * results never cross-contaminate a serving cache. */
+  def queryAt(spark: SparkSession, root: String, snapshotId: Long,
+              queryText: String, mode: String = "AND",
+              k: Int = 10): Vector[SearchHit] = {
+    require(IndexManifest.versions(root).contains(snapshotId),
+      s"snapshot $snapshotId not available at $root (expired or never " +
+      s"committed); retained: ${IndexManifest.versions(root).mkString(",")}")
+    queryResolved(spark, root, IndexManifest.readVersion(root, snapshotId),
+      queryText, mode, k)
+  }
+
   /** Unscoped query against ONE pinned snapshot (see [[pinnedManifest]]). */
   private def queryResolved(spark: SparkSession, root: String, m: Manifest,
                             queryText: String, mode: String,
                             k: Int): Vector[SearchHit] = {
     val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
     val terms = Analyzer.analyzeQueryFor(stats.analyzerVersion, queryText)
-    memoized(root, QueryKey(terms, mode, k, Nil)) {
+    memoized(root, QueryKey(terms, mode, k, Nil, m.snapshotId)) {
       val spec = QuerySpec(terms, mode, k)
       val p = plan(spark, root, spec, stats, pinned = Some(m))
       // terms absent from the dictionary are silently DROPPED and the
@@ -121,7 +137,7 @@ object SearchEngine {
     val m = pinnedManifest(root)
     val terms = Analyzer.analyzeQueryFor(m.analyzerVersion, queryText)
     if (terms.isEmpty || scopes.isEmpty) return Vector.empty
-    memoized(root, QueryKey(terms, mode, k, scopes)) {
+    memoized(root, QueryKey(terms, mode, k, scopes, m.snapshotId)) {
       queryScopedUncached(spark, root, m, terms, mode, k, scopes)
     }
   }
@@ -575,7 +591,8 @@ object SearchEngine {
   // tests never enable it (SURVEY.md §4.1), and maintenance invalidates
   // it through disableServingCache like every other pinned structure.
   private final case class QueryKey(terms: Vector[String], mode: String,
-                                    k: Int, scopes: Seq[String])
+                                    k: Int, scopes: Seq[String],
+                                    snapshotId: Long)
   private val resultCaches = scala.collection.concurrent.TrieMap
     .empty[String, java.util.LinkedHashMap[QueryKey, Vector[SearchHit]]]
   // flush generation per root: an in-flight compute that started before a

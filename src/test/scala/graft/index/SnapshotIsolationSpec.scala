@@ -172,6 +172,43 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     assert(IndexBuilder.loadDocs(spark, root).count() == m2.nDocs)
   }
 
+  test("time travel: queryAt serves any retained snapshot; expired snapshots refuse") {
+    val corpus = TranscriptGen.corpus(seed = 25L, nConvs = 100)
+    val root = SparkTestBase.tmpDir("graft-timetravel")
+    IndexBuilder.build(spark, spark.createDataset(corpus), root,
+      shards = 4, waveSize = 4, maxChunkPostings = 64)
+    val v0 = IndexManifest.latestVersion(root).get
+    val q = ("needlemid w0000", "AND", 10)
+    val r0 = SearchEngine.query(spark, root, q._1, q._2, q._3)
+    assert(r0.nonEmpty)
+    // change the answer: delete the top hit's conversation
+    val victim = IndexBuilder.loadDocs(spark, root).toDF()
+      .filter($"docId" === r0.head.docId).select($"conv_id").head().getString(0)
+    IndexMaintenance.deleteConversations(spark, root, Set(victim))
+    val v1 = IndexManifest.latestVersion(root).get
+    val r1 = SearchEngine.query(spark, root, q._1, q._2, q._3)
+    assert(r1 != r0)
+    // time travel to the pre-delete snapshot (still retained by grace)
+    assert(SearchEngine.queryAt(spark, root, v0, q._1, q._2, q._3) == r0)
+    assert(SearchEngine.queryAt(spark, root, v1, q._1, q._2, q._3) == r1)
+    // memoization keyed by snapshot: historical + current results must
+    // not cross-contaminate the serving LRU
+    SearchEngine.enableResultCache(root)
+    try {
+      assert(SearchEngine.queryAt(spark, root, v0, q._1, q._2, q._3) == r0)
+      assert(SearchEngine.query(spark, root, q._1, q._2, q._3) == r1)
+      assert(SearchEngine.queryAt(spark, root, v0, q._1, q._2, q._3) == r0)
+    } finally SearchEngine.disableResultCache(root)
+    // a second maintenance op expires v0 → time travel to it refuses
+    IndexMaintenance.deleteConversations(spark, root, Set("conv-00000020"))
+    val e = intercept[IllegalArgumentException] {
+      SearchEngine.queryAt(spark, root, v0, q._1, q._2, q._3)
+    }
+    assert(e.getMessage.contains("expired or never committed"))
+    assert(SearchEngine.queryAt(spark, root, v1, q._1, q._2, q._3) == r1,
+      "the still-retained previous snapshot must stay queryable")
+  }
+
   test("scoped-query segment + df caches: one computation per (snapshot, scope)") {
     val corpus = TranscriptGen.corpus(seed = 24L, nConvs = 80)
     val root = SparkTestBase.tmpDir("graft-scopecache")

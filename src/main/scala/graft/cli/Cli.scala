@@ -124,6 +124,9 @@ object Query {
   *                                        retention window — Iceberg's
   *                                        expire_snapshots analog; the
   *                                        per-op auto-expire keeps 2)
+  *   Maintain <root> fsck                (full recompute of the
+  *                                        incrementally-rolled corpus
+  *                                        totals + shard stamps)
   */
 object Maintain {
   def main(args: Array[String]): Unit = {
@@ -140,6 +143,12 @@ object Maintain {
       case "expire" =>
         graft.index.IndexSnapshot.expireSnapshots(spark, root,
           opt("--keep").map(_.toInt).getOrElse(2))
+        Nil
+      case "fsck" =>
+        // full recompute of every incrementally-rolled total/stamp
+        val problems = graft.index.IndexMaintenance.verifyManifest(spark, root)
+        if (problems.isEmpty) println("fsck: clean")
+        else { problems.foreach(p => println(s"fsck: $p")); sys.error("fsck failed") }
         Nil
       case "delete" =>
         val convs = opt("--convs").getOrElse(sys.error("--convs required"))

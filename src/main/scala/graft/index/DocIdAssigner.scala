@@ -72,9 +72,14 @@ object DocIdAssigner {
 
   /** `ranges(shard)` = (first, last) docId of shard (only non-empty
     * shards present) — free from the offsets prefix-sum; the build stamps
-    * them into the manifest as shard docId ranges. */
+    * them into the manifest as shard docId ranges. `convRanges(shard)` =
+    * (min, max) conv_id of the shard in UTF-8 order (rows are range-
+    * bucketed BY conv key, so these fall out of the same counting pass) —
+    * stamped into the manifest so later key-existence checks prune to
+    * intersecting shards instead of scanning the corpus. */
   final case class AssignStats(nDocs: Long, fingerprint: String,
-                               ranges: Map[Int, (Long, Long)] = Map.empty)
+                               ranges: Map[Int, (Long, Long)] = Map.empty,
+                               convRanges: Map[Int, (String, String)] = Map.empty)
 
   /** p-1 quantile boundaries from a SORTED key sample; duplicates
     * collapse (fewer effective partitions). Shared by docId assignment
@@ -192,19 +197,25 @@ object DocIdAssigner {
       .repartition(nPids, $"pkey")
       .sortWithinPartitions($"pid", $"conv_id", $"turn_idx")
 
-    // Job A: per-PID counts + corpus fingerprint in one pass. Keyed by the
-    // pid COLUMN (not the physical partition id), so the result is
-    // identical however the stages replay.
+    // Job A: per-PID counts + corpus fingerprint + conv bounds in one
+    // pass. Keyed by the pid COLUMN (not the physical partition id), so
+    // the result is identical however the stages replay. Rows arrive
+    // (pid, conv, turn)-sorted, so the first/last conv seen per pid ARE
+    // its UTF-8 min/max.
     val perPid = parted
       .mapPartitions { it =>
-        val counts = scala.collection.mutable.LinkedHashMap.empty[Int, (Long, Long)]
+        val counts = scala.collection.mutable.LinkedHashMap
+          .empty[Int, (Long, Long, String, String)]
         it.foreach { r =>
           val pid = r.getInt(6)
-          val h = rowHash(r.getString(0), r.getInt(1), r.getString(3))
-          val (c0, h0) = counts.getOrElse(pid, (0L, 0L))
-          counts.update(pid, (c0 + 1, h0 ^ h))
+          val conv = r.getString(0)
+          val h = rowHash(conv, r.getInt(1), r.getString(3))
+          counts.get(pid) match {
+            case None => counts.update(pid, (1L, h, conv, conv))
+            case Some((c0, h0, mn, _)) => counts.update(pid, (c0 + 1, h0 ^ h, mn, conv))
+          }
         }
-        counts.iterator.map { case (pid, (c, h)) => (pid, c, h) }
+        counts.iterator.map { case (pid, (c, h, mn, mx)) => (pid, c, h, mn, mx) }
       }
       .collect()
     val counts: Map[Int, Long] = perPid.map(x => x._1 -> x._2).toMap
@@ -213,9 +224,12 @@ object DocIdAssigner {
     val ranges = counts.collect { case (pid, c) if c > 0 =>
       (baseShard + pid) -> (offsets(pid), offsets(pid) + c - 1)
     }.toMap
+    val convRanges = perPid.collect { case (pid, c, _, mn, mx) if c > 0 =>
+      (baseShard + pid) -> (mn, mx)
+    }.toMap
     val stats = AssignStats(perPid.map(_._2).sum,
       s"${perPid.map(_._2).sum}-${perPid.map(_._3).foldLeft(0L)(_ ^ _)}",
-      ranges)
+      ranges, convRanges)
     val bOffsets = spark.sparkContext.broadcast(offsets)
 
     // Job B: assign ids — also keyed by the pid column; rows within a

@@ -259,7 +259,7 @@ object IndexBuilder {
     // fingerprints the PASSED input to verify the checkpoint matches it —
     // without that, build(spark, newTurns, existingRoot) would silently
     // complete an index over the OLD corpus.
-    val (nDocs, fingerprint, shardRanges) =
+    val (nDocs, fingerprint, shardRanges, shardConvRanges) =
       if (!hasSuccess(spark, P.docsGen(0))) timed("docs") {
         // full-table overwrite: pin static mode explicitly — dynamic mode
         // (left set by maintenance jobs) skips the _SUCCESS marker the
@@ -280,21 +280,24 @@ object IndexBuilder {
         df.sortWithinPartitions($"shard", $"docId")
           .write.mode(SaveMode.Overwrite).partitionBy("shard")
           .parquet(P.docsGen(0))
-        (st.nDocs, st.fingerprint, st.ranges)
+        (st.nDocs, st.fingerprint, st.ranges, st.convRanges)
       } else timed("corpus-stats") {
         val hashUdf = udf((c: String, t: Int, x: String) =>
           DocIdAssigner.rowHash(c, t, x))
         val perShard = spark.read.parquet(P.docsGen(0))
-          .select($"shard", $"docId",
+          .select($"shard", $"docId", $"conv_id",
             hashUdf($"conv_id", $"turn_idx", $"text").as("h"))
           .groupBy($"shard")
           .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("fp"),
-            min($"docId").as("lo"), max($"docId").as("hi"))
+            min($"docId").as("lo"), max($"docId").as("hi"),
+            min($"conv_id").as("cLo"), max($"conv_id").as("cHi"))
           .collect()
         val n = perShard.map(_.getLong(1)).sum
         val fp = perShard.map(_.getLong(2)).foldLeft(0L)(_ ^ _)
         val ranges = perShard.map(r =>
           r.getInt(0) -> (r.getLong(3), r.getLong(4))).toMap
+        val convRanges = perShard.map(r =>
+          r.getInt(0) -> (r.getString(5), r.getString(6))).toMap
         val docsFp = s"$n-$fp"
         // guard: the checkpoint must describe THIS input
         val inputFp = {
@@ -312,7 +315,7 @@ object IndexBuilder {
           throw new IllegalStateException(
             s"docs checkpoint at ${P.docs} was built from DIFFERENT input " +
             s"(checkpoint $docsFp vs input $inputFp); use a fresh root")
-        (n, docsFp, ranges)
+        (n, docsFp, ranges, convRanges)
       }
 
     // resume check: same input already fully indexed → no-op (term_stats
@@ -391,18 +394,26 @@ object IndexBuilder {
       // double-count; acceptable for metrics (Spark's own convention),
       // and impossible in the deterministic local runs the gate uses.
       def rangeOf(s: Int): (Long, Long) = shardRanges.getOrElse(s, (-1L, -1L))
+      def convOf(s: Int): (Option[String], Option[String]) =
+        shardConvRanges.get(s) match {
+          case Some((lo, hi)) => (Some(lo), Some(hi))
+          case None => (None, None)
+        }
       val metrics = acc.value.toSeq.map { case (s, (t, p, b, d)) =>
-        ShardEntry(s, t, p, b, Seq(s), rangeOf(s)._1, rangeOf(s)._2, d)
+        ShardEntry(s, t, p, b, Seq(s), rangeOf(s)._1, rangeOf(s)._2, d,
+          minConv = convOf(s)._1, maxConv = convOf(s)._2)
       }
       val covered = metrics.map(_.shard).toSet
       // shards with zero postings still count as completed
       val empty = waveSet.diff(covered).map(s =>
-        ShardEntry(s, 0L, 0L, 0L, Seq(s), rangeOf(s)._1, rangeOf(s)._2, 0L))
+        ShardEntry(s, 0L, 0L, 0L, Seq(s), rangeOf(s)._1, rangeOf(s)._2, 0L,
+          minConv = convOf(s)._1, maxConv = convOf(s)._2))
       val newShards = manifest.shards ++ metrics ++ empty
       // exact avgdl over the COMPLETED shards (Σ per-shard sumDl = Σ dl);
       // equals the global avgdl once the last wave commits
       manifest = manifest.copy(
         snapshotId = manifest.snapshotId + 1,
+        sumDl = newShards.map(_.sumDl).sum,
         avgdl = newShards.map(_.sumDl).sum.toDouble / math.max(1L, nDocs),
         shards = newShards)
       IndexManifest.commit(root, manifest)
@@ -434,9 +445,9 @@ object IndexBuilder {
     val sumRow = spark.read.parquet(P.termStatsGen(0)).agg(sum($"sumTf")).head()
     val exactSumDl = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
     val exactAvgdl = exactSumDl.toDouble / math.max(1L, nDocs)
-    if (manifest.avgdl != exactAvgdl) {
+    if (manifest.avgdl != exactAvgdl || manifest.sumDl != exactSumDl) {
       manifest = manifest.copy(snapshotId = manifest.snapshotId + 1,
-        avgdl = exactAvgdl)
+        sumDl = exactSumDl, avgdl = exactAvgdl)
       IndexManifest.commit(root, manifest)
     }
 

@@ -64,6 +64,47 @@ object IndexMaintenance {
     keepSnapshotsOverride.getOrElse(
       sys.env.get("GRAFT_KEEP_SNAPSHOTS").map(_.toInt).getOrElse(2))
 
+  /** # shards the last key-existence check actually scanned — test
+    * observability for the conv-range pruning (0 = the manifest alone
+    * proved the keys new, the common case for time-ordered ingest). */
+  private[graft] val lastKeyCheckShards =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  /** xor half of the manifest's "n-xor" input fingerprint. */
+  private def parseFpXor(s: String): Long = {
+    val i = s.indexOf('-')
+    s.substring(i + 1).toLong
+  }
+
+  /** Per-shard doc stats in ONE column-pruned agg: count, xor-fingerprint,
+    * Σ dl, docId range, conv range. Run over batch-/affected-shard-sized
+    * frames only — never the corpus. */
+  private final case class DocShardStats(n: Long, xor: Long, sumDl: Long,
+                                         minDoc: Long, maxDoc: Long,
+                                         minConv: String, maxConv: String)
+  private def perShardDocStats(
+      df: org.apache.spark.sql.DataFrame): Map[Int, DocShardStats] = {
+    import df.sparkSession.implicits._
+    val hashUdf = udf((c: String, t: Int, x: String) =>
+      DocIdAssigner.rowHash(c, t, x))
+    df.select($"shard", $"docId", $"conv_id", $"dl".cast("long").as("dl"),
+        hashUdf($"conv_id", $"turn_idx", $"text").as("h"))
+      .groupBy($"shard")
+      .agg(count(lit(1)), expr("bit_xor(h)"), sum($"dl"),
+        min($"docId"), max($"docId"), min($"conv_id"), max($"conv_id"))
+      .collect()
+      .map(r => r.getInt(0) -> DocShardStats(r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6),
+        r.getString(7)))
+      .toMap
+  }
+
+  /** Shards whose conv range could hold any key in [lo, hi] (unstamped
+    * non-empty entries conservatively included). */
+  private def convCandidates(m: Manifest, lo: String, hi: String): Seq[Int] =
+    m.shards.filter(e => e.minDocId >= 0 && e.convRangeIntersects(lo, hi))
+      .map(_.shard)
+
   /** Delete whole conversations: copy-on-write rewrite of only the shards
     * containing them, set-based term-stats recomputation, new snapshot.
     * Returns affected shard ids.
@@ -89,7 +130,14 @@ object IndexMaintenance {
     // otherwise serve pre-maintenance cached scans INTO the new snapshot
     SearchEngine.disableServingCache(root)
     val drop = broadcast(convs.select(col("conv_id")).distinct())
-    val affected = IndexSnapshot.docs(spark, root, m0)
+    // conv-range shard pruning: only shards whose manifest conv range
+    // intersects the tombstones' range can hold victims
+    val b = convs.agg(min(col("conv_id")), max(col("conv_id"))).head()
+    if (b.isNullAt(0)) return Nil // empty tombstone set
+    val candidates = convCandidates(m0, b.getString(0), b.getString(1))
+    lastKeyCheckShards.set(candidates.size)
+    if (candidates.isEmpty) return Nil
+    val affected = IndexSnapshot.docsFor(spark, root, m0, candidates)
       .join(drop, Seq("conv_id"), "left_semi")
       .select($"shard").distinct().as[Int].collect().toSeq.sorted
     if (affected.isEmpty) return Nil
@@ -122,9 +170,17 @@ object IndexMaintenance {
     val batch = turns.localCheckpoint(true)
     try { // finally-unpersist covers the require rejections too
     val keys = batch.select($"conv_id", $"turn_idx").distinct()
+    // conv-range shard pruning: every existing key must live in a shard
+    // whose conv range covers it, so only intersecting shards are
+    // scanned — a key outside every range is missing by definition
+    val b = keys.agg(min($"conv_id"), max($"conv_id")).head()
+    require(!b.isNullAt(0), "nothing to replace")
+    val candidates = convCandidates(m0, b.getString(0), b.getString(1))
+    lastKeyCheckShards.set(candidates.size)
+    val candDocs = IndexSnapshot.docsFor(spark, root, m0, candidates)
     // unknown keys are rejected distributively (≤5 examples to the driver)
     val missing = keys
-      .join(IndexSnapshot.docs(spark, root, m0).select($"conv_id", $"turn_idx"),
+      .join(candDocs.select($"conv_id", $"turn_idx"),
         Seq("conv_id", "turn_idx"), "left_anti")
       .take(5)
       .map(r => (r.getString(0), r.getInt(1)))
@@ -132,7 +188,7 @@ object IndexMaintenance {
       s"replaceTurns requires existing keys; missing: ${missing.toSeq} " +
       "(additions go through appendConversations / a fresh build)")
     SearchEngine.disableServingCache(root) // before rewrites: see deleteConversationsDf
-    val shards = IndexSnapshot.docs(spark, root, m0)
+    val shards = candDocs
       .join(keys, Seq("conv_id", "turn_idx"), "left_semi")
       .select($"shard").distinct().as[Int].collect().toSeq.sorted
     rewriteShards(spark, root, m0, shards, replace = Some(batch.toDF()))
@@ -312,17 +368,26 @@ object IndexMaintenance {
         .agg(max($"docId")).head().getLong(0)
     val maxShard = m0.shards.map(_.shard).max
     // existing keys are rejected distributively (semi join — only the ≤5
-    // offending examples ever reach the driver; Catalyst broadcasts the
-    // smaller side itself, so a giant backfill doesn't force a broadcast)
-    val dup = IndexSnapshot.docs(spark, root, m0)
-      .select($"conv_id", $"turn_idx")
-      .join(batch.select($"conv_id", $"turn_idx").distinct(),
-        Seq("conv_id", "turn_idx"), "left_semi")
-      .take(5)
-      .map(r => (r.getString(0), r.getInt(1)))
-    require(dup.isEmpty,
-      s"appendConversations requires NEW keys; existing: ${dup.toSeq} " +
-      "(updates go through replaceTurns)")
+    // offending examples ever reach the driver). Conv-range shard
+    // pruning makes this O(intersecting shards), and for time-ordered
+    // ingest (new conv_ids sort after every committed one) the manifest
+    // alone proves the keys new — ZERO shards scanned per micro-batch.
+    val b = batch.agg(min($"conv_id"), max($"conv_id")).head()
+    val candidates =
+      if (b.isNullAt(0)) Nil
+      else convCandidates(m0, b.getString(0), b.getString(1))
+    lastKeyCheckShards.set(candidates.size)
+    if (candidates.nonEmpty) {
+      val dup = IndexSnapshot.docsFor(spark, root, m0, candidates)
+        .select($"conv_id", $"turn_idx")
+        .join(batch.select($"conv_id", $"turn_idx").distinct(),
+          Seq("conv_id", "turn_idx"), "left_semi")
+        .take(5)
+        .map(r => (r.getString(0), r.getInt(1)))
+      require(dup.isEmpty,
+        s"appendConversations requires NEW keys; existing: ${dup.toSeq} " +
+        "(updates go through replaceTurns)")
+    }
 
     // docIds continue the dense rank after maxDocId, spread over
     // newShards fresh contiguous-range shards
@@ -383,11 +448,23 @@ object IndexMaintenance {
                                 // (incl. rejected/failed batches)
   }
 
-  /** Stamp docId ranges on the new entries, recompute term_stats over the
-    * PROSPECTIVE posting set into the new generation, refresh corpus
-    * stats + fingerprint over the prospective docs, and commit the
-    * snapshot. Nothing before the final [[IndexManifest.commit]] is
-    * visible to readers. */
+  /** Stamp the new entries (docId range, conv range, exact set-based
+    * sumDl) from ONE agg over the new generation's docs, recompute
+    * term_stats over the PROSPECTIVE posting set into the new
+    * generation, roll the corpus totals forward INCREMENTALLY, and
+    * commit the snapshot. Nothing before the final
+    * [[IndexManifest.commit]] is visible to readers.
+    *
+    * Incremental totals (the O(batch) commit — at 10^12 turns a
+    * per-micro-batch full-corpus re-count/re-fingerprint would dominate
+    * ingest): the xor fingerprint is INVERTIBLE, so
+    *   fp'    = fp ⊕ xor(replaced shards' old rows) ⊕ xor(new gen rows)
+    *   n'     = n − n_old_affected + n_new
+    *   Σdl'   = Σdl − Σdl_old_affected + Σdl_new   (avgdl' = Σdl'/n')
+    * Both deltas are affected-shard-/batch-sized scans. A legacy
+    * manifest without the exact Σdl stamp falls back to the full
+    * recompute once and is stamped thereafter. [[verifyManifest]] is the
+    * full-recompute fsck that proves the rolled-forward totals. */
   private def commitSnapshot(spark: SparkSession, root: String,
                              m0: Manifest,
                              replacedShards: Seq[Int],
@@ -395,17 +472,19 @@ object IndexMaintenance {
                              newGen: Long): Unit = {
     import spark.implicits._
     val P = IndexBuilder.Paths(root)
-    // refreshed docId ranges for the touched shards: one tiny agg over
-    // the new generation's docs dir (exclusively this snapshot's)
-    val ranges =
+    // one column-pruned agg over the new generation's docs (exclusively
+    // this snapshot's): docId/conv ranges + count + xor + Σdl per shard
+    val newStats =
       if (!IndexSnapshot.hasParquetFiles(spark, P.docsGen(newGen)))
-        Map.empty[Int, (Long, Long)]
-      else spark.read.parquet(P.docsGen(newGen))
-        .groupBy($"shard").agg(min($"docId"), max($"docId"))
-        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+        Map.empty[Int, DocShardStats]
+      else perShardDocStats(spark.read.parquet(P.docsGen(newGen)))
     val stamped = newEntries.map { e =>
-      val (lo, hi) = ranges.getOrElse(e.shard, (-1L, -1L))
-      e.copy(minDocId = lo, maxDocId = hi)
+      newStats.get(e.shard) match {
+        case Some(s) => e.copy(minDocId = s.minDoc, maxDocId = s.maxDoc,
+          sumDl = s.sumDl, minConv = Some(s.minConv), maxConv = Some(s.maxConv))
+        case None => e.copy(minDocId = -1L, maxDocId = -1L, sumDl = 0L,
+          minConv = None, maxConv = None)
+      }
     }
     val prospective = m0.shards.filterNot(s =>
       replacedShards.contains(s.shard) ||
@@ -413,8 +492,9 @@ object IndexMaintenance {
 
     // term stats: exact df/maxTf/sumTf re-aggregation over the
     // prospective postings' per-chunk pre-aggregates (≤ shards × chunks
-    // rows per term — hot-term skew structurally bounded), written to
-    // the new generation (never an in-place swap)
+    // METADATA rows per term, no posting blobs read — hot-term skew
+    // structurally bounded), written to the new generation (never an
+    // in-place swap)
     IndexSnapshot.postingsOf(spark, root, prospective)
       .groupBy($"term")
       .agg(sum($"count").as("df"), max($"maxTf").as("maxTf"),
@@ -423,23 +503,72 @@ object IndexMaintenance {
       .write.mode(SaveMode.Overwrite).parquet(P.termStatsGen(newGen))
 
     val prospectiveM = m0.copy(shards = prospective, statsGen = newGen)
-    val docs = IndexSnapshot.docs(spark, root, prospectiveM)
-    val hashUdf = udf((c: String, t: Int, x: String) =>
-      DocIdAssigner.rowHash(c, t, x))
-    val agg = docs
-      .select(hashUdf($"conv_id", $"turn_idx", $"text").as("h"))
-      .agg(count(lit(1)), expr("bit_xor(h)")).head()
-    val n = agg.getLong(0)
-    val fp = if (agg.isNullAt(1)) 0L else agg.getLong(1)
-    // Σ sumTf over an all-empty (degenerate) index is SQL NULL — guard,
-    // as IndexBuilder's finalize does (ADVICE r03 item 2)
-    val sumRow = IndexSnapshot.termStats(spark, root, prospectiveM)
-      .agg(sum($"sumTf")).head()
-    val tot = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+    val (n, fp, sumDl) =
+      if (m0.sumDl >= 0L) {
+        // incremental roll-forward (O(affected + batch))
+        val (oldN, oldXor, oldDl) =
+          if (replacedShards.isEmpty) (0L, 0L, 0L)
+          else {
+            val old = perShardDocStats(
+              IndexSnapshot.docsFor(spark, root, m0, replacedShards)).values
+            (old.map(_.n).sum, old.map(_.xor).foldLeft(0L)(_ ^ _),
+              old.map(_.sumDl).sum)
+          }
+        val newN = newStats.values.map(_.n).sum
+        val newXor = newStats.values.map(_.xor).foldLeft(0L)(_ ^ _)
+        val newDl = newStats.values.map(_.sumDl).sum
+        (m0.nDocs - oldN + newN,
+          parseFpXor(m0.inputFingerprint) ^ oldXor ^ newXor,
+          m0.sumDl - oldDl + newDl)
+      } else {
+        // legacy manifest without the exact Σdl stamp: full recompute
+        // ONCE, stamped from here on
+        val all = perShardDocStats(
+          IndexSnapshot.docs(spark, root, prospectiveM)).values
+        (all.map(_.n).sum, all.map(_.xor).foldLeft(0L)(_ ^ _),
+          all.map(_.sumDl).sum)
+      }
     IndexManifest.commit(root, prospectiveM.copy(
       snapshotId = newGen,
       inputFingerprint = s"$n-$fp",
       nDocs = n,
-      avgdl = tot.toDouble / math.max(1L, n)))
+      sumDl = sumDl,
+      avgdl = sumDl.toDouble / math.max(1L, n)))
+  }
+
+  /** Full-recompute fsck of the CURRENT snapshot: re-derives every
+    * rolled-forward total and stamp from the data and returns the
+    * mismatches (empty = clean). The operational proof that incremental
+    * commits stayed exact; CLI: `Maintain <root> fsck`. */
+  def verifyManifest(spark: SparkSession, root: String): Seq[String] = {
+    val m = manifestOf(root)
+    val stats = perShardDocStats(IndexSnapshot.docs(spark, root, m))
+    val problems = Seq.newBuilder[String]
+    val n = stats.values.map(_.n).sum
+    val xor = stats.values.map(_.xor).foldLeft(0L)(_ ^ _)
+    val sumDl = stats.values.map(_.sumDl).sum
+    if (m.nDocs != n) problems += s"nDocs ${m.nDocs} != recomputed $n"
+    if (m.inputFingerprint != s"$n-$xor")
+      problems += s"fingerprint ${m.inputFingerprint} != recomputed $n-$xor"
+    if (m.sumDl >= 0 && m.sumDl != sumDl)
+      problems += s"sumDl ${m.sumDl} != recomputed $sumDl"
+    val expectAvgdl = sumDl.toDouble / math.max(1L, n)
+    if (m.sumDl >= 0 && m.avgdl != expectAvgdl)
+      problems += s"avgdl ${m.avgdl} != recomputed $expectAvgdl"
+    m.shards.foreach { e =>
+      stats.get(e.shard) match {
+        case Some(s) =>
+          if (e.minDocId != s.minDoc || e.maxDocId != s.maxDoc)
+            problems += s"shard ${e.shard} docId range (${e.minDocId},${e.maxDocId}) != (${s.minDoc},${s.maxDoc})"
+          if (e.minConv.exists(_ != s.minConv) || e.maxConv.exists(_ != s.maxConv))
+            problems += s"shard ${e.shard} conv range stale"
+        case None =>
+          if (e.minDocId >= 0)
+            problems += s"shard ${e.shard} claims docs but none found"
+      }
+    }
+    stats.keys.filterNot(m.completedShards).foreach(s =>
+      problems += s"docs present for shard $s absent from manifest")
+    problems.result()
   }
 }

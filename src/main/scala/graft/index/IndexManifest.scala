@@ -42,7 +42,20 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 final case class ShardEntry(shard: Int, terms: Long, postings: Long, bytes: Long,
                             sourcePartitions: Seq[Int],
                             minDocId: Long = -1L, maxDocId: Long = -1L,
-                            sumDl: Long = 0L, gen: Long = 0L)
+                            sumDl: Long = 0L, gen: Long = 0L,
+                            minConv: Option[String] = None,
+                            maxConv: Option[String] = None) {
+  /** Could this shard contain any (conv_id, …) key in [lo, hi]? true when
+    * unstamped (no pruning possible). Bounds compare in UTF-8 byte order —
+    * the same order docIds were assigned under (DocIdAssigner). */
+  def convRangeIntersects(lo: String, hi: String): Boolean =
+    (minConv, maxConv) match {
+      case (Some(mn), Some(mx)) =>
+        DocIdAssigner.utf8Compare(mn, hi) <= 0 &&
+        DocIdAssigner.utf8Compare(mx, lo) >= 0
+      case _ => minDocId >= 0 // unstamped non-empty shard: cannot prune
+    }
+}
 
 final case class Manifest(
     snapshotId: Long,
@@ -51,7 +64,11 @@ final case class Manifest(
     nDocs: Long,
     avgdl: Double,
     shards: Seq[ShardEntry],
-    statsGen: Long = 0L) {
+    statsGen: Long = 0L,
+    /** exact Σ dl over the corpus (-1 = legacy/unstamped; avgdl is then
+      * the only record). Carried exactly so maintenance can update avgdl
+      * incrementally without re-aggregating anything corpus-sized. */
+    sumDl: Long = -1L) {
   def completedShards: Set[Int] = shards.map(_.shard).toSet
 }
 
@@ -105,12 +122,23 @@ object IndexManifest {
         f.getOrElse("minDocId", "-1").toLong,
         f.getOrElse("maxDocId", "-1").toLong,
         f.getOrElse("sumDl", "0").toLong,
-        f.getOrElse("gen", "0").toLong)
+        f.getOrElse("gen", "0").toLong,
+        f.get("minConvB64").map(b64dec),
+        f.get("maxConvB64").map(b64dec))
     }.toSeq
     Manifest(head("snapshotId").toLong, head("analyzerVersion"),
       head("inputFingerprint"), head("nDocs").toLong, head("avgdl").toDouble,
-      shards, head.getOrElse("statsGen", "0").toLong)
+      shards, head.getOrElse("statsGen", "0").toLong,
+      head.getOrElse("sumDl", "-1").toLong)
   }
+
+  // conv-id bounds are USER DATA (arbitrary strings) — base64 keeps the
+  // hand-rolled fixed-schema JSON free of escaping concerns
+  private def b64enc(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(StandardCharsets.UTF_8))
+  private def b64dec(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
 
   /** Commit a new snapshot: write tmp, atomic rename (atomic on
     * HDFS/local; on S3 rename is copy+delete — a real deployment slots
@@ -129,9 +157,10 @@ object IndexManifest {
       "nDocs" -> m.nDocs.toString,
       // Double round-trips exactly via toString/toDouble (Java guarantees).
       "avgdl" -> m.avgdl.toString,
-      "statsGen" -> m.statsGen.toString)).append('\n')
+      "statsGen" -> m.statsGen.toString,
+      "sumDl" -> m.sumDl.toString)).append('\n')
     m.shards.sortBy(_.shard).foreach { s =>
-      sb.append(line(
+      val base = Seq(
         "shard" -> s.shard.toString,
         "terms" -> s.terms.toString,
         "postings" -> s.postings.toString,
@@ -140,7 +169,10 @@ object IndexManifest {
         "minDocId" -> s.minDocId.toString,
         "maxDocId" -> s.maxDocId.toString,
         "sumDl" -> s.sumDl.toString,
-        "gen" -> s.gen.toString)).append('\n')
+        "gen" -> s.gen.toString) ++
+        s.minConv.map(v => "minConvB64" -> b64enc(v)) ++
+        s.maxConv.map(v => "maxConvB64" -> b64enc(v))
+      sb.append(line(base: _*)).append('\n')
     }
     val tmp = new Path(root, s"manifest-v${m.snapshotId}.json.tmp")
     val out = f.create(tmp, true)

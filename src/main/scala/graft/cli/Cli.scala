@@ -145,8 +145,10 @@ object Maintain {
           opt("--keep").map(_.toInt).getOrElse(2))
         Nil
       case "fsck" =>
-        // full recompute of every incrementally-rolled total/stamp
-        val problems = graft.index.IndexMaintenance.verifyManifest(spark, root)
+        // full recompute of every incrementally-rolled total/stamp,
+        // including the dictionary (deep)
+        val problems = graft.index.IndexMaintenance.verifyManifest(spark, root,
+          deep = true)
         if (problems.isEmpty) println("fsck: clean")
         else { problems.foreach(p => println(s"fsck: $p")); sys.error("fsck failed") }
         Nil

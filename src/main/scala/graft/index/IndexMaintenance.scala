@@ -490,17 +490,40 @@ object IndexMaintenance {
       replacedShards.contains(s.shard) ||
       stamped.exists(_.shard == s.shard)) ++ stamped
 
-    // term stats: exact df/maxTf/sumTf re-aggregation over the
-    // prospective postings' per-chunk pre-aggregates (≤ shards × chunks
-    // METADATA rows per term, no posting blobs read — hot-term skew
-    // structurally bounded), written to the new generation (never an
-    // in-place swap)
-    IndexSnapshot.postingsOf(spark, root, prospective)
-      .groupBy($"term")
-      .agg(sum($"count").as("df"), max($"maxTf").as("maxTf"),
-        sum($"sumTf").as("sumTf"))
-      .select($"term", $"df", $"maxTf".cast("int").as("maxTf"), $"sumTf")
-      .write.mode(SaveMode.Overwrite).parquet(P.termStatsGen(newGen))
+    // term stats, written to the new generation (never an in-place swap):
+    //  - APPEND (no shards replaced): roll the dictionary forward with a
+    //    vocab-sized full-outer join against the NEW shards' aggregates —
+    //    EXACT, because appends only add postings (df/sumTf are sums,
+    //    maxTf can only grow). Per micro-batch this reads O(vocab + Δ),
+    //    never the unaffected shards' posting metadata.
+    //  - DELETE/REPLACE: a term's df/maxTf may shrink, so re-aggregate
+    //    the prospective per-chunk pre-aggregates exactly (≤ shards ×
+    //    chunks METADATA rows per term, no posting blobs read — hot-term
+    //    skew structurally bounded).
+    val appendOnly = replacedShards.isEmpty
+    val statsDf =
+      if (appendOnly) {
+        val delta = IndexSnapshot.postingsOf(spark, root,
+            stamped.filter(_.postings > 0))
+          .groupBy($"term")
+          .agg(sum($"count").as("dDf"), max($"maxTf").as("dMax"),
+            sum($"sumTf").as("dSum"))
+        IndexSnapshot.termStats(spark, root, m0)
+          .join(delta, Seq("term"), "full_outer")
+          .select($"term",
+            (coalesce($"df", lit(0L)) + coalesce($"dDf", lit(0L))).as("df"),
+            greatest(coalesce($"maxTf", lit(0)), coalesce($"dMax", lit(0)))
+              .cast("int").as("maxTf"),
+            (coalesce($"sumTf", lit(0L)) + coalesce($"dSum", lit(0L)))
+              .as("sumTf"))
+      } else {
+        IndexSnapshot.postingsOf(spark, root, prospective)
+          .groupBy($"term")
+          .agg(sum($"count").as("df"), max($"maxTf").as("maxTf"),
+            sum($"sumTf").as("sumTf"))
+          .select($"term", $"df", $"maxTf".cast("int").as("maxTf"), $"sumTf")
+      }
+    statsDf.write.mode(SaveMode.Overwrite).parquet(P.termStatsGen(newGen))
 
     val prospectiveM = m0.copy(shards = prospective, statsGen = newGen)
     val (n, fp, sumDl) =
@@ -540,10 +563,31 @@ object IndexMaintenance {
     * rolled-forward total and stamp from the data and returns the
     * mismatches (empty = clean). The operational proof that incremental
     * commits stayed exact; CLI: `Maintain <root> fsck`. */
-  def verifyManifest(spark: SparkSession, root: String): Seq[String] = {
+  def verifyManifest(spark: SparkSession, root: String,
+                     deep: Boolean = false): Seq[String] = {
+    import spark.implicits._
     val m = manifestOf(root)
     val stats = perShardDocStats(IndexSnapshot.docs(spark, root, m))
     val problems = Seq.newBuilder[String]
+    if (deep) {
+      // dictionary: the incrementally-rolled term_stats must equal a
+      // fresh exact re-aggregation of the snapshot's posting metadata
+      // (distributed symmetric difference — nothing vocab-sized collects)
+      val recomputed = IndexSnapshot.postings(spark, root, m)
+        .groupBy($"term")
+        .agg(sum($"count").as("df"), max($"maxTf").as("maxTf"),
+          sum($"sumTf").as("sumTf"))
+        .select($"term", $"df", $"maxTf".cast("int").as("maxTf"), $"sumTf")
+      val current = IndexSnapshot.termStats(spark, root, m)
+        .select($"term", $"df", $"maxTf", $"sumTf")
+        // an appended-then-deleted term may legitimately sit at df=0 in
+        // the rolled dictionary while absent from a fresh re-agg
+        .filter($"df" > 0)
+      val diff = current.exceptAll(recomputed)
+        .unionAll(recomputed.exceptAll(current)).count()
+      if (diff != 0)
+        problems += s"term_stats diverges from posting re-aggregation on $diff rows"
+    }
     val n = stats.values.map(_.n).sum
     val xor = stats.values.map(_.xor).foldLeft(0L)(_ ^ _)
     val sumDl = stats.values.map(_.sumDl).sum

@@ -21,7 +21,7 @@ class IncrementalCommitSpec extends AnyFunSuite {
   private val ts = new java.sql.Timestamp(1700000000000L)
 
   private def fsckClean(root: String, where: String): Unit = {
-    val problems = IndexMaintenance.verifyManifest(spark, root)
+    val problems = IndexMaintenance.verifyManifest(spark, root, deep = true)
     assert(problems.isEmpty, s"fsck after $where: ${problems.mkString("; ")}")
   }
 

@@ -162,12 +162,13 @@ object SearchEngine {
           .map { case (t, df) => TermStats(t, df, 0) }
         if (kept.isEmpty) Vector.empty
         else {
-          // segments partition the scope ⇒ per-segment top-k (same scoped
-          // stats) union = exact scope top-k
+          // ALL segments in ONE scan: the shard-local WAND walks the
+          // ascending segment list with one cursor pass and one heap —
+          // a scope fragmented by out-of-order appends costs one Spark
+          // job, not one per segment
           val p = Plan(kept.toVector, Vector.empty, mode, k)
-          segs.flatMap(s0 =>
-            executePlan(spark, root, p, stats, Some((s0.lo, s0.hi)), Some(m)))
-            .sortBy(h => (-h.score, h.docId)).take(k)
+          executePlan(spark, root, p, stats,
+            Some(segs.map(s0 => (s0.lo, s0.hi))), Some(m))
         }
       }
     }
@@ -318,7 +319,7 @@ object SearchEngine {
 
   def executePlan(spark: SparkSession, root: String, p: Plan,
                   stats: CorpusStats,
-                  range: Option[(Long, Long)] = None,
+                  ranges: Option[Seq[(Long, Long)]] = None,
                   pinned: Option[Manifest] = None): Vector[SearchHit] = {
     import spark.implicits._
     val m = pinned.getOrElse(pinnedManifest(root))
@@ -332,18 +333,27 @@ object SearchEngine {
     val mode = p.mode
     val k = p.k
     val nTerms = termList.size
-    val (minDoc, maxDoc) = range.getOrElse((0L, Long.MaxValue))
-    if (minDoc > maxDoc) return Vector.empty // empty scope
+    // ascending disjoint docId segments scoping the query (one = the
+    // common case; several = a scope fragmented by out-of-order appends)
+    val segs: Vector[(Long, Long)] = ranges match {
+      case None => Vector((0L, Long.MaxValue))
+      case Some(rs) => rs.filter { case (lo, hi) => lo <= hi }.sorted.toVector
+    }
+    if (segs.isEmpty) return Vector.empty // empty scope
 
     // scoped queries prune the posting scan to shards whose manifest
-    // docId range intersects the scope (partition-column pruning — the
+    // docId range intersects ANY segment (partition-column pruning — the
     // scan never lists the other shard dirs)
     val shardPrune: DataFrame => DataFrame =
-      if (range.isEmpty) identity
-      else shardsIntersecting(m, minDoc, maxDoc) match {
-          case Some(sh) => df => df.filter($"shard".isin(sh: _*))
-          case None => identity
+      if (ranges.isEmpty) identity
+      else {
+        val pruned = segs.map { case (lo, hi) => shardsIntersecting(m, lo, hi) }
+        if (pruned.exists(_.isEmpty)) identity // legacy manifest: no ranges
+        else {
+          val sh = pruned.flatMap(_.get).distinct
+          df => df.filter($"shard".isin(sh: _*))
         }
+      }
 
     val wandNanos =
       if (telemetry) Some(spark.sparkContext.longAccumulator("graft.wandNanos"))
@@ -405,8 +415,8 @@ object SearchEngine {
               if (mode == "AND") {
                 // a term absent from this shard ⇒ empty local intersection
                 if (cursors.size < nTerms) Vector.empty
-                else Wand.andTopK(cursors, k, minDoc, maxDoc)
-              } else Wand.orTopK(cursors, k, minDoc, maxDoc)
+                else Wand.andTopKSegments(cursors, k, segs)
+              } else Wand.orTopKSegments(cursors, k, segs)
             hits
           }.toVector
           wandNanos.foreach(_.add(System.nanoTime() - t0))

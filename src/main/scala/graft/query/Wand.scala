@@ -131,40 +131,54 @@ object Wand {
     * [minDoc, maxDoc] optionally scopes the docId range (per-corpus
     * scoped search: conv_ids are docId-contiguous by construction). */
   def andTopK(terms: Seq[TermCursor], k: Int,
-              minDoc: Long = 0L, maxDoc: Long = Long.MaxValue): Vector[SearchHit] = {
-    if (terms.isEmpty) return Vector.empty
+              minDoc: Long = 0L, maxDoc: Long = Long.MaxValue): Vector[SearchHit] =
+    andTopKSegments(terms, k, Vector((minDoc, maxDoc)))
+
+  /** AND top-k over a UNION of ascending disjoint docId segments in ONE
+    * forward pass: cursors and the heap carry across segments (docIds
+    * ascend across the list), so a scope fragmented by out-of-order
+    * appends costs one scan, not one per segment. Exact: identical to
+    * unioning per-segment calls and re-taking top-k (WandSpec property). */
+  def andTopKSegments(terms: Seq[TermCursor], k: Int,
+                      segments: Seq[(Long, Long)]): Vector[SearchHit] = {
+    if (terms.isEmpty || segments.isEmpty) return Vector.empty
     val heap = new TopK(k)
     val byDf = terms.sortBy(c => (c.df, c.term)).toArray // rarest first
-    byDf.foreach(_.advanceTo(minDoc))
     // canonical indices are GLOBAL over the query's terms; a shard may
     // hold only a subset of cursors, so size by the max index
     val contribs = new Array[Double](terms.map(_.canonical).max + 1)
-    var continue = !byDf.exists(_.exhausted)
-    while (continue) {
-      val cand = byDf(0).docId
-      if (cand > maxDoc) return heap.results
-      if (cand == Long.MaxValue) continue = false
-      else {
-        var all = true
-        var i = 1
-        while (all && i < byDf.length) {
-          byDf(i).advanceTo(cand)
-          if (byDf(i).docId != cand) all = false
-          i += 1
-        }
-        if (all) {
-          var j = 0
-          while (j < byDf.length) {
-            contribs(byDf(j).canonical) = byDf(j).score
-            j += 1
+    val segs = segments.iterator
+    while (segs.hasNext) {
+      val (minDoc, maxDoc) = segs.next()
+      byDf.foreach(_.advanceTo(minDoc))
+      var continue = !byDf.exists(_.exhausted)
+      if (!continue) return heap.results // AND: any dry list ends it all
+      while (continue) {
+        val cand = byDf(0).docId
+        if (cand > maxDoc) continue = false // next segment
+        else if (cand == Long.MaxValue) return heap.results
+        else {
+          var all = true
+          var i = 1
+          while (all && i < byDf.length) {
+            byDf(i).advanceTo(cand)
+            if (byDf(i).docId != cand) all = false
+            i += 1
           }
-          heap.offer(cand, canonicalSum(contribs))
-          byDf(0).advance()
-        } else {
-          // the failing cursor moved past cand: jump the driver there
-          byDf(0).advanceTo(byDf.map(_.docId).max)
+          if (all) {
+            var j = 0
+            while (j < byDf.length) {
+              contribs(byDf(j).canonical) = byDf(j).score
+              j += 1
+            }
+            heap.offer(cand, canonicalSum(contribs))
+            byDf(0).advance()
+          } else {
+            // the failing cursor moved past cand: jump the driver there
+            byDf(0).advanceTo(byDf.map(_.docId).max)
+          }
+          if (byDf(0).exhausted) return heap.results
         }
-        if (byDf(0).exhausted) continue = false
       }
     }
     heap.results
@@ -174,19 +188,35 @@ object Wand {
     * per-block maxTf/minDl metadata, i.e. tighter than a plain maxTf
     * bound). Exact (see exactness contract above). */
   def orTopK(terms: Seq[TermCursor], k: Int,
-             minDoc: Long = 0L, maxDoc: Long = Long.MaxValue): Vector[SearchHit] = {
-    if (terms.isEmpty) return Vector.empty
-    val cursors = terms.toArray
-    cursors.foreach(_.advanceTo(minDoc))
+             minDoc: Long = 0L, maxDoc: Long = Long.MaxValue): Vector[SearchHit] =
+    orTopKSegments(terms, k, Vector((minDoc, maxDoc)))
+
+  /** OR/WAND top-k over a union of ascending disjoint segments in one
+    * forward pass (see [[andTopKSegments]]); the heap's threshold carries
+    * across segments, so later segments prune with everything already
+    * admitted. */
+  def orTopKSegments(terms: Seq[TermCursor], k: Int,
+                     segments: Seq[(Long, Long)]): Vector[SearchHit] = {
+    if (terms.isEmpty || segments.isEmpty) return Vector.empty
     val heap = new TopK(k)
+    val cursors = terms.toArray
     // global canonical indices (see andTopK) — size by the max index
     val contribs = new Array[Double](cursors.map(_.canonical).max + 1)
+    segments.foreach { case (minDoc, maxDoc) =>
+      orOneSegment(cursors, heap, contribs, minDoc, maxDoc)
+    }
+    heap.results
+  }
 
+  private def orOneSegment(cursors: Array[TermCursor], heap: TopK,
+                           contribs: Array[Double],
+                           minDoc: Long, maxDoc: Long): Unit = {
+    cursors.foreach(_.advanceTo(minDoc))
     while (true) {
       // sort by current docId (N terms is tiny; insertion-order cost ok)
       val live = cursors.filter(c => !c.exhausted && c.docId <= maxDoc)
         .sortBy(_.docId)
-      if (live.isEmpty) return heap.results
+      if (live.isEmpty) return // segment exhausted
       val theta = heap.threshold
       // pivot: first prefix whose UB sum could beat/tie theta
       var acc = 0.0
@@ -197,7 +227,7 @@ object Wand {
         if (acc >= theta) p = i
         i += 1
       }
-      if (p < 0) return heap.results // no doc can reach theta anymore
+      if (p < 0) return // no doc in this segment can reach theta anymore
       val pivotDoc = live(p).docId
       if (live(0).docId == pivotDoc) {
         // block-max refinement (Ding & Suel BMW): the EXACT per-block
@@ -240,6 +270,5 @@ object Wand {
         live(0).advanceTo(pivotDoc)
       }
     }
-    heap.results // unreachable
   }
 }

@@ -108,4 +108,43 @@ class WandSpec extends AnyFunSuite {
       assert(got == expected, s"terms=$terms k=$k cap=$cap bs=$bs")
     }
   }
+
+  private val segmentedGen = for {
+    base <- caseGen
+    nSegs <- Gen.chooseNum(1, 4)
+    // ascending disjoint segments carved from the docId space
+    cuts <- Gen.listOfN(nSegs * 2, Gen.chooseNum(0L, 40L)).map(_.sorted)
+  } yield (base, cuts.grouped(2).collect { case List(a, b) if a <= b => (a, b) }
+    // keep segments disjoint: shift each start past the previous end
+    .foldLeft(Vector.empty[(Long, Long)]) { case (acc, (a, b)) =>
+      val lo = acc.lastOption.map(_._2 + 1).map(math.max(_, a)).getOrElse(a)
+      if (lo <= b) acc :+ (lo, b) else acc
+    })
+
+  test("property: segmented AND/OR in one pass == union of per-segment calls") {
+    forAllSeeded(segmentedGen, n = 120) { case ((corpus, terms, k, cap, bs), segs) =>
+      if (segs.nonEmpty) {
+        def fresh() = buildCursors(corpus, terms, cap, bs)._1
+        Seq("AND", "OR").foreach { mode =>
+          // expected: independent per-segment calls on FRESH cursors,
+          // unioned, re-topped — the semantics the one-pass version claims
+          val expected = segs.flatMap { case (lo, hi) =>
+            val cs = fresh()
+            if (mode == "AND") {
+              if (cs.size < terms.size) Vector.empty
+              else Wand.andTopK(cs, k, lo, hi)
+            } else Wand.orTopK(cs, k, lo, hi)
+          }.sortBy(h => (-h.score, h.docId)).take(k)
+          val cs = fresh()
+          val got =
+            if (mode == "AND") {
+              if (cs.size < terms.size) Vector.empty
+              else Wand.andTopKSegments(cs, k, segs)
+            } else Wand.orTopKSegments(cs, k, segs)
+          assert(got == expected,
+            s"mode=$mode terms=$terms k=$k cap=$cap bs=$bs segs=$segs")
+        }
+      }
+    }
+  }
 }

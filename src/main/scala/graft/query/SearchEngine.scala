@@ -192,6 +192,9 @@ object SearchEngine {
     .empty[(String, Long, String, String), Long]
   /** # of actual (non-cached) segment computations — test observability. */
   private[graft] val scopeSegComputes = new java.util.concurrent.atomic.AtomicLong
+  /** # shards the last segment computation scanned (-1 = unpruned). */
+  private[graft] val lastScopeScanShards =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
 
   private[query] def scopeSegments(spark: SparkSession, root: String,
                                    m: Manifest,
@@ -209,18 +212,49 @@ object SearchEngine {
     }
   }
 
+  /** Could a shard whose conv range is [mn, mx] (UTF-8 order) hold any
+    * conv_id starting with `prefix`? The p-prefixed keys form the byte
+    * interval [p, succ(p)) where succ increments p's last non-0xFF byte;
+    * intersection ⇔ mx >= p AND mn < succ(p) (succ absent = unbounded). */
+  private[query] def shardMayHoldPrefix(mn: String, mx: String,
+                                        prefix: String): Boolean = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val p = prefix.getBytes(utf8)
+    if (java.util.Arrays.compareUnsigned(mx.getBytes(utf8), p) < 0) return false
+    var i = p.length - 1
+    while (i >= 0 && p(i) == 0xFF.toByte) i -= 1
+    if (i < 0) return true // no finite successor: interval unbounded above
+    val succ = java.util.Arrays.copyOf(p, i + 1)
+    succ(i) = (succ(i) + 1).toByte
+    java.util.Arrays.compareUnsigned(mn.getBytes(utf8), succ) < 0
+  }
+
   /** A scope's docIds as contiguous segments. Fresh builds keep conv_ids
     * docId-contiguous (one segment); out-of-order appends add further
-    * segments (one per append batch, so the list stays small). Runs are
-    * detected per range-partition and merged across boundaries on the
-    * driver — no docId set is ever collected. */
+    * segments (one per append batch, so the list stays small). The scan
+    * prunes to shards whose manifest conv range intersects the prefix
+    * interval (the r4 stamps); runs are detected per range-partition and
+    * merged across boundaries on the driver — no docId set is ever
+    * collected. */
   private def computeScopeSegments(spark: SparkSession, root: String,
                                    m: Manifest,
                                    prefix: String): Vector[ScopeSegment] = {
     import spark.implicits._
     scopeSegComputes.incrementAndGet()
     val parts = spark.sessionState.conf.numShufflePartitions
-    val runs = IndexSnapshot.docs(spark, root, m)
+    val nonEmpty = m.shards.filter(_.minDocId >= 0)
+    val docsFrame =
+      if (nonEmpty.exists(e => e.minConv.isEmpty || e.maxConv.isEmpty)) {
+        lastScopeScanShards.set(-1) // unstamped entries: no pruning
+        IndexSnapshot.docs(spark, root, m)
+      } else {
+        val candidates = nonEmpty.filter(e =>
+          shardMayHoldPrefix(e.minConv.get, e.maxConv.get, prefix))
+          .map(_.shard)
+        lastScopeScanShards.set(candidates.size)
+        IndexSnapshot.docsFor(spark, root, m, candidates)
+      }
+    val runs = docsFrame
       .filter(col("conv_id").startsWith(prefix))
       .select($"docId", $"dl".cast("long").as("dl"))
       .repartitionByRange(parts, $"docId")

@@ -217,6 +217,10 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     val pre = "conv-0000001"
     val r1 = SearchEngine.query(spark, root, "w0000", "OR", 10,
       convPrefix = Some(pre))
+    // conv-range stamps pruned the segment scan to a strict shard subset
+    val scanned = SearchEngine.lastScopeScanShards.get()
+    assert(scanned >= 1 && scanned < 4,
+      s"prefix segment scan must prune via conv-range stamps, scanned=$scanned")
     val computesAfterFirst = SearchEngine.scopeSegComputes.get()
     val r2 = SearchEngine.query(spark, root, "w0000", "OR", 10,
       convPrefix = Some(pre))

@@ -60,6 +60,7 @@ object SparkEntry {
     "fingerprint_winnow" -> (Q.fingerprintWinnow(_, _)),
     "quality_repetition" -> (Q.qualityRepetition(_, _)),
     "sample_split" -> (Q.sampleSplit(_, _)),
+    "mixture_weights" -> (Q.mixtureWeights(_, _)),
     "text_redact" -> (Q.textRedact(_, _)),
     "decontaminate" -> (Q.decontaminate(_, _)),
     "lang_id" -> (Q.langId(_, _)),
@@ -112,6 +113,7 @@ object SparkEntry {
     "fingerprint_winnow" -> Q.fingerprintWinnowSql,
     "quality_repetition" -> Q.qualityRepetitionSql,
     "sample_split" -> Q.sampleSplitSql,
+    "mixture_weights" -> Q.mixtureWeightsSql,
     "text_redact" -> Q.textRedactSql,
     "decontaminate" -> Q.decontaminateSql,
     "lang_id" -> Q.langIdSql,

@@ -653,6 +653,21 @@ object EntryQueries {
   /** Deterministic hash split: reshard-stable train/val/test assignment
     * (pure function of md5(doc_id)); gate output = counts per (lang,
     * split). */
+  /** Training-mixture reweighting (α=0.5 temperature sampling over the
+    * corpus's source column — TextOps.mixtureWeights). Exact-SQL gated:
+    * integer aggregates + one IEEE divide + one IEEE sqrt per row. */
+  def mixtureWeights(s: SparkSession, dir: String): DataFrame =
+    TextOps.mixtureWeights(t(s, dir, "documents"))
+
+  val mixtureWeightsSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  CAST(sum(n_chars) AS DOUBLE) /
+      |    (SELECT CAST(sum(n_chars) AS DOUBLE) FROM documents) AS p,
+      |  sqrt(CAST(sum(n_chars) AS DOUBLE) /
+      |    (SELECT CAST(sum(n_chars) AS DOUBLE) FROM documents)) AS w
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   def sampleSplit(s: SparkSession, dir: String): DataFrame =
     TextOps.deterministicSplit(t(s, dir, "documents"), col("doc_id"))
       .groupBy(col("lang"), col("split"))

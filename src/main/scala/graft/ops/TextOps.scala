@@ -283,4 +283,37 @@ object TextOps {
     docs.withColumn("split",
       when(h < "08", "test").when(h < "18", "val").otherwise("train"))
   }
+
+  /** Source-mixture statistics + temperature sampling weight — the
+    * multilingual/multi-source α-sampling rule (α = 0.5, the sqrt
+    * temperature of Conneau & Lample, "Cross-lingual Language Model
+    * Pretraining", NeurIPS'19 §3.1): per source, size share
+    * p_s = chars_s / total and unnormalized weight w_s = sqrt(p_s) —
+    * the knob that up-samples small sources without letting any one
+    * dominate. One hash agg over (source) plus a broadcast 1-row total;
+    * sizes stay exact integers, and every double op (one divide, one
+    * sqrt) is per-row IEEE-correctly-rounded, so the gate is bit-exact
+    * in DuckDB. The ORDER-SENSITIVE normalization Σ w_s happens
+    * driver-side in [[normalizedMixture]] over a sorted source list
+    * (bit-stable), not in the distributed plan. */
+  def mixtureWeights(docs: DataFrame): DataFrame = {
+    val total = docs.agg(sum(col("n_chars")).cast("double").as("total"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .crossJoin(broadcast(total)) // 1 row — never a real cartesian
+      .select(col("source"), col("n_docs"), col("chars"),
+        (col("chars").cast("double") / col("total")).as("p"),
+        sqrt(col("chars").cast("double") / col("total")).as("w"))
+      .orderBy(col("source"))
+  }
+
+  /** Normalized sampling mixture from [[mixtureWeights]] output: collects
+    * the (tiny, one-row-per-source) result, sums weights in SORTED source
+    * order (deterministic float fold) and divides. */
+  def normalizedMixture(weights: DataFrame): Map[String, Double] = {
+    val rows = weights.select(col("source"), col("w")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).sortBy(_._1)
+    val z = rows.foldLeft(0.0)(_ + _._2)
+    rows.map { case (s, w) => s -> (if (z == 0.0) 0.0 else w / z) }.toMap
+  }
 }

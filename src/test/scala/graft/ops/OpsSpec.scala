@@ -463,4 +463,30 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(frac("val") - 1.0 / 16) < 0.02, frac)
     assert(frac("train") > 0.85, frac)
   }
+
+  // ---- mixture weights ----------------------------------------------------
+
+  test("mixture weights: hand-computed sqrt temperature; normalization sums to 1") {
+    // sizes 900 / 90 / 10: p = .9/.09/.01, w = sqrt(p)
+    val docs = (Seq.fill(9)(("big", 100L)) ++ Seq.fill(3)(("mid", 30L)) ++
+        Seq(("small", 10L)))
+      .zipWithIndex.map { case ((src, ch), i) => (i.toLong, src, ch) }
+      .toDF("doc_id", "source", "n_chars")
+    val w = TextOps.mixtureWeights(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(w("big") == ((9L, 900L, 0.9, math.sqrt(0.9))))
+    assert(w("mid") == ((3L, 90L, 0.09, math.sqrt(0.09))))
+    assert(w("small") == ((1L, 10L, 0.01, math.sqrt(0.01))))
+    // the temperature boosts small sources: relative share grows
+    val norm = TextOps.normalizedMixture(TextOps.mixtureWeights(docs))
+    assert(math.abs(norm.values.sum - 1.0) < 1e-12)
+    assert(norm("small") > 0.01 && norm("small") < norm("mid"),
+      s"sqrt temperature must up-sample small sources sub-linearly: $norm")
+    assert(norm("big") < 0.9)
+    // invariant under physical partitioning
+    val w2 = TextOps.mixtureWeights(docs.repartition(5)).collect()
+      .map(r => (r.getString(0), r.getDouble(4))).toMap
+    w.foreach { case (s, (_, _, _, wv)) => assert(w2(s) == wv) }
+  }
 }

@@ -551,12 +551,17 @@ object IndexMaintenance {
         (all.map(_.n).sum, all.map(_.xor).foldLeft(0L)(_ ^ _),
           all.map(_.sumDl).sum)
       }
+    // optimistic concurrency: the version-named manifest rename is the
+    // CAS — a concurrent writer that committed this version first wins
+    // and this op raises CommitConflictException (retry against the new
+    // snapshot); no torn state exists because everything written so far
+    // lives in this op's own (now orphaned, GC-able) generation dirs
     IndexManifest.commit(root, prospectiveM.copy(
       snapshotId = newGen,
       inputFingerprint = s"$n-$fp",
       nDocs = n,
       sumDl = sumDl,
-      avgdl = sumDl.toDouble / math.max(1L, n)))
+      avgdl = sumDl.toDouble / math.max(1L, n)), expectNew = true)
   }
 
   /** Full-recompute fsck of the CURRENT snapshot: re-derives every

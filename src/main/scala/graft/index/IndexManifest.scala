@@ -140,13 +140,29 @@ object IndexManifest {
   private def b64dec(s: String): String =
     new String(java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
 
+  /** Thrown when an optimistic commit loses the race: another writer
+    * committed the same snapshot version first (Iceberg-style CAS — the
+    * manifest FILENAME is the version, and rename-without-overwrite is
+    * atomic on HDFS/local, so exactly one writer wins). The loser must
+    * re-read the new manifest and redo its op against it. */
+  final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
   /** Commit a new snapshot: write tmp, atomic rename (atomic on
     * HDFS/local; on S3 rename is copy+delete — a real deployment slots
-    * Iceberg's catalog commit in here, SURVEY.md §7.0.5). A same-version
-    * re-commit moves the existing file ASIDE first and deletes it only
-    * after the new rename lands, so no crash point leaves the version
-    * with no manifest file (the r03 delete-then-rename had that window). */
-  def commit(root: String, m: Manifest): Unit = {
+    * Iceberg's catalog commit in here, SURVEY.md §7.0.5).
+    *
+    * `expectNew = true` (maintenance ops) = optimistic concurrency: the
+    * version must not exist yet; a pre-existing file (or a lost rename
+    * race) raises [[CommitConflictException]] instead of clobbering a
+    * concurrent writer's snapshot — the lock-free analog of the
+    * reference's global write lock (LockGenerator.java:10-23).
+    *
+    * `expectNew = false` (build waves re-committing their own version on
+    * resume): a same-version re-commit moves the existing file ASIDE
+    * first and deletes it only after the new rename lands, so no crash
+    * point leaves the version with no manifest file (the r03
+    * delete-then-rename had that window). */
+  def commit(root: String, m: Manifest, expectNew: Boolean = false): Unit = {
     val f = fs(root)
     f.mkdirs(new Path(root))
     val sb = new StringBuilder
@@ -179,7 +195,16 @@ object IndexManifest {
     try out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val dst = manifestPath(root, m.snapshotId)
-    if (f.exists(dst)) {
+    if (expectNew) {
+      // CAS: Hadoop rename does NOT overwrite an existing destination —
+      // exactly one concurrent writer's rename succeeds
+      if (f.exists(dst) || !f.rename(tmp, dst)) {
+        f.delete(tmp, false)
+        throw new CommitConflictException(
+          s"snapshot ${m.snapshotId} at $root was committed by a " +
+          "concurrent writer; re-read the manifest and retry the operation")
+      }
+    } else if (f.exists(dst)) {
       // `.replaced` does not end in ".json" → never picked up by versions()
       val aside = new Path(root, s"manifest-v${m.snapshotId}.json.replaced")
       if (f.exists(aside)) f.delete(aside, false)

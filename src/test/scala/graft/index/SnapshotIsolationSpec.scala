@@ -209,6 +209,28 @@ class SnapshotIsolationSpec extends AnyFunSuite {
       "the still-retained previous snapshot must stay queryable")
   }
 
+  test("optimistic commit: losing the version race raises CommitConflictException, winner intact") {
+    val corpus = TranscriptGen.corpus(seed = 26L, nConvs = 40)
+    val root = SparkTestBase.tmpDir("graft-occ")
+    IndexBuilder.build(spark, spark.createDataset(corpus), root,
+      shards = 4, waveSize = 4, maxChunkPostings = 64)
+    val m = IndexManifest.read(root).get
+    val winner = m.copy(snapshotId = m.snapshotId + 1)
+    IndexManifest.commit(root, winner, expectNew = true)
+    // a second writer targeting the same version must lose loudly, and
+    // must NOT clobber the winner's committed snapshot
+    intercept[IndexManifest.CommitConflictException] {
+      IndexManifest.commit(root,
+        winner.copy(nDocs = winner.nDocs + 999), expectNew = true)
+    }
+    assert(IndexManifest.read(root).get.nDocs == m.nDocs,
+      "the race winner's snapshot must survive the loser's attempt")
+    // a maintenance op sees the winner's snapshot and targets the NEXT
+    // version — no conflict on the normal path
+    IndexMaintenance.deleteConversations(spark, root, Set("conv-00000001"))
+    assert(IndexManifest.read(root).get.snapshotId == winner.snapshotId + 1)
+  }
+
   test("scoped-query segment + df caches: one computation per (snapshot, scope)") {
     val corpus = TranscriptGen.corpus(seed = 24L, nConvs = 80)
     val root = SparkTestBase.tmpDir("graft-scopecache")

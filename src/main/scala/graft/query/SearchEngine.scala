@@ -705,7 +705,9 @@ object SearchEngine {
       case Some(v) if v.forall(df => !df.sparkSession.sparkContext.isStopped) =>
         v
       case _ =>
-        alignedPostings.keys.filter(_._1 == root).foreach(alignedPostings.remove)
+        // entries for other snapshots stay: time travel legitimately
+        // alternates between retained versions (bounded by retention);
+        // maintenance drops the whole root via disableServingCache
         val paths = IndexSnapshot.postingsPaths(root, m)
         val (maxFile, onePerShard) = IndexBuilder.parquetLayoutPaths(spark, paths)
         val v =

@@ -86,6 +86,9 @@ object Query {
     val conv = opt("--conv")
     val scopes = opt("--scopes").map(_.split(",").toSeq.filter(_.nonEmpty))
     val snapshot = opt("--snapshot").map(_.toLong) // time travel (retained only)
+    require(snapshot.isEmpty || (conv.isEmpty && scopes.isEmpty),
+      "--snapshot cannot be combined with --conv/--scopes (scoped time " +
+      "travel is not implemented); drop one of them")
     val spark = CliSession.session("graft-query")
     val t0 = System.nanoTime()
     val hits =
@@ -134,7 +137,7 @@ object Maintain {
     def opt(name: String): Option[String] =
       a.indexOf(name) match { case -1 => None; case i => a.lift(i + 1) }
     if (a.size < 2) sys.error(
-      "usage: Maintain <root> (delete --convs a,b | append --transcripts p [--shards N] | replace --transcripts p | expire [--keep N])")
+      "usage: Maintain <root> (delete --convs a,b | append --transcripts p [--shards N] | replace --transcripts p | expire [--keep N] | fsck)")
     val root = a(0)
     val cmd = a(1)
     val spark = CliSession.session("graft-maintain")

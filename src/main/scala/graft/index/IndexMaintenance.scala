@@ -18,8 +18,8 @@ import graft.query.SearchEngine
   *
   * SNAPSHOT ISOLATION (VERDICT r03 item 1): every rewrite is
   * copy-on-write into a NEW generation dir (`docs/gen=G/shard=K`,
-  * `postings/gen=G/shard=K`, `term_stats/gen=G` with G = the target
-  * snapshot id) — dirs referenced by a committed manifest are IMMUTABLE.
+  * `postings/gen=G/shard=K`, `term_stats/gen=G` with G unique to the
+  * attempt) — dirs referenced by a committed manifest are IMMUTABLE.
   * A reader that pinned the pre-commit manifest keeps scanning the old
   * generation's files (retained for a one-snapshot grace period,
   * [[IndexSnapshot.expireSnapshots]]); a reader arriving after the commit
@@ -28,12 +28,14 @@ import graft.query.SearchEngine
   * with the lock-free Iceberg commit design the manifest layer emulates.
   * Crash safety falls out too: a job that dies before its manifest commit
   * leaves only orphan dirs no manifest references — invisible to every
-  * reader, clobbered by the retry (which recomputes the same target
-  * generation and overwrites), reclaimed by the next successful commit's
-  * expire pass. In particular a crashed APPEND can no longer leave orphan
-  * doc rows that a later append would silently re-assign docIds over
-  * (ADVICE r03 item 1): the manifest's maxDocId is authoritative because
-  * the manifest defines table membership.
+  * reader, aged out by expireSnapshots' orphan sweep. Concurrent writers
+  * get lock-free OPTIMISTIC CONCURRENCY: each attempt writes its own
+  * unique generation, the version-named manifest rename is the CAS, the
+  * loser raises CommitConflictException with nothing torn. In particular
+  * a crashed APPEND can no longer leave orphan doc rows that a later
+  * append would silently re-assign docIds over (ADVICE r03 item 1): the
+  * manifest's maxDocId is authoritative because the manifest defines
+  * table membership.
   *
   * docId semantics under maintenance mirror the reference's auto-increment
   * ids (PageEntity.java:18-21):
@@ -74,6 +76,32 @@ object IndexMaintenance {
   private def parseFpXor(s: String): Long = {
     val i = s.indexOf('-')
     s.substring(i + 1).toLong
+  }
+
+  /** Generation id for this op's data dirs — UNIQUE PER ATTEMPT (time ×
+    * random), never derived from the target snapshot id: two concurrent
+    * writers racing for the same snapshot must write DISJOINT dirs so
+    * the manifest CAS loser cannot have clobbered the winner's files
+    * (the winner's manifest references only its own generation). A
+    * crashed/losing attempt's dirs are unreferenced orphans, reclaimed
+    * by [[IndexSnapshot.expireSnapshots]] after the orphan grace age. */
+  private def uniqueGen(): Long =
+    (System.currentTimeMillis() << 20) ^
+      java.util.concurrent.ThreadLocalRandom.current().nextInt(1 << 20).toLong
+
+  /** Save/restore wrapper: maintenance writes need static whole-dir
+    * overwrite, but the session belongs to the caller — leaking `static`
+    * into a user session whose own jobs rely on dynamic partition
+    * overwrite would make their next write truncate whole tables. */
+  private def withStaticOverwrite[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "static")
+    try f
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Per-shard doc stats in ONE column-pruned agg: count, xor-fingerprint,
@@ -126,14 +154,13 @@ object IndexMaintenance {
                             convs: org.apache.spark.sql.DataFrame): Seq[Int] = {
     import spark.implicits._
     val m0 = manifestOf(root)
-    // drop pinned caches FIRST: Spark's plan-matching cache would
-    // otherwise serve pre-maintenance cached scans INTO the new snapshot
-    SearchEngine.disableServingCache(root)
     val drop = broadcast(convs.select(col("conv_id")).distinct())
     // conv-range shard pruning: only shards whose manifest conv range
-    // intersects the tombstones' range can hold victims
+    // intersects the tombstones' range can hold victims. All discovery
+    // reads touch IMMUTABLE generation dirs, so the serving caches stay
+    // up until the rewrite itself (a no-op delete flushes nothing).
     val b = convs.agg(min(col("conv_id")), max(col("conv_id"))).head()
-    if (b.isNullAt(0)) return Nil // empty tombstone set
+    if (b.isNullAt(0)) { lastKeyCheckShards.set(0); return Nil } // empty set
     val candidates = convCandidates(m0, b.getString(0), b.getString(1))
     lastKeyCheckShards.set(candidates.size)
     if (candidates.isEmpty) return Nil
@@ -187,7 +214,6 @@ object IndexMaintenance {
     require(missing.isEmpty,
       s"replaceTurns requires existing keys; missing: ${missing.toSeq} " +
       "(additions go through appendConversations / a fresh build)")
-    SearchEngine.disableServingCache(root) // before rewrites: see deleteConversationsDf
     val shards = candDocs
       .join(keys, Seq("conv_id", "turn_idx"), "left_semi")
       .select($"shard").distinct().as[Int].collect().toSeq.sorted
@@ -208,15 +234,22 @@ object IndexMaintenance {
                             m0: Manifest,
                             shards: Seq[Int],
                             dropConvs: Option[org.apache.spark.sql.DataFrame] = None,
-                            replace: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
+                            replace: Option[org.apache.spark.sql.DataFrame] = None): Unit =
+    withStaticOverwrite(spark) {
+      rewriteShardsImpl(spark, root, m0, shards, dropConvs, replace)
+    }
+
+  private def rewriteShardsImpl(spark: SparkSession, root: String,
+                                m0: Manifest,
+                                shards: Seq[Int],
+                                dropConvs: Option[org.apache.spark.sql.DataFrame],
+                                replace: Option[org.apache.spark.sql.DataFrame]): Unit = {
     import spark.implicits._
     if (shards.isEmpty) return
     val P = IndexBuilder.Paths(root)
-    val newGen = m0.snapshotId + 1
-    // static mode: the target generation dirs belong EXCLUSIVELY to this
-    // uncommitted snapshot, so whole-dir overwrite is both safe and the
-    // clobber that makes a crashed predecessor's orphan files harmless
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    // this ATTEMPT's private generation (unique — see uniqueGen); static
+    // whole-dir overwrite inside it is safe by construction
+    val newGen = uniqueGen()
 
     // new docs content for the affected shards; deletions are an
     // anti-join (distributed), never an isin over collected ids
@@ -294,12 +327,12 @@ object IndexMaintenance {
       shards.filterNot(written).map(s0 =>
         ShardEntry(s0, 0L, 0L, 0L, Seq(s0), gen = newGen))
 
+    // flush pinned frames/memos BEFORE the flip (bumps the memo
+    // generation so an in-flight pre-commit compute cannot insert), and
+    // AGAIN after so nothing memoized between the two survives
+    SearchEngine.disableServingCache(root)
     commitSnapshot(spark, root, m0, replacedShards = shards,
       newEntries = newEntries, newGen = newGen)
-    // invalidate AGAIN after the commit: a query that started DURING the
-    // rewrite (after the pre-rewrite flush bumped the generation) would
-    // otherwise memoize a pre-commit result under the current generation
-    // and serve it until the next maintenance
     SearchEngine.disableServingCache(root)
     IndexSnapshot.expireSnapshots(spark, root, keepSnapshots)
   }
@@ -331,13 +364,11 @@ object IndexMaintenance {
     * docId-integrity logic exists in exactly one place. */
   def appendConversationsDs(spark: SparkSession, root: String,
                             turns: org.apache.spark.sql.Dataset[Turn],
-                            newShards: Int = 1): Seq[Int] = {
+                            newShards: Int = 1): Seq[Int] = withStaticOverwrite(spark) {
     import spark.implicits._
     val m0 = manifestOf(root)
-    SearchEngine.disableServingCache(root) // before writes: see deleteConversationsDf
     val P = IndexBuilder.Paths(root)
-    val newGen = m0.snapshotId + 1
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    val newGen = uniqueGen() // this attempt's private generation
     // assignCore runs SEVERAL jobs over the batch (count, boundary
     // sample, per-pid counts, the assignment write): pin ONE evaluation
     // with an eager localCheckpoint so a value-nondeterministic input
@@ -353,7 +384,7 @@ object IndexMaintenance {
     // The manifest is AUTHORITATIVE for table membership under the
     // snapshot layout: a crashed append's doc rows live in a generation
     // dir no manifest references, so they are invisible here and the
-    // retry overwrites them (ADVICE r03 item 1 closed structurally). A
+    // orphan dirs age out via expireSnapshots (ADVICE r03 item 1). A
     // GENUINELY EMPTY shard (postings == 0, e.g. quantile collapse at
     // build or a full-shard delete) legitimately carries (-1,-1) and
     // contributes nothing to the max; only an UNSTAMPED non-empty entry
@@ -435,11 +466,10 @@ object IndexMaintenance {
       ShardEntry(s0, t, p, b, Seq(s0), sumDl = d, gen = newGen) }
     val postingless = shards.filterNot(accEntries.map(_.shard).toSet)
       .map(s0 => ShardEntry(s0, 0L, 0L, 0L, Seq(s0), gen = newGen))
+    // flush before the flip (gates in-flight memo inserts) and after
+    SearchEngine.disableServingCache(root)
     commitSnapshot(spark, root, m0, replacedShards = Nil,
       newEntries = accEntries ++ postingless, newGen = newGen)
-    // invalidate AGAIN after the commit: a query that started DURING the
-    // append could otherwise memoize a mid-append result under the
-    // generation bumped by the entry invalidation above
     SearchEngine.disableServingCache(root)
     IndexSnapshot.expireSnapshots(spark, root, keepSnapshots)
     shards
@@ -554,10 +584,11 @@ object IndexMaintenance {
     // optimistic concurrency: the version-named manifest rename is the
     // CAS — a concurrent writer that committed this version first wins
     // and this op raises CommitConflictException (retry against the new
-    // snapshot); no torn state exists because everything written so far
-    // lives in this op's own (now orphaned, GC-able) generation dirs
+    // snapshot). No torn state: every byte this op wrote lives in its
+    // OWN unique generation dirs (uniqueGen), which on loss become
+    // unreferenced orphans aged out by expireSnapshots
     IndexManifest.commit(root, prospectiveM.copy(
-      snapshotId = newGen,
+      snapshotId = m0.snapshotId + 1,
       inputFingerprint = s"$n-$fp",
       nDocs = n,
       sumDl = sumDl,

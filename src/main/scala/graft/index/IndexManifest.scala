@@ -195,16 +195,58 @@ object IndexManifest {
     try out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val dst = manifestPath(root, m.snapshotId)
+    val local = f.getScheme == "file"
+    def nio(p: Path): java.nio.file.Path =
+      java.nio.file.Paths.get(f.makeQualified(p).toUri)
     if (expectNew) {
-      // CAS: Hadoop rename does NOT overwrite an existing destination —
-      // exactly one concurrent writer's rename succeeds
-      if (f.exists(dst) || !f.rename(tmp, dst)) {
+      // CAS semantics differ by filesystem:
+      //  - HDFS: rename NEVER overwrites — the rename itself is the CAS;
+      //  - local: POSIX rename silently REPLACES, so exists()+rename
+      //    would be a TOCTOU hole; hardlink creation (link(2)) fails
+      //    EEXIST atomically → that is the local CAS.
+      val won =
+        if (local) {
+          try {
+            java.nio.file.Files.createLink(nio(dst), nio(tmp))
+            f.delete(tmp, false) // Hadoop delete also removes the .crc
+                                 // sidecar; dst (the link) has none, which
+                                 // LocalFileSystem reads accept
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: UnsupportedOperationException =>
+              // no-hardlink FS: degrade to the check-then-rename race
+              !f.exists(dst) && f.rename(tmp, dst)
+          }
+        } else !f.exists(dst) && f.rename(tmp, dst)
+      if (!won) {
         f.delete(tmp, false)
         throw new CommitConflictException(
           s"snapshot ${m.snapshotId} at $root was committed by a " +
           "concurrent writer; re-read the manifest and retry the operation")
       }
+    } else if (local) {
+      // same-version re-commit (build-wave resume): POSIX rename replaces
+      // atomically — no crash point leaves the version file-less. The
+      // nio move bypasses LocalFileSystem's checksum layer, so move the
+      // .crc sidecar along (or drop a stale one) — a crc describing the
+      // OLD bytes would fail every subsequent checksummed read.
+      java.nio.file.Files.move(nio(tmp), nio(dst),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val tmpCrc = new Path(tmp.getParent, "." + tmp.getName + ".crc")
+      val dstCrc = new Path(dst.getParent, "." + dst.getName + ".crc")
+      if (f.exists(tmpCrc))
+        java.nio.file.Files.move(nio(tmpCrc), nio(dstCrc),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else if (f.exists(dstCrc)) f.delete(dstCrc, false)
+      ()
     } else if (f.exists(dst)) {
+      // HDFS re-commit: rename cannot overwrite, so move the old copy
+      // ASIDE first and delete it only after the new rename lands.
+      // Remaining window: a crash between the two renames leaves vN
+      // file-less until recovery (readers fall back to vN-1) — the
+      // re-commit path only runs for a builder resuming its OWN wave.
       // `.replaced` does not end in ".json" → never picked up by versions()
       val aside = new Path(root, s"manifest-v${m.snapshotId}.json.replaced")
       if (f.exists(aside)) f.delete(aside, false)

@@ -23,6 +23,12 @@ import org.apache.spark.sql.types._
   * reclaimed by [[expireSnapshots]] — the analog of Iceberg's
   * expire_snapshots, replacing the reference's global RW lock
   * (LockGenerator.java:10-23) with lock-free snapshot isolation.
+  *
+  * FORMAT NOTE: the generation layout is this engine's on-disk format;
+  * an index written by the pre-snapshot flat layout (`docs/shard=K`
+  * directly) is not readable and must be rebuilt — a deliberate pre-1.0
+  * format break, preferred over carrying a dual-layout reader whose
+  * legacy half could never be snapshot-isolated.
   */
 object IndexSnapshot {
 
@@ -122,6 +128,15 @@ object IndexSnapshot {
     false
   }
 
+  /** Default age an UNREFERENCED (orphan / possibly in-flight) dir must
+    * reach before the sweep may reclaim it — long enough that no live
+    * maintenance attempt's uncommitted generation is at risk. Overridable
+    * via GRAFT_ORPHAN_GRACE_MS. */
+  val DefaultOrphanGraceMs: Long = 6L * 3600 * 1000
+  private def orphanGraceMs: Long =
+    sys.env.get("GRAFT_ORPHAN_GRACE_MS").map(_.toLong)
+      .getOrElse(DefaultOrphanGraceMs)
+
   /** Reclaim storage: delete generation dirs (and manifest files) not
     * referenced by the newest `keepLast` snapshots. Maintenance calls
     * this with the default 2 after each commit, so the PREVIOUS
@@ -129,28 +144,40 @@ object IndexSnapshot {
     * uncached reader that pinned the pre-commit manifest finishes its
     * scan untouched (the grace period). Long-running readers spanning
     * several maintenance commits need a higher retention, exactly like
-    * Iceberg's expire_snapshots contract. */
+    * Iceberg's expire_snapshots contract.
+    *
+    * Two reclamation classes, distinguished deliberately:
+    *  - dirs referenced by an EXPIRING manifest — superseded committed
+    *    data, deleted immediately (no in-flight writer can own them:
+    *    generations are unique per attempt and these were committed);
+    *  - dirs referenced by NO manifest at all — either a crashed
+    *    attempt's orphans or a CONCURRENT attempt's in-flight writes;
+    *    deleted only once older than the orphan grace age (Iceberg's
+    *    remove_orphan_files rule), so a racing writer is never swept. */
   def expireSnapshots(spark: SparkSession, root: String,
                       keepLast: Int = 2): Unit = {
     val vs = IndexManifest.versions(root)
     if (vs.isEmpty) return
     val keepVs = vs.takeRight(math.max(1, keepLast))
-    val kept = keepVs.map(v => IndexManifest.readVersion(root, v))
+    val all = vs.map(v => IndexManifest.readVersion(root, v))
+    val kept = all.filter(m => keepVs.contains(m.snapshotId))
     val P = IndexBuilder.Paths(root)
-    // referenced (gen, shard) leaf dirs per table + referenced stats gens
-    val docsKeep = kept.flatMap(m => m.shards.filter(_.minDocId >= 0)
-      .map(e => (e.gen, e.shard))).toSet
-    val postKeep = kept.flatMap(m => m.shards.filter(_.postings > 0)
-      .map(e => (e.gen, e.shard))).toSet
-    val statsKeep = kept.map(_.statsGen).toSet
+    def docsRefs(ms: Seq[Manifest]) = ms.flatMap(m =>
+      m.shards.filter(_.minDocId >= 0).map(e => (e.gen, e.shard))).toSet
+    def postRefs(ms: Seq[Manifest]) = ms.flatMap(m =>
+      m.shards.filter(_.postings > 0).map(e => (e.gen, e.shard))).toSet
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    def orphanOld(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      now - st.getModificationTime > orphanGraceMs
 
     def leafName(n: String, prefix: String): Option[Long] =
       if (n.startsWith(prefix)) scala.util.Try(n.stripPrefix(prefix).toLong).toOption
       else None
 
-    def sweepTable(table: String, keep: Set[(Long, Int)]): Unit = {
+    def sweepTable(table: String, keep: Set[(Long, Int)],
+                   known: Set[(Long, Int)]): Unit = {
       val tp = new org.apache.hadoop.fs.Path(table)
       if (!fs.exists(tp)) return
       fs.listStatus(tp).foreach { genSt =>
@@ -158,9 +185,12 @@ object IndexSnapshot {
           var liveChildren = false
           fs.listStatus(genSt.getPath).foreach { shardSt =>
             leafName(shardSt.getPath.getName, "shard=") match {
-              case Some(s) if !keep((g, s.toInt)) =>
-                fs.delete(shardSt.getPath, true)
-              case Some(_) => liveChildren = true
+              case Some(s) =>
+                val key = (g, s.toInt)
+                if (keep(key)) liveChildren = true
+                else if (known(key) || orphanOld(shardSt))
+                  fs.delete(shardSt.getPath, true)
+                else liveChildren = true // young orphan: possibly in-flight
               case None => () // _SUCCESS etc. — swept with the gen dir below
             }
           }
@@ -172,13 +202,16 @@ object IndexSnapshot {
         }
       }
     }
-    sweepTable(P.docs, docsKeep)
-    sweepTable(P.postings, postKeep)
-    // term_stats generations
+    sweepTable(P.docs, docsRefs(kept), docsRefs(all))
+    sweepTable(P.postings, postRefs(kept), postRefs(all))
+    // term_stats generations (same two classes)
+    val statsKeep = kept.map(_.statsGen).toSet
+    val statsKnown = all.map(_.statsGen).toSet
     val sp = new org.apache.hadoop.fs.Path(P.termStats)
     if (fs.exists(sp)) fs.listStatus(sp).foreach { st =>
       leafName(st.getPath.getName, "gen=").foreach { g =>
-        if (!statsKeep(g)) fs.delete(st.getPath, true)
+        if (!statsKeep(g) && (statsKnown(g) || orphanOld(st)))
+          fs.delete(st.getPath, true)
       }
     }
     // expired manifest files (any on-disk manifest must stay readable —

@@ -469,15 +469,16 @@ object SearchEngine {
     //  - multi-file shard dirs (external/legacy layout) → fall back to
     //    the repartition, trading latency for unconditional correctness.
     val t0 = System.nanoTime()
-    val (scanFrame, pathName, needShuffle) = cachedPostings.get(root) match {
-      case Some(df) =>
-        val aligned = cachedPostingsAligned.getOrElse(root, false)
-        (df, if (aligned) "cached-aligned" else "cached", !aligned)
-      case None => alignedPostingsFor(spark, root, m) match {
-        case Some(df) => (df, "aligned", false)
-        case None => (IndexSnapshot.postings(spark, root, m), "repartition", true)
+    val (scanFrame, pathName, needShuffle) =
+      cachedPostings.get(root).filter(_ => cacheMatches(root, m)) match {
+        case Some(df) =>
+          val aligned = cachedPostingsAligned.getOrElse(root, false)
+          (df, if (aligned) "cached-aligned" else "cached", !aligned)
+        case None => alignedPostingsFor(spark, root, m) match {
+          case Some(df) => (df, "aligned", false)
+          case None => (IndexSnapshot.postings(spark, root, m), "repartition", true)
+        }
       }
-    }
     val selected = shardPrune(scanFrame).filter($"term".isin(termList: _*))
     val perShard =
       shardLocalTopK(if (needShuffle) selected.repartition($"shard") else selected)
@@ -625,6 +626,13 @@ object SearchEngine {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val cachedTermStats =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // the snapshot the pinned frames were built from: a query pinned to a
+  // DIFFERENT snapshot (time travel, or a racing manifest flip) must
+  // bypass the cache, not silently read another snapshot's data
+  private val cachedSnapshot =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def cacheMatches(root: String, m: Manifest): Boolean =
+    cachedSnapshot.get(root).contains(m.snapshotId)
 
   // ---- repeat-query result memoization (reference SearchServiceImpl
   // .java:42-45, :71-75: the previous request's results are reused on an
@@ -744,6 +752,7 @@ object SearchEngine {
       val df = base.cache()
       df.count() // materialize
       cachedPostingsAligned.put(root, aligned)
+      cachedSnapshot.put(root, m.snapshotId)
       df
     })
     cachedTermStats.getOrElseUpdate(root, {
@@ -757,6 +766,7 @@ object SearchEngine {
   def disableServingCache(root: String): Unit = {
     cachedPostings.remove(root).foreach(_.unpersist())
     cachedPostingsAligned.remove(root)
+    cachedSnapshot.remove(root)
     cachedTermStats.remove(root).foreach(_.unpersist())
     // maintenance calls this before rewriting — drop aligned-scan plans
     // and the scoped-query memos for the root too (their snapshot is
@@ -774,11 +784,13 @@ object SearchEngine {
 
   private def postingsFor(spark: SparkSession, root: String,
                           m: Manifest): DataFrame =
-    cachedPostings.getOrElse(root, IndexSnapshot.postings(spark, root, m))
+    cachedPostings.get(root).filter(_ => cacheMatches(root, m))
+      .getOrElse(IndexSnapshot.postings(spark, root, m))
 
   private[query] def termStatsFor(spark: SparkSession, root: String,
                                   m: Manifest): DataFrame =
-    cachedTermStats.getOrElse(root, IndexSnapshot.termStats(spark, root, m))
+    cachedTermStats.get(root).filter(_ => cacheMatches(root, m))
+      .getOrElse(IndexSnapshot.termStats(spark, root, m))
 
   def statsOf(spark: SparkSession, root: String): CorpusStats = {
     val m = graft.index.IndexManifest.read(root).getOrElse(

@@ -159,15 +159,15 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     assert(SearchEngine.query(spark, root, "zzorphanterm", "OR", 10).isEmpty)
     assert(SearchEngine.query(spark, root, "needlemid w0000", "AND", 10) == before)
     assert(IndexBuilder.loadDocs(spark, root).count() == m.nDocs)
-    // the next successful maintenance commit TARGETS gen = snapshotId+1 =
-    // the fabricated orphan's gen and clobbers it with legitimate data
-    // (whole-dir overwrite) — the orphan rows can never resurface
+    // subsequent maintenance commits write their OWN unique generations
+    // and never adopt the orphan's rows; the orphan dir ages out via the
+    // orphan-grace sweep (young here, so it merely stays invisible)
     IndexMaintenance.deleteConversations(spark, root, Set("conv-00000002"))
     IndexMaintenance.deleteConversations(spark, root, Set("conv-00000003"))
     assert(SearchEngine.query(spark, root, "zzorphanterm", "OR", 10).isEmpty)
     assert(IndexBuilder.loadDocs(spark, root).toDF()
       .filter($"docId" === 999999L).count() == 0L,
-      "fabricated orphan row must have been clobbered, not adopted")
+      "fabricated orphan row must stay invisible, never adopted")
     val m2 = IndexManifest.read(root).get
     assert(IndexBuilder.loadDocs(spark, root).count() == m2.nDocs)
   }
@@ -199,6 +199,16 @@ class SnapshotIsolationSpec extends AnyFunSuite {
       assert(SearchEngine.query(spark, root, q._1, q._2, q._3) == r1)
       assert(SearchEngine.queryAt(spark, root, v0, q._1, q._2, q._3) == r0)
     } finally SearchEngine.disableResultCache(root)
+    // SERVING cache pinned at the current snapshot: a time-travel query
+    // must bypass it (snapshot-stamped cache), not read v1's postings
+    // against v0's stats
+    SearchEngine.enableServingCache(spark, root)
+    try {
+      assert(SearchEngine.query(spark, root, q._1, q._2, q._3) == r1)
+      assert(SearchEngine.queryAt(spark, root, v0, q._1, q._2, q._3) == r0,
+        "time travel with the serving cache enabled must serve the " +
+        "pinned snapshot's data, not the cached current snapshot's")
+    } finally SearchEngine.disableServingCache(root)
     // a second maintenance op expires v0 → time travel to it refuses
     IndexMaintenance.deleteConversations(spark, root, Set("conv-00000020"))
     val e = intercept[IllegalArgumentException] {

@@ -187,8 +187,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(SearchEngine.query(spark, root, "zzorphan", "OR", 10).isEmpty)
 
     // resuming ingest replays the same batch: the keys are NOT in the
-    // committed snapshot, so the append re-runs normally, OVERWRITING the
-    // orphan generation dir — no duplicate docIds, no manual cleanup
+    // committed snapshot, so the append re-runs normally into its OWN
+    // fresh generation (the orphan stays unreferenced until the orphan-
+    // grace sweep) — no duplicate docIds, no manual cleanup
     val inDir = SparkTestBase.tmpDir("graft-partial-turns")
     spark.createDataset(orphan).write.parquet(s"$inDir/b0")
     val in = spark.readStream

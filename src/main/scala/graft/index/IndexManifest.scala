@@ -195,7 +195,9 @@ object IndexManifest {
     try out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val dst = manifestPath(root, m.snapshotId)
-    val local = f.getScheme == "file"
+    // base FileSystem.getScheme throws UnsupportedOperationException —
+    // any filesystem that does gets the (HDFS-safe) generic paths
+    val local = scala.util.Try(f.getScheme).toOption.contains("file")
     def nio(p: Path): java.nio.file.Path =
       java.nio.file.Paths.get(f.makeQualified(p).toUri)
     if (expectNew) {

@@ -86,9 +86,10 @@ object Query {
     val conv = opt("--conv")
     val scopes = opt("--scopes").map(_.split(",").toSeq.filter(_.nonEmpty))
     val snapshot = opt("--snapshot").map(_.toLong) // time travel (retained only)
-    require(snapshot.isEmpty || (conv.isEmpty && scopes.isEmpty),
-      "--snapshot cannot be combined with --conv/--scopes (scoped time " +
-      "travel is not implemented); drop one of them")
+    require(snapshot.isEmpty ||
+        (conv.isEmpty && scopes.isEmpty && !a.contains("--naive")),
+      "--snapshot cannot be combined with --conv/--scopes/--naive " +
+      "(scoped/naive time travel is not implemented); drop one of them")
     val spark = CliSession.session("graft-query")
     val t0 = System.nanoTime()
     val hits =
@@ -102,7 +103,14 @@ object Query {
       }
     val ms = (System.nanoTime() - t0) / 1e6
     println(f"query='$q' mode=$mode k=$k → ${hits.size} hits in $ms%.0f ms")
-    val docs = graft.index.IndexBuilder.loadDocs(spark, root)
+    // hit previews must come from the SAME snapshot the hits did
+    val docs = snapshot match {
+      case Some(v) =>
+        import spark.implicits._
+        graft.index.IndexSnapshot.docs(spark, root,
+          graft.index.IndexManifest.readVersion(root, v)).as[graft.model.Doc]
+      case None => graft.index.IndexBuilder.loadDocs(spark, root)
+    }
     val byId = if (hits.isEmpty) Map.empty[Long, String] else {
       import org.apache.spark.sql.functions.col
       docs.filter(col("docId").isin(hits.map(_.docId): _*))

@@ -78,30 +78,25 @@ object IndexMaintenance {
     s.substring(i + 1).toLong
   }
 
-  /** Generation id for this op's data dirs — UNIQUE PER ATTEMPT (time ×
-    * random), never derived from the target snapshot id: two concurrent
-    * writers racing for the same snapshot must write DISJOINT dirs so
-    * the manifest CAS loser cannot have clobbered the winner's files
-    * (the winner's manifest references only its own generation). A
+  /** Generation id for this op's data dirs — UNIQUE PER ATTEMPT (full
+    * 63-bit random; a time-prefixed 20-bit draw collides at p≈2^-20 per
+    * same-millisecond pair, enough to matter at sustained multi-writer
+    * micro-batch rates), never derived from the target snapshot id: two
+    * concurrent writers racing for the same snapshot must write DISJOINT
+    * dirs so the manifest CAS loser cannot have clobbered the winner's
+    * files (the winner's manifest references only its own generation). A
     * crashed/losing attempt's dirs are unreferenced orphans, reclaimed
-    * by [[IndexSnapshot.expireSnapshots]] after the orphan grace age. */
-  private def uniqueGen(): Long =
-    (System.currentTimeMillis() << 20) ^
-      java.util.concurrent.ThreadLocalRandom.current().nextInt(1 << 20).toLong
-
-  /** Save/restore wrapper: maintenance writes need static whole-dir
-    * overwrite, but the session belongs to the caller — leaking `static`
-    * into a user session whose own jobs rely on dynamic partition
-    * overwrite would make their next write truncate whole tables. */
-  private def withStaticOverwrite[A](spark: SparkSession)(f: => A): A = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, "static")
-    try f
-    finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    * by [[IndexSnapshot.expireSnapshots]] after the orphan grace age.
+    * Gen 0 is reserved for fresh builds.
+    *
+    * No partition-overwrite-mode override is needed (or taken — the
+    * session's conf belongs to the caller): every write targets a fresh
+    * private dir, where static and dynamic modes behave identically. */
+  private def uniqueGen(): Long = {
+    var g = 0L
+    while (g == 0L)
+      g = java.util.concurrent.ThreadLocalRandom.current().nextLong() & Long.MaxValue
+    g
   }
 
   /** Per-shard doc stats in ONE column-pruned agg: count, xor-fingerprint,
@@ -234,21 +229,11 @@ object IndexMaintenance {
                             m0: Manifest,
                             shards: Seq[Int],
                             dropConvs: Option[org.apache.spark.sql.DataFrame] = None,
-                            replace: Option[org.apache.spark.sql.DataFrame] = None): Unit =
-    withStaticOverwrite(spark) {
-      rewriteShardsImpl(spark, root, m0, shards, dropConvs, replace)
-    }
-
-  private def rewriteShardsImpl(spark: SparkSession, root: String,
-                                m0: Manifest,
-                                shards: Seq[Int],
-                                dropConvs: Option[org.apache.spark.sql.DataFrame],
-                                replace: Option[org.apache.spark.sql.DataFrame]): Unit = {
+                            replace: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
     import spark.implicits._
     if (shards.isEmpty) return
     val P = IndexBuilder.Paths(root)
-    // this ATTEMPT's private generation (unique — see uniqueGen); static
-    // whole-dir overwrite inside it is safe by construction
+    // this ATTEMPT's private generation (unique — see uniqueGen)
     val newGen = uniqueGen()
 
     // new docs content for the affected shards; deletions are an
@@ -364,7 +349,7 @@ object IndexMaintenance {
     * docId-integrity logic exists in exactly one place. */
   def appendConversationsDs(spark: SparkSession, root: String,
                             turns: org.apache.spark.sql.Dataset[Turn],
-                            newShards: Int = 1): Seq[Int] = withStaticOverwrite(spark) {
+                            newShards: Int = 1): Seq[Int] = {
     import spark.implicits._
     val m0 = manifestOf(root)
     val P = IndexBuilder.Paths(root)

@@ -190,7 +190,14 @@ object IndexManifest {
         s.maxConv.map(v => "maxConvB64" -> b64enc(v))
       sb.append(line(base: _*)).append('\n')
     }
-    val tmp = new Path(root, s"manifest-v${m.snapshotId}.json.tmp")
+    // PER-ATTEMPT tmp name: a shared deterministic tmp would let one
+    // racer link/rename the OTHER racer's (possibly half-written) bytes
+    // into the committed manifest — the CAS must decide between fully
+    // private files. (`.tmp` names never match versions(); stale ones
+    // from crashes are swept by IndexSnapshot.expireSnapshots.)
+    val nonce = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong())
+    val tmp = new Path(root, s"manifest-v${m.snapshotId}.json.$nonce.tmp")
     val out = f.create(tmp, true)
     try out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()

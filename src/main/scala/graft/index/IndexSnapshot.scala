@@ -194,11 +194,20 @@ object IndexSnapshot {
               case None => () // _SUCCESS etc. — swept with the gen dir below
             }
           }
-          // a gen dir with no shard dirs left holds only markers → drop it
-          if (!liveChildren &&
-              !fs.listStatus(genSt.getPath).exists(st =>
-                leafName(st.getPath.getName, "shard=").isDefined))
-            fs.delete(genSt.getPath, true)
+          // a gen dir with no shard dirs left: drop it — UNLESS it holds
+          // a DIRECTORY child (e.g. Spark's `_temporary` staging of a
+          // concurrent writer whose shard dirs appear only at job
+          // commit): those wait out the orphan grace like any other
+          // possibly-in-flight state. Marker FILES (_SUCCESS) alone
+          // never indicate an in-flight write.
+          if (!liveChildren) {
+            val rest = fs.listStatus(genSt.getPath)
+            val anyShard = rest.exists(st =>
+              leafName(st.getPath.getName, "shard=").isDefined)
+            val anyDir = rest.exists(_.isDirectory)
+            if (!anyShard && (!anyDir || orphanOld(genSt)))
+              fs.delete(genSt.getPath, true)
+          }
         }
       }
     }
@@ -218,6 +227,13 @@ object IndexSnapshot {
     // its data dirs survive — so drop the ones whose dirs we just freed)
     vs.dropRight(math.max(1, keepLast)).foreach { v =>
       fs.delete(IndexManifest.manifestPath(root, v), false)
+    }
+    // stale per-attempt manifest tmp files from crashed commits
+    fs.listStatus(new org.apache.hadoop.fs.Path(root)).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.startsWith("manifest-v") && n.endsWith(".tmp") &&
+          orphanOld(st))
+        fs.delete(st.getPath, false)
     }
     ()
   }

@@ -297,9 +297,12 @@ object TextOps {
     * driver-side in [[normalizedMixture]] over a sorted source list
     * (bit-stable), not in the distributed plan. */
   def mixtureWeights(docs: DataFrame): DataFrame = {
-    val total = docs.agg(sum(col("n_chars")).cast("double").as("total"))
-    docs.groupBy(col("source"))
+    // ONE corpus scan: the exact integer total re-derives from the tiny
+    // grouped frame itself (Σ per-source chars ≡ the separate full agg)
+    val grouped = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    val total = grouped.agg(sum(col("chars")).cast("double").as("total"))
+    grouped
       .crossJoin(broadcast(total)) // 1 row — never a real cartesian
       .select(col("source"), col("n_docs"), col("chars"),
         (col("chars").cast("double") / col("total")).as("p"),

@@ -713,9 +713,15 @@ object SearchEngine {
       case Some(v) if v.forall(df => !df.sparkSession.sparkContext.isStopped) =>
         v
       case _ =>
-        // entries for other snapshots stay: time travel legitimately
-        // alternates between retained versions (bounded by retention);
-        // maintenance drops the whole root via disableServingCache
+        // entries for other RETAINED snapshots stay (time travel
+        // alternates between them); entries for snapshots no longer on
+        // disk are pruned here — in a reader-only process no maintenance
+        // ever calls disableServingCache, and each entry pins a cloned
+        // session, so the map must bound itself by the retention window
+        val live = graft.index.IndexManifest.versions(root).toSet
+        alignedPostings.keys
+          .filter(k => k._1 == root && !live(k._2))
+          .foreach(alignedPostings.remove)
         val paths = IndexSnapshot.postingsPaths(root, m)
         val (maxFile, onePerShard) = IndexBuilder.parquetLayoutPaths(spark, paths)
         val v =
@@ -738,28 +744,37 @@ object SearchEngine {
   private val cachedPostingsAligned =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
-  /** Pin the index's postings + dictionary in executor memory for
-    * low-latency serving (reference analog: MySQL buffer pool residency).
-    * Prefers the shard-aligned scan so the cached partitioning already
-    * groups whole shards and queries run shuffle-free. Idempotent. */
+  /** Pin the CURRENT snapshot's postings + dictionary in executor memory
+    * for low-latency serving (reference analog: MySQL buffer pool
+    * residency); prefers the shard-aligned scan so the cached
+    * partitioning already groups whole shards and queries run
+    * shuffle-free. Re-invoking after
+    * an external writer committed a newer snapshot REFRESHES the pins
+    * (drops the stale frames, rebuilds, restamps) — a getOrElseUpdate
+    * would silently keep serving-bypassing stale entries forever. The
+    * snapshot stamp is written only after BOTH frames are built from the
+    * same pinned manifest, so an interleaved disable can never leave one
+    * stale frame passing cacheMatches under a newer stamp. */
   def enableServingCache(spark: SparkSession, root: String): Unit = {
     val m = pinnedManifest(root)
-    cachedPostings.getOrElseUpdate(root, {
-      val (base, aligned) = alignedPostingsFor(spark, root, m) match {
-        case Some(a) => (a, true) // newSession shares the table cache
-        case None => (IndexSnapshot.postings(spark, root, m), false)
-      }
-      val df = base.cache()
-      df.count() // materialize
-      cachedPostingsAligned.put(root, aligned)
-      cachedSnapshot.put(root, m.snapshotId)
-      df
-    })
-    cachedTermStats.getOrElseUpdate(root, {
-      val df = IndexSnapshot.termStats(spark, root, m).cache()
-      df.count()
-      df
-    })
+    if (cacheMatches(root, m) && cachedPostings.contains(root) &&
+        cachedTermStats.contains(root)) return // already pinned at m
+    cachedPostings.remove(root).foreach(_.unpersist())
+    cachedTermStats.remove(root).foreach(_.unpersist())
+    cachedPostingsAligned.remove(root)
+    cachedSnapshot.remove(root)
+    val (base, aligned) = alignedPostingsFor(spark, root, m) match {
+      case Some(a) => (a, true) // newSession shares the table cache
+      case None => (IndexSnapshot.postings(spark, root, m), false)
+    }
+    val p = base.cache()
+    p.count() // materialize
+    val ts = IndexSnapshot.termStats(spark, root, m).cache()
+    ts.count()
+    cachedPostings.put(root, p)
+    cachedPostingsAligned.put(root, aligned)
+    cachedTermStats.put(root, ts)
+    cachedSnapshot.put(root, m.snapshotId) // stamp LAST
     ()
   }
 

@@ -241,6 +241,32 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     assert(IndexManifest.read(root).get.snapshotId == winner.snapshotId + 1)
   }
 
+  test("serving cache refresh: an EXTERNAL writer's commit is picked up by re-enabling") {
+    val corpus = TranscriptGen.corpus(seed = 27L, nConvs = 60)
+    val root = SparkTestBase.tmpDir("graft-extwriter")
+    IndexBuilder.build(spark, spark.createDataset(corpus), root,
+      shards = 4, waveSize = 4, maxChunkPostings = 64)
+    SearchEngine.enableServingCache(spark, root)
+    try {
+      val before = SearchEngine.query(spark, root, "needlemid w0000", "AND", 10)
+      // simulate a SEPARATE writer process: commit a new snapshot without
+      // this process's disableServingCache hook ever firing (same data —
+      // only the version moves)
+      val m = IndexManifest.read(root).get
+      IndexManifest.commit(root, m.copy(snapshotId = m.snapshotId + 1),
+        expectNew = true)
+      // queries bypass the now-stale pin (snapshot stamp mismatch) but
+      // stay correct
+      assert(SearchEngine.query(spark, root, "needlemid w0000", "AND", 10)
+        == before)
+      // re-enabling REFRESHES the pin instead of no-opping on the stale
+      // entry; queries then serve from the new pin
+      SearchEngine.enableServingCache(spark, root)
+      assert(SearchEngine.query(spark, root, "needlemid w0000", "AND", 10)
+        == before)
+    } finally SearchEngine.disableServingCache(root)
+  }
+
   test("scoped-query segment + df caches: one computation per (snapshot, scope)") {
     val corpus = TranscriptGen.corpus(seed = 24L, nConvs = 80)
     val root = SparkTestBase.tmpDir("graft-scopecache")

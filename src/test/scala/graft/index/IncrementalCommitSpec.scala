@@ -90,6 +90,63 @@ class IncrementalCommitSpec extends AnyFunSuite {
     }
   }
 
+  test("30-op mixed chain: rolled totals accumulate NO drift (streaming-ingest cadence)") {
+    // the incremental roll-forward's failure mode is cumulative drift —
+    // any error in one op's delta poisons every later snapshot. Drive a
+    // seeded mixed sequence at micro-batch cadence and prove the final
+    // state byte-exact against full recomputation + the naive scorer.
+    val corpus = TranscriptGen.corpus(seed = 33L, nConvs = 100)
+    val root = SparkTestBase.tmpDir("graft-chain30")
+    IndexBuilder.build(spark, spark.createDataset(corpus), root,
+      shards = 4, waveSize = 4, maxChunkPostings = 64)
+    val rnd = new scala.util.Random(404L)
+    var appended = 0
+    val liveConvs = scala.collection.mutable.Set(corpus.map(_.conv_id): _*)
+    (1 to 30).foreach { i =>
+      rnd.nextInt(10) match {
+        case d if d < 6 => // time-ordered micro-append (the hot path)
+          appended += 1
+          val conv = f"zz-chain-$appended%04d"
+          IndexMaintenance.appendConversations(spark, root,
+            (0 until 1 + rnd.nextInt(3)).map(j =>
+              Turn(conv, j, "user", s"zzchain $conv turn $j w000${rnd.nextInt(5)}",
+                "", ts)))
+          liveConvs += conv
+          assert(IndexMaintenance.lastKeyCheckShards.get() == 0,
+            s"op $i: time-ordered append must scan zero shards")
+        case d if d < 8 => // delete a random live conv
+          val victim = liveConvs.toSeq.sorted.apply(rnd.nextInt(liveConvs.size))
+          IndexMaintenance.deleteConversations(spark, root, Set(victim))
+          liveConvs -= victim
+        case _ => // replace a random surviving fixture turn
+          corpus.find(t => liveConvs(t.conv_id)) match {
+            case Some(t) => IndexMaintenance.replaceTurns(spark, root,
+              Seq(t.copy(text = s"zzreplaced op$i ${t.text.take(30)}")))
+            case None => ()
+          }
+      }
+      if (i % 10 == 0) fsckClean(root, s"op $i")
+    }
+    fsckClean(root, "final")
+    val m = IndexManifest.read(root).get
+    assert(m.avgdl == m.sumDl.toDouble / m.nDocs)
+    // rank parity on the final state
+    Seq(("needlemid w0000", "AND", 10), ("zzchain", "OR", 20),
+        ("w0000", "OR", 15)).foreach { case (q, mo, k) =>
+      val wand = SearchEngine.query(spark, root, q, mo, k)
+      val naive = SearchEngine.queryNaive(spark, root, q, mo, k)
+        .collect().map(r =>
+          graft.model.SearchHit(r.getLong(0), r.getDouble(1))).toVector
+      assert(wand == naive, s"post-chain parity '$q' [$mo]")
+    }
+    // the previous snapshot stays time-travel-queryable after the chain
+    val vs = IndexManifest.versions(root)
+    assert(SearchEngine.queryAt(spark, root, vs.init.last,
+      "needlemid w0000", "AND", 5).nonEmpty ||
+      SearchEngine.queryAt(spark, root, vs.init.last,
+        "w0000", "OR", 5).nonEmpty)
+  }
+
   test("fsck detects a manifest whose totals were corrupted") {
     val corpus = TranscriptGen.corpus(seed = 32L, nConvs = 40)
     val root = SparkTestBase.tmpDir("graft-fsckbad")

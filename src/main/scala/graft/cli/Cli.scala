@@ -145,12 +145,16 @@ object Maintain {
     def opt(name: String): Option[String] =
       a.indexOf(name) match { case -1 => None; case i => a.lift(i + 1) }
     if (a.size < 2) sys.error(
-      "usage: Maintain <root> (delete --convs a,b | append --transcripts p [--shards N] | replace --transcripts p | expire [--keep N] | fsck)")
+      "usage: Maintain <root> (delete --convs a,b | append --transcripts p [--shards N] | replace --transcripts p | compact [--max-docs N] | expire [--keep N] | fsck)")
     val root = a(0)
     val cmd = a(1)
     val spark = CliSession.session("graft-maintain")
     import spark.implicits._
     val affected = cmd match {
+      case "compact" =>
+        // merge micro-batch shards (Lucene-merge / rewrite_data_files analog)
+        graft.index.IndexMaintenance.compactShards(spark, root,
+          opt("--max-docs").map(_.toLong).getOrElse(4000000L))
       case "expire" =>
         graft.index.IndexSnapshot.expireSnapshots(spark, root,
           opt("--keep").map(_.toInt).getOrElse(2))

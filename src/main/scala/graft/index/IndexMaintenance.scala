@@ -219,17 +219,63 @@ object IndexMaintenance {
                                 // incl. rejected batches)
   }
 
+  /** Merge small shards into fewer, larger ones — the Lucene segment-
+    * merge / Iceberg rewrite_data_files analog that keeps a streaming-
+    * ingested index healthy: every micro-batch append creates ≥1 new
+    * shard, and without compaction a long-lived index accumulates
+    * thousands of tiny shards (manifest bloat, scan fan-out, per-shard
+    * top-k overhead). docIds are UNTOUCHED — rows are only relabeled to
+    * the group's smallest shard id and re-encoded — so ranks, scoped
+    * segments and every stamped range stay exact; absorbed shard ids
+    * leave the manifest. (A later append may reuse an absorbed id —
+    * harmless: shard ids are labels, and every (generation, shard) pair
+    * is a distinct immutable dir, so no path or snapshot ambiguity can
+    * arise.)
+    *
+    * Planning is manifest-only (no scan): groups are runs of docId-
+    * ADJACENT shards whose combined docId-range size stays under
+    * `maxDocsPerShard`. Range size overestimates true doc count when
+    * deletes left gaps — a conservative bias that only under-merges.
+    * Returns the absorbed shard ids (empty = nothing worth merging). */
+  def compactShards(spark: SparkSession, root: String,
+                    maxDocsPerShard: Long = 4_000_000L): Seq[Int] = {
+    val m0 = manifestOf(root)
+    val sorted = m0.shards.filter(_.minDocId >= 0).sortBy(_.minDocId)
+    def rangeSize(e: ShardEntry): Long = e.maxDocId - e.minDocId + 1
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[ShardEntry]]
+    var cur = Vector.empty[ShardEntry]
+    var curSize = 0L
+    sorted.foreach { e =>
+      if (cur.nonEmpty && curSize + rangeSize(e) > maxDocsPerShard) {
+        if (cur.size >= 2) groups += cur
+        cur = Vector.empty; curSize = 0L
+      }
+      cur :+= e; curSize += rangeSize(e)
+    }
+    if (cur.size >= 2) groups += cur
+    if (groups.isEmpty) return Nil
+    val relabel = groups.flatMap { g =>
+      val target = g.map(_.shard).min
+      g.map(e => e.shard -> target)
+    }.toMap
+    val members = relabel.keys.toSeq.sorted
+    rewriteShards(spark, root, m0, members, relabel = relabel)
+    members.filterNot(s => relabel(s) == s) // the absorbed ids
+  }
+
   /** Core copy-on-write rewrite: re-derive docs → postings for the
     * affected shards from (old docs ∖ deleted) ∪ replacements into a NEW
-    * generation dir, recompute term_stats from the prospective posting
-    * set (exact df — the set-based analog of the reference's decrement,
-    * never ±1 mutation), commit a new manifest snapshot, then expire
-    * generations older than the grace window. */
+    * generation dir — optionally relabeling shard ids (compaction) —
+    * recompute term_stats from the prospective posting set (exact df —
+    * the set-based analog of the reference's decrement, never ±1
+    * mutation), commit a new manifest snapshot, then expire generations
+    * older than the grace window. */
   private def rewriteShards(spark: SparkSession, root: String,
                             m0: Manifest,
                             shards: Seq[Int],
                             dropConvs: Option[org.apache.spark.sql.DataFrame] = None,
-                            replace: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
+                            replace: Option[org.apache.spark.sql.DataFrame] = None,
+                            relabel: Map[Int, Int] = Map.empty): Unit = {
     import spark.implicits._
     if (shards.isEmpty) return
     val P = IndexBuilder.Paths(root)
@@ -271,9 +317,16 @@ object IndexMaintenance {
     // invariant the aligned query scan and the chunk-ordinal metric
     // depend on: without it a big shard's rows would split across tasks
     // and each task would write its own fragment file into the shard dir.
+    // Compaction relabels shard ids here (docIds untouched).
+    val relabelCol: org.apache.spark.sql.Column =
+      if (relabel.isEmpty) $"shard"
+      else {
+        val mapping = typedLit(relabel)
+        coalesce(mapping($"shard"), $"shard").cast("int")
+      }
     newDocs
       .select($"docId", $"conv_id", $"turn_idx", $"role", $"text", $"tool",
-        $"dl", $"shard")
+        $"dl", relabelCol.as("shard"))
       .repartition($"shard")
       .sortWithinPartitions($"shard", $"docId")
       .write.mode(SaveMode.Overwrite).partitionBy("shard")
@@ -306,10 +359,14 @@ object IndexMaintenance {
       }
     } // else: every affected shard's docs were deleted — no postings dir
 
+    // surviving entry ids: relabel targets for compaction, the shards
+    // themselves otherwise; absorbed source ids get NO entry and leave
+    // the manifest (replacedShards drops them)
+    val entryIds = shards.map(s0 => relabel.getOrElse(s0, s0)).distinct
     val written = acc.value.keySet
     val newEntries = acc.value.toSeq.map { case (s0, (t, p, b, d)) =>
       ShardEntry(s0, t, p, b, Seq(s0), sumDl = d, gen = newGen) } ++
-      shards.filterNot(written).map(s0 =>
+      entryIds.filterNot(written).map(s0 =>
         ShardEntry(s0, 0L, 0L, 0L, Seq(s0), gen = newGen))
 
     // flush pinned frames/memos BEFORE the flip (bumps the memo

@@ -131,6 +131,10 @@ object Query {
   *   Maintain <root> delete --convs a,b,c
   *   Maintain <root> append --transcripts <parquet> [--shards N]
   *   Maintain <root> replace --transcripts <parquet>
+  *   Maintain <root> compact [--max-docs N]  (merge micro-batch shard
+  *                                        fragments — Lucene-merge /
+  *                                        rewrite_data_files analog;
+  *                                        docIds and results unchanged)
   *   Maintain <root> expire [--keep N]   (reclaim generations outside the
   *                                        retention window — Iceberg's
   *                                        expire_snapshots analog; the
@@ -184,7 +188,8 @@ object Maintain {
       case other => sys.error(s"unknown subcommand '$other'")
     }
     val m = graft.index.IndexManifest.read(root).get
-    println(s"maintain $cmd: affected shards=${affected.mkString(",")} " +
+    val label = if (cmd == "compact") "absorbed shards" else "affected shards"
+    println(s"maintain $cmd: $label=${affected.mkString(",")} " +
       s"snapshot=${m.snapshotId} docs=${m.nDocs}")
     spark.stop()
   }

@@ -232,27 +232,40 @@ object IndexMaintenance {
     * is a distinct immutable dir, so no path or snapshot ambiguity can
     * arise.)
     *
-    * Planning is manifest-only (no scan): groups are runs of docId-
-    * ADJACENT shards whose combined docId-range size stays under
-    * `maxDocsPerShard`. Range size overestimates true doc count when
-    * deletes left gaps — a conservative bias that only under-merges.
+    * Planning is manifest-only (no scan): only FRAGMENTS — shards whose
+    * docId-range size is under `smallShardDocs` (default
+    * maxDocsPerShard/4) — are merge candidates; healthy shards are never
+    * rewritten and act as run barriers, so compaction cannot collapse a
+    * well-sized index into one giant shard (the Lucene tiered-merge
+    * floor). Groups are runs of docId-ADJACENT fragments whose combined
+    * range stays under `maxDocsPerShard`. Range size overestimates true
+    * doc count when deletes left gaps — a conservative bias that only
+    * under-merges. Idempotent at fixed parameters: a merged shard that
+    * is still fragment-sized has no ≥2-member group left to join.
     * Returns the absorbed shard ids (empty = nothing worth merging). */
   def compactShards(spark: SparkSession, root: String,
-                    maxDocsPerShard: Long = 4_000_000L): Seq[Int] = {
+                    maxDocsPerShard: Long = 4_000_000L,
+                    smallShardDocs: Long = -1L): Seq[Int] = {
     val m0 = manifestOf(root)
+    val small = if (smallShardDocs > 0) smallShardDocs
+                else math.max(1L, maxDocsPerShard / 4)
     val sorted = m0.shards.filter(_.minDocId >= 0).sortBy(_.minDocId)
     def rangeSize(e: ShardEntry): Long = e.maxDocId - e.minDocId + 1
     val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[ShardEntry]]
     var cur = Vector.empty[ShardEntry]
     var curSize = 0L
-    sorted.foreach { e =>
-      if (cur.nonEmpty && curSize + rangeSize(e) > maxDocsPerShard) {
-        if (cur.size >= 2) groups += cur
-        cur = Vector.empty; curSize = 0L
-      }
-      cur :+= e; curSize += rangeSize(e)
+    def flush(): Unit = {
+      if (cur.size >= 2) groups += cur
+      cur = Vector.empty; curSize = 0L
     }
-    if (cur.size >= 2) groups += cur
+    sorted.foreach { e =>
+      if (rangeSize(e) >= small) flush() // healthy shard: barrier
+      else {
+        if (cur.nonEmpty && curSize + rangeSize(e) > maxDocsPerShard) flush()
+        cur :+= e; curSize += rangeSize(e)
+      }
+    }
+    flush()
     if (groups.isEmpty) return Nil
     val relabel = groups.flatMap { g =>
       val target = g.map(_.shard).min
@@ -361,20 +374,28 @@ object IndexMaintenance {
 
     // surviving entry ids: relabel targets for compaction, the shards
     // themselves otherwise; absorbed source ids get NO entry and leave
-    // the manifest (replacedShards drops them)
+    // the manifest (replacedShards drops them). Merged entries keep the
+    // absorbed members as LINEAGE (sourcePartitions — the reference's
+    // DetailedStatisticsItem provenance analog).
+    val lineage: Map[Int, Seq[Int]] =
+      relabel.groupBy(_._2).map { case (t, kvs) => t -> kvs.keys.toSeq.sorted }
     val entryIds = shards.map(s0 => relabel.getOrElse(s0, s0)).distinct
     val written = acc.value.keySet
     val newEntries = acc.value.toSeq.map { case (s0, (t, p, b, d)) =>
-      ShardEntry(s0, t, p, b, Seq(s0), sumDl = d, gen = newGen) } ++
+      ShardEntry(s0, t, p, b, lineage.getOrElse(s0, Seq(s0)), sumDl = d,
+        gen = newGen) } ++
       entryIds.filterNot(written).map(s0 =>
-        ShardEntry(s0, 0L, 0L, 0L, Seq(s0), gen = newGen))
+        ShardEntry(s0, 0L, 0L, 0L, lineage.getOrElse(s0, Seq(s0)), gen = newGen))
 
     // flush pinned frames/memos BEFORE the flip (bumps the memo
     // generation so an in-flight pre-commit compute cannot insert), and
     // AGAIN after so nothing memoized between the two survives
     SearchEngine.disableServingCache(root)
     commitSnapshot(spark, root, m0, replacedShards = shards,
-      newEntries = newEntries, newGen = newGen)
+      newEntries = newEntries, newGen = newGen,
+      // pure relabeling leaves every term's df/maxTf/sumTf untouched —
+      // the dictionary is reused, not re-aggregated
+      reuseDictionary = relabel.nonEmpty && dropConvs.isEmpty && replace.isEmpty)
     SearchEngine.disableServingCache(root)
     IndexSnapshot.expireSnapshots(spark, root, keepSnapshots)
   }
@@ -541,7 +562,8 @@ object IndexMaintenance {
                              m0: Manifest,
                              replacedShards: Seq[Int],
                              newEntries: Seq[ShardEntry],
-                             newGen: Long): Unit = {
+                             newGen: Long,
+                             reuseDictionary: Boolean = false): Unit = {
     import spark.implicits._
     val P = IndexBuilder.Paths(root)
     // one column-pruned agg over the new generation's docs (exclusively
@@ -562,7 +584,10 @@ object IndexMaintenance {
       replacedShards.contains(s.shard) ||
       stamped.exists(_.shard == s.shard)) ++ stamped
 
-    // term stats, written to the new generation (never an in-place swap):
+    // term stats, per op class:
+    //  - COMPACTION (pure relabel): provably identical dictionary — the
+    //    new snapshot REFERENCES the old term_stats generation (dirs are
+    //    immutable and retention keeps referenced gens), zero I/O;
     //  - APPEND (no shards replaced): roll the dictionary forward with a
     //    vocab-sized full-outer join against the NEW shards' aggregates —
     //    EXACT, because appends only add postings (df/sumTf are sums,
@@ -572,9 +597,11 @@ object IndexMaintenance {
     //    the prospective per-chunk pre-aggregates exactly (≤ shards ×
     //    chunks METADATA rows per term, no posting blobs read — hot-term
     //    skew structurally bounded).
+    val statsGen = if (reuseDictionary) m0.statsGen else newGen
     val appendOnly = replacedShards.isEmpty
     val statsDf =
-      if (appendOnly) {
+      if (reuseDictionary) null
+      else if (appendOnly) {
         val delta = IndexSnapshot.postingsOf(spark, root,
             stamped.filter(_.postings > 0))
           .groupBy($"term")
@@ -595,9 +622,10 @@ object IndexMaintenance {
             sum($"sumTf").as("sumTf"))
           .select($"term", $"df", $"maxTf".cast("int").as("maxTf"), $"sumTf")
       }
-    statsDf.write.mode(SaveMode.Overwrite).parquet(P.termStatsGen(newGen))
+    if (statsDf != null)
+      statsDf.write.mode(SaveMode.Overwrite).parquet(P.termStatsGen(statsGen))
 
-    val prospectiveM = m0.copy(shards = prospective, statsGen = newGen)
+    val prospectiveM = m0.copy(shards = prospective, statsGen = statsGen)
     val (n, fp, sumDl) =
       if (m0.sumDl >= 0L) {
         // incremental roll-forward (O(affected + batch))

@@ -39,12 +39,26 @@ class CompactionSpec extends AnyFunSuite {
     val scopedBefore = SearchEngine.query(spark, root, "zzcompact", "OR", 10,
       convPrefix = Some("zz-mb-00"))
 
+    // fragment threshold 100 docs: the 8 tiny append shards (2 docs
+    // each) merge; the ~500-doc build shards are HEALTHY and untouched
     val absorbed = IndexMaintenance.compactShards(spark, root,
-      maxDocsPerShard = 100000L)
-    assert(absorbed.nonEmpty, "fragmented index must have merge candidates")
+      maxDocsPerShard = 100000L, smallShardDocs = 100L)
+    assert(absorbed.size == 7, s"8 fragments must merge into 1: $absorbed")
     val m1 = IndexManifest.read(root).get
-    assert(m1.shards.size < m0.shards.size,
+    assert(m1.shards.size == m0.shards.size - 7,
       s"compaction must shrink the manifest: ${m0.shards.size} -> ${m1.shards.size}")
+    // healthy build shards never rewritten (entries byte-identical)
+    val buildIds = (0 until 4).toSet
+    assert(m1.shards.filter(e => buildIds(e.shard)).sortBy(_.shard) ==
+      m0.shards.filter(e => buildIds(e.shard)).sortBy(_.shard),
+      "healthy shards must not be touched by fragment compaction")
+    // merged entry carries the absorbed members as lineage
+    val merged = m1.shards.find(e => !buildIds(e.shard) && e.minDocId >= 0).get
+    assert(merged.sourcePartitions.toSet == (absorbed.toSet + merged.shard),
+      s"merged lineage must list all members: ${merged.sourcePartitions}")
+    // pure relabeling reuses the dictionary generation (zero dict I/O)
+    assert(m1.statsGen == m0.statsGen,
+      "compaction must reference the unchanged dictionary, not rewrite it")
     assert(m1.nDocs == m0.nDocs && m1.inputFingerprint == m0.inputFingerprint,
       "compaction must not change corpus content")
     // docId ranges still disjoint and covering the same ids
@@ -72,9 +86,12 @@ class CompactionSpec extends AnyFunSuite {
     // pre-compaction snapshot still time-travel-queryable (grace)
     assert(SearchEngine.queryAt(spark, root, m0.snapshotId,
       "zzcompact", "OR", 20) == before(1))
-    // a fully-compacted index has nothing left to merge at this cap
-    assert(IndexMaintenance.compactShards(spark, root, 100000L).isEmpty ||
-      IndexManifest.read(root).get.shards.size <= m1.shards.size)
+    // IDEMPOTENT at fixed parameters: the merged fragment has no
+    // ≥2-member group left to join, so a re-run does nothing
+    assert(IndexMaintenance.compactShards(spark, root,
+      maxDocsPerShard = 100000L, smallShardDocs = 100L).isEmpty,
+      "re-running compaction with identical parameters must be a no-op")
+    assert(IndexManifest.read(root).get.snapshotId == m1.snapshotId)
   }
 
   test("compaction is a no-op when shards already exceed the cap") {

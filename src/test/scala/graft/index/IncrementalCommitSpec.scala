@@ -118,11 +118,12 @@ class IncrementalCommitSpec extends AnyFunSuite {
           val victim = liveConvs.toSeq.sorted.apply(rnd.nextInt(liveConvs.size))
           IndexMaintenance.deleteConversations(spark, root, Set(victim))
           liveConvs -= victim
-        case _ => // replace a random surviving fixture turn
-          corpus.find(t => liveConvs(t.conv_id)) match {
-            case Some(t) => IndexMaintenance.replaceTurns(spark, root,
+        case _ => // replace a RANDOM surviving fixture turn (any shard)
+          val survivors = corpus.filter(t => liveConvs(t.conv_id))
+          if (survivors.nonEmpty) {
+            val t = survivors(rnd.nextInt(survivors.size))
+            IndexMaintenance.replaceTurns(spark, root,
               Seq(t.copy(text = s"zzreplaced op$i ${t.text.take(30)}")))
-            case None => ()
           }
       }
       if (i % 10 == 0) fsckClean(root, s"op $i")

@@ -86,20 +86,21 @@ object Query {
     val conv = opt("--conv")
     val scopes = opt("--scopes").map(_.split(",").toSeq.filter(_.nonEmpty))
     val snapshot = opt("--snapshot").map(_.toLong) // time travel (retained only)
-    require(snapshot.isEmpty ||
-        (conv.isEmpty && scopes.isEmpty && !a.contains("--naive")),
-      "--snapshot cannot be combined with --conv/--scopes/--naive " +
-      "(scoped/naive time travel is not implemented); drop one of them")
+    require(snapshot.isEmpty || !a.contains("--naive"),
+      "--snapshot cannot be combined with --naive (the naive backstop " +
+      "always answers from the current snapshot); drop one of them")
     val spark = CliSession.session("graft-query")
     val t0 = System.nanoTime()
     val hits =
       if (a.contains("--naive"))
         SearchEngine.queryNaive(spark, root, q, mode, k).collect()
           .map(r => graft.model.SearchHit(r.getLong(0), r.getDouble(1))).toVector
-      else (snapshot, scopes) match {
-        case (Some(v), _) => SearchEngine.queryAt(spark, root, v, q, mode, k)
-        case (_, Some(ss)) => SearchEngine.queryScoped(spark, root, q, mode, k, ss)
-        case _ => SearchEngine.query(spark, root, q, mode, k, convPrefix = conv)
+      else (snapshot, scopes.orElse(conv.map(Seq(_)))) match {
+        case (Some(v), ss) =>
+          SearchEngine.queryAt(spark, root, v, q, mode, k, ss.getOrElse(Nil))
+        case (None, Some(ss)) =>
+          SearchEngine.queryScoped(spark, root, q, mode, k, ss)
+        case _ => SearchEngine.query(spark, root, q, mode, k)
       }
     val ms = (System.nanoTime() - t0) / 1e6
     println(f"query='$q' mode=$mode k=$k → ${hits.size} hits in $ms%.0f ms")

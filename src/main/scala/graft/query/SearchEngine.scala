@@ -94,12 +94,21 @@ object SearchEngine {
     * results never cross-contaminate a serving cache. */
   def queryAt(spark: SparkSession, root: String, snapshotId: Long,
               queryText: String, mode: String = "AND",
-              k: Int = 10): Vector[SearchHit] = {
+              k: Int = 10, scopes: Seq[String] = Nil): Vector[SearchHit] = {
     require(IndexManifest.versions(root).contains(snapshotId),
       s"snapshot $snapshotId not available at $root (expired or never " +
       s"committed); retained: ${IndexManifest.versions(root).mkString(",")}")
-    queryResolved(spark, root, IndexManifest.readVersion(root, snapshotId),
-      queryText, mode, k)
+    val m = IndexManifest.readVersion(root, snapshotId)
+    if (scopes.isEmpty) queryResolved(spark, root, m, queryText, mode, k)
+    else {
+      // scoped time travel: the scoped path already pins one manifest
+      // end-to-end, and scope/segment/df memos key by snapshot id
+      val terms = Analyzer.analyzeQueryFor(m.analyzerVersion, queryText)
+      if (terms.isEmpty) Vector.empty
+      else memoized(root, QueryKey(terms, mode, k, scopes, m.snapshotId)) {
+        queryScopedUncached(spark, root, m, terms, mode, k, scopes)
+      }
+    }
   }
 
   /** Unscoped query against ONE pinned snapshot (see [[pinnedManifest]]). */
@@ -204,8 +213,11 @@ object SearchEngine {
       case Some(v) => v
       case None =>
         val v = computeScopeSegments(spark, root, m, prefix)
+        // prune entries for snapshots no longer on disk (keep the
+        // retained ones — scoped time travel alternates between them)
+        val live = IndexManifest.versions(root).toSet
         scopeSegCache.keys
-          .filter(k0 => k0._1 == root && k0._2 != m.snapshotId)
+          .filter(k0 => k0._1 == root && !live(k0._2))
           .foreach(scopeSegCache.remove)
         scopeSegCache.put(key, v)
         v
@@ -298,8 +310,9 @@ object SearchEngine {
     val missing = terms.filterNot(cached.contains)
     if (missing.isEmpty) return cached
     val computed = computeScopedTermDf(spark, root, m, missing, segments)
+    val live = IndexManifest.versions(root).toSet
     scopeDfCache.keys
-      .filter(k0 => k0._1 == root && k0._2 != m.snapshotId)
+      .filter(k0 => k0._1 == root && !live(k0._2))
       .foreach(scopeDfCache.remove)
     // a term absent from the scoped postings has df 0 — cache that too,
     // or every repeat query with it would rescan

@@ -209,6 +209,20 @@ class SnapshotIsolationSpec extends AnyFunSuite {
         "time travel with the serving cache enabled must serve the " +
         "pinned snapshot's data, not the cached current snapshot's")
     } finally SearchEngine.disableServingCache(root)
+    // scoped time travel: per-scope stats/segments resolve from the
+    // pinned historical snapshot
+    val pre = IndexBuilder.loadDocs(spark, root).toDF()
+      .filter($"docId" === r1.head.docId).select($"conv_id").head()
+      .getString(0)
+    val scopedNow = SearchEngine.query(spark, root, q._1, "OR", 10,
+      convPrefix = Some(pre))
+    assert(SearchEngine.queryAt(spark, root, v1, q._1, "OR", 10,
+      scopes = Seq(pre)) == scopedNow)
+    val scopedOld = SearchEngine.queryAt(spark, root, v0, q._1, "OR", 10,
+      scopes = Seq(victim))
+    assert(scopedOld.nonEmpty,
+      "the deleted conversation must still answer scoped queries at v0")
+
     // a second maintenance op expires v0 → time travel to it refuses
     IndexMaintenance.deleteConversations(spark, root, Set("conv-00000020"))
     val e = intercept[IllegalArgumentException] {

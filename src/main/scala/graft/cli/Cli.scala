@@ -90,6 +90,12 @@ object Query {
       "--snapshot cannot be combined with --naive (the naive backstop " +
       "always answers from the current snapshot); drop one of them")
     val spark = CliSession.session("graft-query")
+    // pin the historical manifest BEFORE querying: the preview below must
+    // not re-resolve it after the query (a concurrent writer's expiry
+    // between the two would crash with a raw FileNotFound instead of the
+    // loud retention message)
+    val pinned = snapshot.map(v =>
+      graft.index.IndexManifest.readVersion(root, v))
     val t0 = System.nanoTime()
     val hits =
       if (a.contains("--naive"))
@@ -105,11 +111,10 @@ object Query {
     val ms = (System.nanoTime() - t0) / 1e6
     println(f"query='$q' mode=$mode k=$k → ${hits.size} hits in $ms%.0f ms")
     // hit previews must come from the SAME snapshot the hits did
-    val docs = snapshot match {
-      case Some(v) =>
+    val docs = pinned match {
+      case Some(m) =>
         import spark.implicits._
-        graft.index.IndexSnapshot.docs(spark, root,
-          graft.index.IndexManifest.readVersion(root, v)).as[graft.model.Doc]
+        graft.index.IndexSnapshot.docs(spark, root, m).as[graft.model.Doc]
       case None => graft.index.IndexBuilder.loadDocs(spark, root)
     }
     val byId = if (hits.isEmpty) Map.empty[Long, String] else {

@@ -253,16 +253,21 @@ object IndexMaintenance {
     def rangeSize(e: ShardEntry): Long = e.maxDocId - e.minDocId + 1
     val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[ShardEntry]]
     var cur = Vector.empty[ShardEntry]
-    var curSize = 0L
     def flush(): Unit = {
       if (cur.size >= 2) groups += cur
-      cur = Vector.empty; curSize = 0L
+      cur = Vector.empty
     }
+    // the cap bounds the merged SPAN (last.maxDocId − first.minDocId),
+    // not the sum of member sizes: fully-deleted shards leave docId gaps
+    // that sort-adjacent fragments straddle, and a span-oversized merged
+    // range would both break the documented cap and widen every later
+    // shardsIntersecting prune that crosses the gap
     sorted.foreach { e =>
       if (rangeSize(e) >= small) flush() // healthy shard: barrier
       else {
-        if (cur.nonEmpty && curSize + rangeSize(e) > maxDocsPerShard) flush()
-        cur :+= e; curSize += rangeSize(e)
+        if (cur.nonEmpty &&
+            e.maxDocId - cur.head.minDocId + 1 > maxDocsPerShard) flush()
+        cur :+= e
       }
     }
     flush()

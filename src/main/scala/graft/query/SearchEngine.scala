@@ -199,6 +199,18 @@ object SearchEngine {
     .empty[(String, Long, String), Vector[ScopeSegment]]
   private val scopeDfCache = scala.collection.concurrent.TrieMap
     .empty[(String, Long, String, String), Long]
+  // stale-entry pruning needs a versions() dir listing — run it only
+  // when a snapshot id UNSEEN since the last prune inserts, not on every
+  // cache miss (a serving workload's novel (scope, term) pairs would
+  // otherwise each pay remote-FS metadata I/O)
+  private val lastPruneSnapshot =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def pruneStaleOnNewSnapshot(root: String, snapId: Long)
+                                     (prune: Set[Long] => Unit): Unit =
+    if (!lastPruneSnapshot.get(root).contains(snapId)) {
+      prune(IndexManifest.versions(root).toSet)
+      lastPruneSnapshot.put(root, snapId)
+    }
   /** # of actual (non-cached) segment computations — test observability. */
   private[graft] val scopeSegComputes = new java.util.concurrent.atomic.AtomicLong
   /** # shards the last segment computation scanned (-1 = unpruned). */
@@ -215,10 +227,14 @@ object SearchEngine {
         val v = computeScopeSegments(spark, root, m, prefix)
         // prune entries for snapshots no longer on disk (keep the
         // retained ones — scoped time travel alternates between them)
-        val live = IndexManifest.versions(root).toSet
-        scopeSegCache.keys
-          .filter(k0 => k0._1 == root && !live(k0._2))
-          .foreach(scopeSegCache.remove)
+        pruneStaleOnNewSnapshot(root, m.snapshotId) { live =>
+          scopeSegCache.keys
+            .filter(k0 => k0._1 == root && !live(k0._2))
+            .foreach(scopeSegCache.remove)
+          scopeDfCache.keys
+            .filter(k0 => k0._1 == root && !live(k0._2))
+            .foreach(scopeDfCache.remove)
+        }
         scopeSegCache.put(key, v)
         v
     }
@@ -310,10 +326,8 @@ object SearchEngine {
     val missing = terms.filterNot(cached.contains)
     if (missing.isEmpty) return cached
     val computed = computeScopedTermDf(spark, root, m, missing, segments)
-    val live = IndexManifest.versions(root).toSet
-    scopeDfCache.keys
-      .filter(k0 => k0._1 == root && !live(k0._2))
-      .foreach(scopeDfCache.remove)
+    // stale pruning rides on scopeSegments' per-new-snapshot sweep (a
+    // scoped query always resolves segments before dfs)
     // a term absent from the scoped postings has df 0 — cache that too,
     // or every repeat query with it would rescan
     missing.foreach(t => scopeDfCache.put((root, m.snapshotId, prefix, t),
@@ -728,10 +742,14 @@ object SearchEngine {
       case _ =>
         // entries for other RETAINED snapshots stay (time travel
         // alternates between them); entries for snapshots no longer on
-        // disk are pruned here — in a reader-only process no maintenance
-        // ever calls disableServingCache, and each entry pins a cloned
-        // session, so the map must bound itself by the retention window
-        val live = graft.index.IndexManifest.versions(root).toSet
+        // disk are pruned on first sight of a new snapshot — in a
+        // reader-only process no maintenance ever calls
+        // disableServingCache, and each entry pins a cloned session, so
+        // the map must bound itself by the retention window. (A build
+        // per (root, snapshot) is already a listing-heavy event; the
+        // versions() listing here is once per new snapshot, not per
+        // query.)
+        val live = IndexManifest.versions(root).toSet
         alignedPostings.keys
           .filter(k => k._1 == root && !live(k._2))
           .foreach(alignedPostings.remove)
@@ -804,6 +822,7 @@ object SearchEngine {
     alignedPostings.keys.filter(_._1 == root).foreach(alignedPostings.remove)
     scopeSegCache.keys.filter(_._1 == root).foreach(scopeSegCache.remove)
     scopeDfCache.keys.filter(_._1 == root).foreach(scopeDfCache.remove)
+    lastPruneSnapshot.remove(root)
     resultCaches.get(root).foreach { lru =>
       cacheGen(root).incrementAndGet() // BEFORE clear: gates in-flight puts
       lru.synchronized(lru.clear())

@@ -127,6 +127,18 @@ class IncrementalCommitSpec extends AnyFunSuite {
           }
       }
       if (i % 10 == 0) fsckClean(root, s"op $i")
+      if (i == 15) {
+        // mid-chain compaction: merging micro-batch fragments must
+        // compose with the incremental roll-forward (totals unchanged)
+        val mPre = IndexManifest.read(root).get
+        IndexMaintenance.compactShards(spark, root,
+          maxDocsPerShard = 100000L, smallShardDocs = 200L)
+        val mPost = IndexManifest.read(root).get
+        assert(mPost.inputFingerprint == mPre.inputFingerprint &&
+          mPost.nDocs == mPre.nDocs && mPost.sumDl == mPre.sumDl,
+          "compaction must preserve every rolled total")
+        fsckClean(root, "mid-chain compaction")
+      }
     }
     fsckClean(root, "final")
     val m = IndexManifest.read(root).get

@@ -93,9 +93,17 @@ object Query {
     // pin the historical manifest BEFORE querying: the preview below must
     // not re-resolve it after the query (a concurrent writer's expiry
     // between the two would crash with a raw FileNotFound instead of the
-    // loud retention message)
-    val pinned = snapshot.map(v =>
-      graft.index.IndexManifest.readVersion(root, v))
+    // loud retention message). Validate retention FIRST for the same
+    // reason — an already-expired snapshot must surface the loud
+    // retained-versions message, not a raw FileNotFoundException from
+    // this pre-pin (ADVICE r04 item 4).
+    val pinned = snapshot.map { v =>
+      val retained = graft.index.IndexManifest.versions(root)
+      require(retained.contains(v),
+        s"snapshot $v not available at $root (expired or never " +
+        s"committed); retained: ${retained.mkString(",")}")
+      graft.index.IndexManifest.readVersion(root, v)
+    }
     val t0 = System.nanoTime()
     val hits =
       if (a.contains("--naive"))

@@ -149,22 +149,31 @@ object IndexMaintenance {
                             convs: org.apache.spark.sql.DataFrame): Seq[Int] = {
     import spark.implicits._
     val m0 = manifestOf(root)
-    val drop = broadcast(convs.select(col("conv_id")).distinct())
+    // several jobs read the tombstone set (range bounds, shard targeting,
+    // the rewrite's anti-join): pin ONE evaluation so a value-
+    // nondeterministic source cannot compute conv-range candidates from
+    // one row set and anti-join another, silently leaving victims
+    // undeleted in pruned-away shards (ADVICE r04 item 2 — same contract
+    // as replaceTurnsDs / appendConversationsDs)
+    val drop = convs.select(col("conv_id")).distinct().localCheckpoint(true)
+    try {
     // conv-range shard pruning: only shards whose manifest conv range
     // intersects the tombstones' range can hold victims. All discovery
     // reads touch IMMUTABLE generation dirs, so the serving caches stay
     // up until the rewrite itself (a no-op delete flushes nothing).
-    val b = convs.agg(min(col("conv_id")), max(col("conv_id"))).head()
+    val b = drop.agg(min(col("conv_id")), max(col("conv_id"))).head()
     if (b.isNullAt(0)) { lastKeyCheckShards.set(0); return Nil } // empty set
     val candidates = convCandidates(m0, b.getString(0), b.getString(1))
     lastKeyCheckShards.set(candidates.size)
     if (candidates.isEmpty) return Nil
     val affected = IndexSnapshot.docsFor(spark, root, m0, candidates)
-      .join(drop, Seq("conv_id"), "left_semi")
+      .join(broadcast(drop), Seq("conv_id"), "left_semi")
       .select($"shard").distinct().as[Int].collect().toSeq.sorted
     if (affected.isEmpty) return Nil
-    rewriteShards(spark, root, m0, affected, dropConvs = Some(drop))
+    rewriteShards(spark, root, m0, affected, dropConvs = Some(broadcast(drop)))
     affected
+    } finally drop.unpersist() // free the checkpoint blocks (tombstone
+                               // streams call this per batch)
   }
 
   /** Replace the text of existing turns (same (conv_id, turn_idx) keys ⇒
@@ -463,9 +472,17 @@ object IndexMaintenance {
       if (stamped.nonEmpty &&
           m0.shards.forall(e => e.maxDocId >= 0 || e.postings == 0))
         stamped.map(_.maxDocId).max
-      else IndexSnapshot.docs(spark, root, m0)
-        .agg(max($"docId")).head().getLong(0)
-    val maxShard = m0.shards.map(_.shard).max
+      else {
+        // docs-scan fallback (legacy-unstamped manifest). An index whose
+        // docs are ALL deleted (or a legacy empty one) yields a NULL max —
+        // start the docId space at 0 rather than NPE-wedging every retry
+        // of a streaming ingest into an emptied index (ADVICE r04 item 1)
+        val r = IndexSnapshot.docs(spark, root, m0).agg(max($"docId")).head()
+        if (r.isNullAt(0)) -1L else r.getLong(0)
+      }
+    // an all-deleted index may carry an empty shard list — fresh shards
+    // then start at 0, same as a fresh build
+    val maxShard = m0.shards.foldLeft(-1)((a, e) => math.max(a, e.shard))
     // existing keys are rejected distributively (semi join — only the ≤5
     // offending examples ever reach the driver). Conv-range shard
     // pruning makes this O(intersecting shards), and for time-ordered

@@ -172,6 +172,18 @@ object IndexSnapshot {
     def orphanOld(st: org.apache.hadoop.fs.FileStatus): Boolean =
       now - st.getModificationTime > orphanGraceMs
 
+    // Delete the EXPIRING MANIFEST FILES FIRST, data dirs after (ADVICE
+    // r04 item 3): the invariant is that any manifest versions() can
+    // still resolve must stay fully readable. A crash after this loop
+    // but before the dir sweep leaves retained manifests + some
+    // unreferenced (now orphan) data dirs — re-running expire reclaims
+    // them. The reverse order left listed manifest files whose
+    // generation dirs were already gone: queryAt would pass its
+    // retention require() and then die on a raw parquet path error.
+    vs.dropRight(math.max(1, keepLast)).foreach { v =>
+      fs.delete(IndexManifest.manifestPath(root, v), false)
+    }
+
     def leafName(n: String, prefix: String): Option[Long] =
       if (n.startsWith(prefix)) scala.util.Try(n.stripPrefix(prefix).toLong).toOption
       else None
@@ -222,11 +234,6 @@ object IndexSnapshot {
         if (!statsKeep(g) && (statsKnown(g) || orphanOld(st)))
           fs.delete(st.getPath, true)
       }
-    }
-    // expired manifest files (any on-disk manifest must stay readable —
-    // its data dirs survive — so drop the ones whose dirs we just freed)
-    vs.dropRight(math.max(1, keepLast)).foreach { v =>
-      fs.delete(IndexManifest.manifestPath(root, v), false)
     }
     // stale per-attempt manifest tmp files from crashed commits
     fs.listStatus(new org.apache.hadoop.fs.Path(root)).foreach { st =>

@@ -411,4 +411,55 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(docs.select("docId").distinct().count() == n1 + 1,
       "docIds must stay unique across appends")
   }
+
+  test("append onto a fully-deleted index restarts the docId space (no NPE wedge)") {
+    // ADVICE r04 item 1: after deleting EVERY conversation all manifest
+    // entries carry maxDocId = -1, so the append's docs-scan fallback
+    // aggregates an empty frame — the null max must become baseDocId 0,
+    // not an NPE that wedges streaming ingest until a rebuild
+    val (root, corpus) = freshIndex()
+    IndexMaintenance.deleteConversations(spark, root,
+      corpus.map(_.conv_id).toSet)
+    val m1 = IndexManifest.read(root).get
+    assert(m1.nDocs == 0L)
+    assert(m1.shards.forall(_.maxDocId == -1L),
+      "full delete must leave only unstamped (empty) entries")
+    assert(IndexBuilder.loadDocs(spark, root).count() == 0L)
+
+    val ts = new java.sql.Timestamp(1700000000000L)
+    val appended = IndexMaintenance.appendConversations(spark, root, Seq(
+      Turn("zz-reborn", 0, "user", "phoenix rising fresh words", "", ts),
+      Turn("zz-reborn", 1, "assistant", "phoenix answered promptly", "", ts)))
+    assert(appended.nonEmpty)
+    val m2 = IndexManifest.read(root).get
+    assert(m2.nDocs == 2L)
+    val docs = IndexBuilder.loadDocs(spark, root).select($"docId")
+      .as[Long].collect().sorted
+    assert(docs.toSeq == Seq(0L, 1L), s"docId space must restart at 0: ${docs.toSeq}")
+    // and the emptied-then-refilled index answers queries ("phoenix"
+    // itself has df = nDocs = 2 → stop-capped; "rising" has df 1)
+    val hits = SearchEngine.query(spark, root, "rising", "AND", 10)
+    assert(hits.map(_.docId).toSet == Set(0L))
+  }
+
+  test("append onto a legacy-unstamped empty manifest uses baseDocId 0 (loud no, silent NPE)") {
+    // a hand-crafted legacy manifest: an UNSTAMPED non-empty entry
+    // (postings > 0, maxDocId = -1) forces the docs-scan fallback, and
+    // zero doc rows exist on disk — the fallback must read the null max
+    // as -1 (baseDocId 0) instead of NPE (ADVICE r04 item 1, second edge)
+    val root = graft.SparkTestBase.tmpDir("graft-maint-legacy")
+    IndexManifest.commit(root, Manifest(1L, Analyzer.Version, "0-0",
+      nDocs = 0L, avgdl = 0.0,
+      shards = Seq(ShardEntry(5, 2L, 3L, 10L, Seq(5))), sumDl = -1L))
+    val ts = new java.sql.Timestamp(0)
+    val appended = IndexMaintenance.appendConversationsDs(spark, root,
+      spark.createDataset(Seq(
+        Turn("aa-legacy", 0, "user", "legacy append works", "", ts))))
+    val m1 = IndexManifest.read(root).get
+    val e = m1.shards.filter(s => appended.contains(s.shard))
+    assert(e.nonEmpty && e.forall(_.minDocId == 0L),
+      s"append onto an empty legacy index must start docIds at 0: $e")
+    assert(e.forall(_.shard == 6), // after the phantom entry's shard 5
+      s"new shard must follow the manifest's max shard id: $e")
+  }
 }

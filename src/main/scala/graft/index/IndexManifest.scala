@@ -89,8 +89,23 @@ object IndexManifest {
   private[index] def manifestPath(root: String, v: Long): Path =
     new Path(root, f"manifest-v$v%05d.json")
 
-  /** All snapshot versions present at `root`, ascending. */
+  private def hintPath(root: String): Path = new Path(root, "version-hint.text")
+
+  // ---- serving-path observability (VERDICT r04 item 1) ---------------
+  // Counters let a spec PROVE the serving cost model: N repeat queries on
+  // an unchanged snapshot = 1 manifest read, 0 directory listings.
+  /** # full manifest file read+parses. */
+  private[graft] val manifestReads =
+    new java.util.concurrent.atomic.AtomicLong
+  /** # directory LISTs (a metered RPC on object stores). */
+  private[graft] val manifestListings =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** All snapshot versions present at `root`, ascending. One directory
+    * LISTING — authoritative but metered; the serving path resolves
+    * through [[readCached]] (hint file + memo) instead. */
   def versions(root: String): Seq[Long] = {
+    manifestListings.incrementAndGet()
     val dir = new Path(root)
     val f = fs(root)
     if (!f.exists(dir) || !f.getFileStatus(dir).isDirectory) return Nil
@@ -106,31 +121,227 @@ object IndexManifest {
   def read(root: String): Option[Manifest] =
     latestVersion(root).map(v => readVersion(root, v))
 
+  // ---- memoized serving-path resolution (VERDICT r04 item 1) ---------
+  // Committed manifests are IMMUTABLE, so (root, version) → Manifest
+  // memoizes forever; the only per-resolution work is discovering the
+  // CURRENT version. That is the Iceberg version-hint pattern
+  // (HadoopTableOperations): a tiny `version-hint.text` written by every
+  // commit replaces the directory LISTING, and a forward existence probe
+  // (does version+1 exist?) keeps the hint advisory-only — a crashed
+  // hint write or a concurrent committer can never pin readers to a
+  // stale snapshot. Steady-state resolution = one small-file read + one
+  // exists() probe; the listing survives only as the no-hint fallback.
+  private val manifestCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), Manifest]
+  /** versions retained in the memo per root (snapshot ids are dense, so
+    * a version window bounds the map without any listing). */
+  private val CacheVersionWindow = 16L
+
+  private def readHint(root: String): Option[Long] =
+    try {
+      val f = fs(root)
+      val p = hintPath(root)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val s = try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim
+                finally in.close()
+        s.toLongOption // torn/garbled hint → fall back to the listing
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Best-effort: a lost hint write only costs later readers one listing
+    * (or one forward probe); never fails a commit. */
+  private def writeHint(root: String, v: Long): Unit =
+    try {
+      val out = fs(root).create(hintPath(root), true)
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: java.io.IOException => () }
+
+  /** The latest committed snapshot, resolved WITHOUT a directory listing
+    * in the steady state and parsed at most once per (root, version) —
+    * the serving path's replacement for [[read]]. */
+  def readCached(root: String): Option[Manifest] = {
+    val f = fs(root)
+    val hint = readHint(root)
+    val base = hint.orElse(latestVersion(root)) // fallback LISTs
+    base.flatMap { b =>
+      // forward probe: a stale hint (crashed hint write / concurrent
+      // commit) is corrected by walking to the newest existing version;
+      // one exists() miss in the steady state
+      var v = b
+      while (f.exists(manifestPath(root, v + 1))) v += 1
+      if (!f.exists(manifestPath(root, v))) {
+        // hint names a version that is gone (e.g. root rebuilt from
+        // scratch): the listing is the authority
+        read(root).map { m =>
+          writeHint(root, m.snapshotId) // self-heal (best-effort)
+          cachePut(root, m); m
+        }
+      } else {
+        // self-heal a missing/stale hint so the NEXT resolution needs
+        // neither a listing nor the probe walk (best-effort; a racing
+        // committer's newer hint losing to this write only costs that —
+        // one extra probe — never correctness)
+        if (!hint.contains(v)) writeHint(root, v)
+        Some(manifestCache.getOrElseUpdate((root, v), {
+          val m = readVersion(root, v)
+          pruneCache(root, v)
+          m
+        }))
+      }
+    }
+  }
+
+  private def cachePut(root: String, m: Manifest): Unit = {
+    manifestCache.put((root, m.snapshotId), m)
+    pruneCache(root, m.snapshotId)
+  }
+
+  private def pruneCache(root: String, current: Long): Unit =
+    manifestCache.keys
+      .filter(k => k._1 == root && k._2 < current - CacheVersionWindow)
+      .foreach(manifestCache.remove)
+
+  /** Drop the memo + hint trust for `root` (tests; also safe after
+    * deleting an index root out-of-band). */
+  private[graft] def invalidateCache(root: String): Unit =
+    manifestCache.keys.filter(_._1 == root).foreach(manifestCache.remove)
+
   /** Read one specific committed snapshot. */
   def readVersion(root: String, v: Long): Manifest = {
+    manifestReads.incrementAndGet()
     val in = fs(root).open(manifestPath(root, v))
     val text =
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
       finally in.close()
     val lines = text.split('\n').toSeq
     val head = parseFields(lines.head)
-    val shards = lines.tail.filter(_.nonEmpty).map { l =>
-      val f = parseFields(l)
-      ShardEntry(f("shard").toInt, f("terms").toLong, f("postings").toLong,
-        f("bytes").toLong,
-        f("sourcePartitions").split(";").filter(_.nonEmpty).map(_.toInt).toSeq,
-        f.getOrElse("minDocId", "-1").toLong,
-        f.getOrElse("maxDocId", "-1").toLong,
-        f.getOrElse("sumDl", "0").toLong,
-        f.getOrElse("gen", "0").toLong,
-        f.get("minConvB64").map(b64dec),
-        f.get("maxConvB64").map(b64dec))
-    }.toSeq
+    val shards = head.get("entriesFile") match {
+      case Some(name) =>
+        // sidecar layout (big manifests): entries live in a binary
+        // columnar file; the JSON header is only the atomic CAS record
+        val got = readEntries(root, name)
+        val expect = head("entriesCount").toLong
+        if (got.size != expect)
+          throw new java.io.IOException(
+            s"manifest v$v sidecar $name holds ${got.size} entries, " +
+            s"header says $expect — corrupt or mismatched sidecar")
+        got
+      case None => lines.tail.filter(_.nonEmpty).map { l =>
+        val f = parseFields(l)
+        ShardEntry(f("shard").toInt, f("terms").toLong, f("postings").toLong,
+          f("bytes").toLong,
+          f("sourcePartitions").split(";").filter(_.nonEmpty).map(_.toInt).toSeq,
+          f.getOrElse("minDocId", "-1").toLong,
+          f.getOrElse("maxDocId", "-1").toLong,
+          f.getOrElse("sumDl", "0").toLong,
+          f.getOrElse("gen", "0").toLong,
+          f.get("minConvB64").map(b64dec),
+          f.get("maxConvB64").map(b64dec))
+      }.toSeq
+    }
     Manifest(head("snapshotId").toLong, head("analyzerVersion"),
       head("inputFingerprint"), head("nDocs").toLong, head("avgdl").toDouble,
       shards, head.getOrElse("statsGen", "0").toLong,
       head.getOrElse("sumDl", "-1").toLong)
   }
+
+  // ---- shard-entry sidecar (VERDICT r04 item 4) ----------------------
+  // One JSON line per shard parsed by regex stops scaling around
+  // 10⁴-10⁵ entries (a 10^12-turn index at 4M docs/shard carries ~250k):
+  // tens of MB re-parsed per resolution. Past [[SidecarThreshold]]
+  // entries the commit writes them to a compact binary sidecar
+  // (`manifest-vN.<nonce>.entries`) and the JSON header — still the
+  // atomic CAS file — just points at it, Iceberg's manifest-list split
+  // at dir granularity. The codec is a fixed-schema stream (no JSON lib
+  // or avro in the offline sandbox); a production port would emit the
+  // Iceberg avro manifest format here. IndexManifestSpec micro-benches a
+  // synthetic 100k-entry manifest resolving in milliseconds.
+  private[graft] val SidecarThreshold = 1024
+  /** test hook: force the sidecar for small manifests */
+  @volatile private[graft] var sidecarThresholdOverride: Option[Int] = None
+  private def sidecarThreshold: Int =
+    sidecarThresholdOverride.getOrElse(SidecarThreshold)
+
+  private val EntriesMagic = 0x47524654454e5431L // "GRFTENT1"
+
+  private def writeEntries(f: FileSystem, p: Path,
+                           entries: Seq[ShardEntry]): Unit = {
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(f.create(p, true), 1 << 16))
+    try {
+      out.writeLong(EntriesMagic)
+      out.writeInt(entries.size)
+      entries.foreach { e =>
+        out.writeInt(e.shard); out.writeLong(e.terms)
+        out.writeLong(e.postings); out.writeLong(e.bytes)
+        out.writeLong(e.minDocId); out.writeLong(e.maxDocId)
+        out.writeLong(e.sumDl); out.writeLong(e.gen)
+        out.writeInt(e.sourcePartitions.size)
+        e.sourcePartitions.foreach(out.writeInt)
+        def str(o: Option[String]): Unit = o match {
+          case None => out.writeInt(-1)
+          case Some(s) =>
+            val b = s.getBytes(StandardCharsets.UTF_8)
+            out.writeInt(b.length); out.write(b)
+        }
+        str(e.minConv); str(e.maxConv)
+      }
+    } finally out.close()
+  }
+
+  private def readEntries(root: String, name: String): Seq[ShardEntry] = {
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs(root).open(new Path(root, name)),
+        1 << 16))
+    try {
+      val magic = in.readLong()
+      if (magic != EntriesMagic)
+        throw new java.io.IOException(
+          f"manifest sidecar $name: bad magic 0x$magic%x")
+      val n = in.readInt()
+      val out = Vector.newBuilder[ShardEntry]
+      var i = 0
+      while (i < n) {
+        val shard = in.readInt(); val terms = in.readLong()
+        val postings = in.readLong(); val bytes = in.readLong()
+        val minDocId = in.readLong(); val maxDocId = in.readLong()
+        val sumDl = in.readLong(); val gen = in.readLong()
+        val np = in.readInt()
+        val sp = new Array[Int](np)
+        var j = 0
+        while (j < np) { sp(j) = in.readInt(); j += 1 }
+        def str(): Option[String] = {
+          val len = in.readInt()
+          if (len < 0) None
+          else {
+            val b = new Array[Byte](len)
+            in.readFully(b)
+            Some(new String(b, StandardCharsets.UTF_8))
+          }
+        }
+        val mn = str(); val mx = str()
+        out += ShardEntry(shard, terms, postings, bytes,
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(sp),
+          minDocId, maxDocId, sumDl, gen, mn, mx)
+        i += 1
+      }
+      out.result()
+    } finally in.close()
+  }
+
+  /** The sidecar file (if any) a committed manifest references — a
+    * header-only read, used by expireSnapshots to reclaim sidecars with
+    * their manifests. */
+  private[index] def entriesFileOf(root: String, v: Long): Option[String] =
+    try {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs(root).open(manifestPath(root, v)), StandardCharsets.UTF_8))
+      val head = try in.readLine() finally in.close()
+      if (head == null) None else parseFields(head).get("entriesFile")
+    } catch { case _: java.io.IOException => None }
 
   // conv-id bounds are USER DATA (arbitrary strings) — base64 keeps the
   // hand-rolled fixed-schema JSON free of escaping concerns
@@ -165,8 +376,25 @@ object IndexManifest {
   def commit(root: String, m: Manifest, expectNew: Boolean = false): Unit = {
     val f = fs(root)
     f.mkdirs(new Path(root))
+    // PER-ATTEMPT nonce: a shared deterministic tmp would let one
+    // racer link/rename the OTHER racer's (possibly half-written) bytes
+    // into the committed manifest — the CAS must decide between fully
+    // private files. (`.tmp`/`.entries` names never match versions();
+    // stale ones from crashes are swept by IndexSnapshot.expireSnapshots.)
+    val nonce = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong())
+    val sorted = m.shards.sortBy(_.shard)
+    // big manifests: entries go to the binary sidecar, written and
+    // closed BEFORE the header CAS (the header is what makes both
+    // visible atomically; a losing/crashed attempt's sidecar is an
+    // unreferenced orphan, swept by expireSnapshots)
+    val entriesName =
+      if (sorted.size >= sidecarThreshold)
+        Some(s"manifest-v${m.snapshotId}.$nonce.entries")
+      else None
+    entriesName.foreach(n => writeEntries(f, new Path(root, n), sorted))
     val sb = new StringBuilder
-    sb.append(line(
+    sb.append(line(Seq(
       "snapshotId" -> m.snapshotId.toString,
       "analyzerVersion" -> m.analyzerVersion,
       "inputFingerprint" -> m.inputFingerprint,
@@ -174,8 +402,11 @@ object IndexManifest {
       // Double round-trips exactly via toString/toDouble (Java guarantees).
       "avgdl" -> m.avgdl.toString,
       "statsGen" -> m.statsGen.toString,
-      "sumDl" -> m.sumDl.toString)).append('\n')
-    m.shards.sortBy(_.shard).foreach { s =>
+      "sumDl" -> m.sumDl.toString) ++
+      entriesName.map("entriesFile" -> _) ++
+      entriesName.map(_ => "entriesCount" -> sorted.size.toString): _*))
+      .append('\n')
+    if (entriesName.isEmpty) sorted.foreach { s =>
       val base = Seq(
         "shard" -> s.shard.toString,
         "terms" -> s.terms.toString,
@@ -190,13 +421,6 @@ object IndexManifest {
         s.maxConv.map(v => "maxConvB64" -> b64enc(v))
       sb.append(line(base: _*)).append('\n')
     }
-    // PER-ATTEMPT tmp name: a shared deterministic tmp would let one
-    // racer link/rename the OTHER racer's (possibly half-written) bytes
-    // into the committed manifest — the CAS must decide between fully
-    // private files. (`.tmp` names never match versions(); stale ones
-    // from crashes are swept by IndexSnapshot.expireSnapshots.)
-    val nonce = java.lang.Long.toHexString(
-      java.util.concurrent.ThreadLocalRandom.current().nextLong())
     val tmp = new Path(root, s"manifest-v${m.snapshotId}.json.$nonce.tmp")
     val out = f.create(tmp, true)
     try out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
@@ -230,6 +454,9 @@ object IndexManifest {
         } else !f.exists(dst) && f.rename(tmp, dst)
       if (!won) {
         f.delete(tmp, false)
+        // eager cleanup; a crash here still leaves only an orphan
+        // sidecar for the sweep
+        entriesName.foreach(n => f.delete(new Path(root, n), false))
         throw new CommitConflictException(
           s"snapshot ${m.snapshotId} at $root was committed by a " +
           "concurrent writer; re-read the manifest and retry the operation")
@@ -268,7 +495,12 @@ object IndexManifest {
       f.delete(aside, false)
     } else if (!f.rename(tmp, dst))
       throw new java.io.IOException(s"manifest commit rename failed: $tmp -> $dst")
-    ()
+    // committed: refresh the version hint (best-effort — a lost write
+    // costs readers one forward probe/listing, never correctness) and
+    // seed the resolution memo with the in-memory manifest (reader-order
+    // normalized: the file stores shards sorted by id)
+    writeHint(root, m.snapshotId)
+    cachePut(root, m.copy(shards = m.shards.sortBy(_.shard)))
   }
 
   private def line(kvs: (String, String)*): String =

@@ -181,7 +181,11 @@ object IndexSnapshot {
     // generation dirs were already gone: queryAt would pass its
     // retention require() and then die on a raw parquet path error.
     vs.dropRight(math.max(1, keepLast)).foreach { v =>
+      // resolve the sidecar name BEFORE deleting the header that names it
+      val sidecar = IndexManifest.entriesFileOf(root, v)
       fs.delete(IndexManifest.manifestPath(root, v), false)
+      sidecar.foreach(n =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, n), false))
     }
 
     def leafName(n: String, prefix: String): Option[Long] =
@@ -235,11 +239,18 @@ object IndexSnapshot {
           fs.delete(st.getPath, true)
       }
     }
-    // stale per-attempt manifest tmp files from crashed commits
+    // stale per-attempt manifest tmp files + unreferenced entry sidecars
+    // from crashed/losing commits (referenced sidecars = the retained
+    // manifests'; anything else waits out the orphan grace like every
+    // other possibly-in-flight file)
+    val liveSidecars = keepVs.flatMap(v =>
+      IndexManifest.entriesFileOf(root, v)).toSet
     fs.listStatus(new org.apache.hadoop.fs.Path(root)).foreach { st =>
       val n = st.getPath.getName
-      if (st.isFile && n.startsWith("manifest-v") && n.endsWith(".tmp") &&
-          orphanOld(st))
+      val staleTmp = n.startsWith("manifest-v") && n.endsWith(".tmp")
+      val orphanSidecar = n.startsWith("manifest-v") &&
+        n.endsWith(".entries") && !liveSidecars(n)
+      if (st.isFile && (staleTmp || orphanSidecar) && orphanOld(st))
         fs.delete(st.getPath, false)
     }
     ()

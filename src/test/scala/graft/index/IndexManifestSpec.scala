@@ -183,6 +183,35 @@ class IndexManifestSpec extends AnyFunSuite {
     } finally IndexManifest.sidecarThresholdOverride = None
   }
 
+  test("sidecar layout survives a real maintenance chain (build → delete → append → queries)") {
+    // force every commit through the sidecar path and run actual ops —
+    // proves the layout is a pure representation change, invisible to
+    // builder, maintenance and query semantics alike
+    val root = SparkTestBase.tmpDir("graft-sidecar-chain")
+    val corpus = TranscriptGen.corpus(seed = 41L, nConvs = 80)
+    IndexManifest.sidecarThresholdOverride = Some(1)
+    try {
+      IndexBuilder.build(spark, spark.createDataset(corpus)(
+        org.apache.spark.sql.Encoders.product[graft.model.Turn]), root,
+        shards = 4, waveSize = 4)
+      assert(new java.io.File(root).list().exists(_.endsWith(".entries")))
+      val before = SearchEngine.query(spark, root, "needlemid w0000", "AND", 10)
+      assert(before.nonEmpty)
+      IndexMaintenance.deleteConversations(spark, root, Set("conv-00000007"))
+      val ts = new java.sql.Timestamp(1700000000000L)
+      IndexMaintenance.appendConversations(spark, root, Seq(
+        graft.model.Turn("zz-side", 0, "user", "sidecar chain appended", "", ts)))
+      val m = IndexManifest.read(root).get
+      assert(m.shards.nonEmpty)
+      // queries stay correct through sidecar-committed snapshots
+      val after = SearchEngine.query(spark, root, "needlemid w0000", "AND", 10)
+      assert(after.nonEmpty)
+      assert(SearchEngine.query(spark, root, "sidecar", "AND", 5).nonEmpty)
+      assert(IndexMaintenance.verifyManifest(spark, root).isEmpty,
+        "fsck must stay clean under the sidecar layout")
+    } finally IndexManifest.sidecarThresholdOverride = None
+  }
+
   test("serving contract: N repeat queries = 1 manifest read, 0 listings") {
     val root = SparkTestBase.tmpDir("graft-serving-contract")
     val corpus = TranscriptGen.corpus(seed = 5L, nConvs = 60)

@@ -11,11 +11,14 @@ import org.apache.spark.sql.types._
   * `mapInPandas` batch UDFs — one partition = one batch stream, no
   * per-row JVM↔native round trips).
   *
-  * The image/audio codec libraries are NOT in this container, so the
-  * byte-level decode is a clearly-marked DETERMINISTIC STUB
-  * ([[StubCodec]]); everything Spark-side — schema, partitioning, batch
-  * iteration shape, output contracts — is real and tested. Swapping
-  * [[StubCodec]] for a real codec changes no plumbing.
+  * Codec status (r5): IMAGE and AUDIO decode are REAL — [[JdkCodec]]
+  * uses the JDK's own `javax.imageio` (PNG/JPEG/BMP/GIF) and a
+  * hand-rolled RIFF/WAVE PCM parser, both headless-safe and
+  * deterministic (pixel/sample math in integer accumulators, resize by
+  * direct-raster nearest neighbor — no AWT rendering pipeline). VIDEO
+  * remains the clearly-marked [[StubCodec]] byte-level fake: no video
+  * codec exists in the JDK or this container; swapping it for a real
+  * one changes no plumbing (same Option-returning decode boundary).
   */
 object Multimodal {
 
@@ -76,6 +79,282 @@ object Multimodal {
       (0 until math.min(nFrames, bytes.length / stride + 1)).map { f =>
         bytes.slice(f * stride, math.min(bytes.length, f * stride + stride))
       }.filter(_.nonEmpty)
+    }
+  }
+
+  /** ==================== REAL JDK CODEC (r5) ====================
+    * Image + audio decode with ONLY the JDK: `javax.imageio` for
+    * images (PNG/JPEG/BMP/GIF), a RIFF/WAVE parser for 16-bit PCM
+    * audio. Everything is deterministic (integer accumulators, exact
+    * nearest-neighbor resample) and headless-safe (in-memory rasters,
+    * no Graphics2D/AWT rendering). Decode returns Option — corrupt
+    * payloads surface as `decoded = false` rows, never dropped rows or
+    * task failures (a 100 TB media sweep always has corrupt members). */
+  object JdkCodec extends Serializable {
+
+    def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException | _: RuntimeException => None }
+
+    /** (width, height, features[dim]): [0]=aspect, [1..3]=mean R/G/B,
+      * [4]=luma stddev, [5..]=normalized luma histogram. All moments
+      * accumulate in Longs — bit-deterministic at any parallelism. */
+    def imageSignals(bytes: Array[Byte], dim: Int = 16): Option[(Int, Int, Array[Float])] =
+      decodeImage(bytes).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        val bins = math.max(1, dim - 5)
+        val hist = new Array[Long](bins)
+        var sr = 0L; var sg = 0L; var sb = 0L; var sy = 0L; var syy = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            // integer Rec.601 luma (exact): (299r + 587g + 114b) / 1000
+            val luma = (299 * r + 587 * g + 114 * b) / 1000
+            sr += r; sg += g; sb += b; sy += luma; syy += luma.toLong * luma
+            hist(math.min(bins - 1, luma * bins / 256)) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val mean = sy.toDouble / n
+        val variance = syy.toDouble / n - mean * mean
+        val f = new Array[Float](dim)
+        f(0) = w.toFloat / h
+        if (dim > 1) f(1) = (sr.toDouble / n / 255.0).toFloat
+        if (dim > 2) f(2) = (sg.toDouble / n / 255.0).toFloat
+        if (dim > 3) f(3) = (sb.toDouble / n / 255.0).toFloat
+        if (dim > 4) f(4) = (math.sqrt(math.max(0.0, variance)) / 255.0).toFloat
+        var i = 0
+        while (i < bins && 5 + i < dim) {
+          f(5 + i) = (hist(i).toDouble / n).toFloat; i += 1
+        }
+        (w, h, f)
+      }
+
+    /** Exact nearest-neighbor resample by direct raster indexing
+      * (srcX = x * srcW / dstW — pure integer math), re-encoded as PNG
+      * (lossless; ImageIO's PNG writer emits no timestamps, so equal
+      * pixels ⇒ equal bytes). */
+    def resizeImage(bytes: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] =
+      decodeImage(bytes).map { src =>
+        val out = new java.awt.image.BufferedImage(dstW, dstH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < dstH) {
+          val sy = y * src.getHeight / dstH
+          var x = 0
+          while (x < dstW) {
+            out.setRGB(x, y, src.getRGB(x * src.getWidth / dstW, sy))
+            x += 1
+          }
+          y += 1
+        }
+        encodePng(out)
+      }
+
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Deterministic synthetic PNG: a seeded xorshift pixel field with a
+      * gradient — real bytes for the real decoder, stable across runs. */
+    def synthPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var s = seed * 0x9E3779B97F4A7C15L + 1
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+          val r = ((s & 0xff) + 256 * x / w) / 2
+          val g = (((s >>> 8) & 0xff) + 256 * y / h) / 2
+          val b = ((s >>> 16) & 0xff).toInt
+          img.setRGB(x, y, (r.toInt << 16) | (g.toInt << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(img)
+    }
+
+    /** Parsed 16-bit PCM payload. */
+    final case class WavPcm(sampleRate: Int, channels: Int,
+                            samples: Array[Short]) {
+      def durationMs: Long =
+        samples.length.toLong * 1000 / (sampleRate.toLong * channels)
+    }
+
+    /** Minimal RIFF/WAVE reader: fmt must be PCM 16-bit; walks chunks
+      * (fmt can precede or follow LIST etc.), bounds-checked — truncated
+      * or alien payloads yield None, never an exception. */
+    def parseWav(bytes: Array[Byte]): Option[WavPcm] = {
+      def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      def tag(o: Int) = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      try {
+        if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+        var off = 12
+        var rate = -1; var ch = -1; var bits = -1
+        var data: Option[(Int, Int)] = None
+        while (off + 8 <= bytes.length) {
+          val id = tag(off); val len = u32(off + 4).toInt
+          if (id == "fmt " && off + 8 + 16 <= bytes.length) {
+            val fmt = u16(off + 8)
+            ch = u16(off + 10); rate = u32(off + 12).toInt; bits = u16(off + 22)
+            if (fmt != 1) return None // PCM only
+          } else if (id == "data") {
+            data = Some((off + 8, math.min(len, bytes.length - off - 8)))
+          }
+          off += 8 + len + (len & 1) // chunks are word-aligned
+        }
+        data match {
+          case Some((o, len)) if rate > 0 && ch > 0 && bits == 16 =>
+            val n = len / 2
+            val out = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              out(i) = ((bytes(o + 2 * i) & 0xff) |
+                ((bytes(o + 2 * i + 1) & 0xff) << 8)).toShort
+              i += 1
+            }
+            Some(WavPcm(rate, ch, out))
+          case _ => None
+        }
+      } catch { case _: IndexOutOfBoundsException => None }
+    }
+
+    /** (duration_ms, features[dim]): [0]=RMS/32768, [1]=zero-crossing
+      * rate, [2..]=normalized energy over dim-2 equal time bins. Integer
+      * accumulators throughout. */
+    def wavSignals(bytes: Array[Byte], dim: Int = 16): Option[(Long, Array[Float])] =
+      parseWav(bytes).filter(_.samples.nonEmpty).map { w =>
+        val s = w.samples
+        val bins = math.max(1, dim - 2)
+        val energy = new Array[Long](bins)
+        var ss = 0L; var zc = 0L
+        var i = 0
+        while (i < s.length) {
+          val v = s(i).toLong
+          ss += v * v
+          if (i > 0 && ((s(i - 1) < 0) != (s(i) < 0))) zc += 1
+          energy(math.min(bins - 1, i * bins / s.length)) += v * v
+          i += 1
+        }
+        val f = new Array[Float](dim)
+        f(0) = (math.sqrt(ss.toDouble / s.length) / 32768.0).toFloat
+        if (dim > 1) f(1) = (zc.toDouble / s.length).toFloat
+        var b = 0
+        while (b < bins && 2 + b < dim) {
+          f(2 + b) = if (ss == 0L) 0f else (energy(b).toDouble / ss).toFloat
+          b += 1
+        }
+        (w.durationMs, f)
+      }
+
+    /** Deterministic synthetic WAV: 16-bit PCM mono sine (+ seeded
+      * dither) — real bytes for the real parser. */
+    def synthWav(seed: Long, ms: Int, sampleRate: Int = 8000,
+                 freqHz: Int = 440): Array[Byte] = {
+      val n = sampleRate * ms / 1000
+      val bos = new java.io.ByteArrayOutputStream(44 + 2 * n)
+      def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+      ascii("RIFF"); w32(36 + 2 * n); ascii("WAVE")
+      ascii("fmt "); w32(16); w16(1); w16(1); w32(sampleRate)
+      w32(sampleRate * 2); w16(2); w16(16)
+      ascii("data"); w32(2 * n)
+      var s = seed * 0x9E3779B97F4A7C15L + 1
+      var i = 0
+      while (i < n) {
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+        val sine = math.sin(2.0 * math.Pi * freqHz * i / sampleRate)
+        val dither = ((s & 0xff) - 128).toInt // ±128 seeded noise floor
+        val v = math.max(-32768, math.min(32767, (sine * 12000).toInt + dither))
+        w16(v & 0xffff)
+        i += 1
+      }
+      bos.toByteArray
+    }
+  }
+
+  /** One decoded row per media item — REAL signals for image/audio,
+    * stub for video, `decoded = false` (empty features) for corrupt or
+    * unsupported payloads. */
+  final case class MediaSignals(media_id: Long, kind: String, decoded: Boolean,
+                                width: Int, height: Int, duration_ms: Long,
+                                features: Array[Float])
+
+  /** Batched REAL decode + feature extraction (mapPartitions batch
+    * shape — decoder state would init once per partition). Dispatch by
+    * kind: image → ImageIO, audio → WAV PCM parser, video → labeled
+    * stub moments over the raw bytes. */
+  def mediaSignals(media: Dataset[Media], dim: Int = 16): Dataset[MediaSignals] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        m.kind match {
+          case "image" => JdkCodec.imageSignals(m.bytes, dim) match {
+            case Some((w, h, f)) => MediaSignals(m.media_id, m.kind, decoded = true, w, h, 0L, f)
+            case None => MediaSignals(m.media_id, m.kind, decoded = false, 0, 0, 0L, Array.empty)
+          }
+          case "audio" => JdkCodec.wavSignals(m.bytes, dim) match {
+            case Some((ms, f)) => MediaSignals(m.media_id, m.kind, decoded = true, 0, 0, ms, f)
+            case None => MediaSignals(m.media_id, m.kind, decoded = false, 0, 0, 0L, Array.empty)
+          }
+          case _ => // video: StubCodec (no JDK video codec exists)
+            MediaSignals(m.media_id, m.kind, decoded = false,
+              m.meta.width, m.meta.height, m.meta.duration_ms,
+              StubCodec.extractFeatures(m.bytes, dim))
+        }
+      }
+    }
+  }
+
+  /** REAL pixel resize for image rows (nearest-neighbor, PNG out);
+    * non-images and corrupt payloads pass through with resized = null.
+    * Co-partitioned by media_id like [[resized]]. */
+  def resizedImages(media: Dataset[Media], dstW: Int, dstH: Int,
+                    partitions: Int = 8): DataFrame = {
+    import media.sparkSession.implicits._
+    media.repartition(partitions, col("media_id"))
+      .mapPartitions(_.map { m =>
+        val out = if (m.kind == "image") JdkCodec.resizeImage(m.bytes, dstW, dstH)
+                  else None
+        (m.media_id, m.kind, out.orNull, m.bytes.length)
+      })
+      .toDF("media_id", "kind", "resized", "original_bytes")
+  }
+
+  /** Deterministic synthetic media with REAL image/audio payloads
+    * (PNG via ImageIO, RIFF/WAVE PCM) and stub video bytes. */
+  def syntheticMediaReal(spark: SparkSession, n: Long,
+                         partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, partitions).map { id =>
+      (id % 3) match {
+        case 0 =>
+          val w = 32 + (id % 4).toInt * 16
+          val h = 32
+          Media(id, "image", JdkCodec.synthPng(id, w, h),
+            MediaMeta(w, h, 0L, "image/png"))
+        case 1 =>
+          val ms = 250 + (id % 8).toInt * 125
+          Media(id, "audio", JdkCodec.synthWav(id, ms),
+            MediaMeta(0, 0, ms.toLong, "audio/wav"))
+        case _ =>
+          val size = 256 + (id % 7).toInt * 128
+          Media(id, "video", StubCodec.synthBytes(id, size),
+            MediaMeta(128, 72, 2000L + id % 30000, "video/mp4"))
+      }
     }
   }
 

@@ -104,6 +104,99 @@ class MultimodalSpec extends AnyFunSuite {
     } finally { base.unpersist(); () }
   }
 
+  test("REAL image codec: PNG decode via javax.imageio — dims, deterministic signals, corrupt → decoded=false") {
+    val png = Multimodal.JdkCodec.synthPng(7L, 48, 32)
+    // it really is a PNG (magic) and ImageIO really decodes it
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte)
+    val (w, h, f) = Multimodal.JdkCodec.imageSignals(png).get
+    assert(w == 48 && h == 32)
+    assert(f.length == 16)
+    assert(math.abs(f(0) - 1.5f) < 1e-6, s"aspect ${f(0)}")
+    assert(f.slice(1, 4).forall(v => v > 0f && v < 1f), "channel means in (0,1)")
+    assert(math.abs(f.drop(5).sum - 1.0f) < 1e-3, "luma histogram sums to 1")
+    // deterministic across calls
+    val again = Multimodal.JdkCodec.imageSignals(png).get._3
+    assert(f.toSeq == again.toSeq)
+    // corrupt payloads are a data condition, not an exception
+    assert(Multimodal.JdkCodec.imageSignals("not an image".getBytes).isEmpty)
+    assert(Multimodal.JdkCodec.imageSignals(png.take(20)).isEmpty)
+  }
+
+  test("REAL image resize: nearest-neighbor pixel-exact, PNG re-encode round-trips") {
+    val src = Multimodal.JdkCodec.synthPng(11L, 64, 64)
+    val resized = Multimodal.JdkCodec.resizeImage(src, 16, 16).get
+    val (w, h, _) = Multimodal.JdkCodec.imageSignals(resized).get
+    assert(w == 16 && h == 16)
+    // nearest-neighbor is exact: out(x,y) == src(x*64/16, y*64/16)
+    val s = Multimodal.JdkCodec.decodeImage(src).get
+    val d = Multimodal.JdkCodec.decodeImage(resized).get
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert((d.getRGB(x, y) & 0xffffff) == (s.getRGB(x * 4, y * 4) & 0xffffff),
+        s"pixel ($x,$y) not the exact nearest-neighbor source pixel")
+  }
+
+  test("REAL audio codec: RIFF/WAVE PCM parse — duration, RMS, zero-crossings of a known sine") {
+    val rate = 8000; val ms = 500; val freq = 440
+    val wav = Multimodal.JdkCodec.synthWav(3L, ms, rate, freq)
+    val pcm = Multimodal.JdkCodec.parseWav(wav).get
+    assert(pcm.sampleRate == rate && pcm.channels == 1)
+    assert(pcm.durationMs == ms)
+    val (dur, f) = Multimodal.JdkCodec.wavSignals(wav).get
+    assert(dur == ms)
+    // RMS of a 12000-amplitude sine ≈ 12000/√2 / 32768 ≈ 0.259 (seeded
+    // ±128 dither shifts it by < 1%)
+    assert(math.abs(f(0) - 0.259f) < 0.01, s"rms ${f(0)}")
+    // a 440 Hz sine crosses zero ~2·440·0.5 = 440 times
+    val zc = f(1) * pcm.samples.length
+    assert(math.abs(zc - 440) <= 6, s"zero crossings $zc")
+    // energy bins of a steady tone are uniform: each ≈ 1/14
+    f.drop(2).foreach(e => assert(math.abs(e - 1.0f / 14) < 0.01, s"bin $e"))
+    // truncated / alien payloads are a data condition
+    assert(Multimodal.JdkCodec.parseWav(wav.take(30)).isEmpty)
+    assert(Multimodal.JdkCodec.parseWav("RIFFxxxxJUNK".getBytes).isEmpty)
+  }
+
+  test("mediaSignals: real decode end-to-end over the media table, partitioning-invariant") {
+    val m = Multimodal.syntheticMediaReal(spark, 30).cache()
+    try {
+      val rows = Multimodal.mediaSignals(m).collect().sortBy(_.media_id)
+      assert(rows.length == 30)
+      val img = rows.filter(_.kind == "image")
+      val aud = rows.filter(_.kind == "audio")
+      val vid = rows.filter(_.kind == "video")
+      assert(img.nonEmpty && img.forall(_.decoded), "all PNGs must decode")
+      assert(img.forall(r => r.width >= 32 && r.height == 32))
+      assert(aud.nonEmpty && aud.forall(_.decoded), "all WAVs must parse")
+      assert(aud.forall(r => r.duration_ms >= 250))
+      assert(vid.forall(!_.decoded), "video stays the labeled stub")
+      // decode is partitioning-invariant (batch contract)
+      val again = Multimodal.mediaSignals(m.repartition(7)).collect()
+        .sortBy(_.media_id)
+      rows.zip(again).foreach { case (a, b) =>
+        assert(a.features.toSeq == b.features.toSeq && a.decoded == b.decoded)
+      }
+      // a corrupted image row degrades to decoded=false, job still green
+      val corrupted = m.map(x =>
+        if (x.kind == "image") x.copy(bytes = x.bytes.take(10)) else x)
+      val cr = Multimodal.mediaSignals(corrupted).collect()
+      assert(cr.filter(_.kind == "image").forall(!_.decoded))
+    } finally { m.unpersist(); () }
+  }
+
+  test("resizedImages: real resize over the table; non-images pass through null") {
+    val m = Multimodal.syntheticMediaReal(spark, 12)
+    val r = Multimodal.resizedImages(m, 8, 8).collect()
+    assert(r.length == 12)
+    r.foreach { row =>
+      val kind = row.getString(1)
+      val out = row.getAs[Array[Byte]](2)
+      if (kind == "image") {
+        val (w, h, _) = Multimodal.JdkCodec.imageSignals(out).get
+        assert(w == 8 && h == 8)
+      } else assert(out == null)
+    }
+  }
+
   test("media table round-trips through parquet with the declared schema") {
     val dir = SparkTestBase.tmpDir("graft-media")
     Multimodal.syntheticMedia(spark, 10).write.mode("overwrite").parquet(dir)

@@ -70,6 +70,7 @@ object SparkEntry {
     "ann_lsh_topk" -> (Q.annLshTopK(_, _)),
     "embedding_near_dup" -> (Q.embeddingNearDup(_, _)),
     "u6_snippets" -> (Q.u6Snippets(_, _)),
+    "multimodal_signals" -> (Q.multimodalSignals(_, _)),
     // batch twin of the streaming sessionizer (full SQL oracle)
     "w4_sessionize" -> (Q.w4Sessionize(_, _)),
   )
@@ -118,6 +119,7 @@ object SparkEntry {
     "decontaminate" -> Q.decontaminateSql,
     "lang_id" -> Q.langIdSql,
     "u6_snippets" -> Q.u6SnippetsSql,
+    "multimodal_signals" -> Q.multimodalSignalsSql,
     "ann_ivf_topk" -> Q.annIvfTopKSql,
     "token_count_bpe" -> Q.tokenCountBpeSql,
     // pinned goldens for the probabilistic ops (deterministic on the

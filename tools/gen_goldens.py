@@ -22,6 +22,11 @@ SPECS = {
     "dedup_minhash_lsh": (["d1", "d2", "jaccard"], ["i", "i", "f"]),
     "embedding_near_dup": (["v1", "v2", "sim"], ["i", "i", "f"]),
     "u6_snippets": (["doc_id", "score", "snippet"], ["i", "f", "s"]),
+    # sfDir-independent (media synthesized): same VALUES at every sf
+    "multimodal_signals": (
+        ["media_id", "kind", "decoded", "width", "height", "duration_ms",
+         "f0", "f1"],
+        ["i", "s", "b", "i", "i", "i", "f", "f"]),
 }
 
 
@@ -30,6 +35,8 @@ def fmt(v, ty):
         return str(int(v))
     if ty == "f":
         return repr(float(v))
+    if ty == "b":
+        return "TRUE" if v else "FALSE"
     return "'" + str(v).replace("'", "''") + "'"
 
 

@@ -206,6 +206,10 @@ object Multimodal {
         var data: Option[(Int, Int)] = None
         while (off + 8 <= bytes.length) {
           val id = tag(off); val len = u32(off + 4).toInt
+          // a corrupt 32-bit length can read back negative — without
+          // this guard the chunk walk would step zero/backwards and the
+          // executor task would spin forever on attacker-shaped bytes
+          if (len < 0) return None
           if (id == "fmt " && off + 8 + 16 <= bytes.length) {
             val fmt = u16(off + 8)
             ch = u16(off + 10); rate = u32(off + 12).toInt; bits = u16(off + 22)

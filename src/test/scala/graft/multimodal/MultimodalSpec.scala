@@ -197,6 +197,36 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("codec fuzz: arbitrary byte garbage never hangs or throws — always None/decoded=false") {
+    // a 100 TB media sweep WILL contain adversarially-shaped payloads;
+    // decode must be total. Includes the negative-chunk-length WAV that
+    // would spin the chunk walk forever without the len guard.
+    val rnd = new scala.util.Random(99)
+    val cases = Seq(
+      Array.empty[Byte],
+      Array.fill(3)(0x42.toByte),
+      "RIFF    WAVE".getBytes("ISO-8859-1"),
+      { // valid RIFF/WAVE header + chunk with length 0xFFFFFFF8 (< 0 as Int)
+        val b = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("RIFF".getBytes); b.putInt(24); b.put("WAVE".getBytes)
+        b.put("fmt ".getBytes); b.putInt(0xFFFFFFF8); b.putInt(0); b.putInt(0)
+        b.array()
+      },
+      Multimodal.JdkCodec.synthWav(1L, 100).take(50), // truncated mid-data
+      Multimodal.JdkCodec.synthPng(1L, 16, 16).take(40)
+    ) ++ (1 to 20).map(_ => {
+      val b = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(b); b
+    })
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    cases.foreach { bytes =>
+      // totality: no exception escapes, and nothing spins
+      Multimodal.JdkCodec.parseWav(bytes)
+      Multimodal.JdkCodec.wavSignals(bytes)
+      Multimodal.JdkCodec.imageSignals(bytes)
+      assert(System.nanoTime() < deadline, "codec fuzz exceeded time budget")
+    }
+  }
+
   test("media table round-trips through parquet with the declared schema") {
     val dir = SparkTestBase.tmpDir("graft-media")
     Multimodal.syntheticMedia(spark, 10).write.mode("overwrite").parquet(dir)

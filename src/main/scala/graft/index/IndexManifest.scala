@@ -194,6 +194,13 @@ object IndexManifest {
     }
   }
 
+  /** Memoized [[readVersion]] for RETAINED snapshots (time travel
+    * alternates between them): committed manifests are immutable, so the
+    * parse caches by (root, version). Callers must validate retention
+    * FIRST — this never checks it (queryAt's require does). */
+  def readVersionCached(root: String, v: Long): Manifest =
+    manifestCache.getOrElseUpdate((root, v), readVersion(root, v))
+
   private def cachePut(root: String, m: Manifest): Unit = {
     manifestCache.put((root, m.snapshotId), m)
     pruneCache(root, m.snapshotId)

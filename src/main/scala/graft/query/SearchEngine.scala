@@ -111,10 +111,11 @@ object SearchEngine {
   def queryAt(spark: SparkSession, root: String, snapshotId: Long,
               queryText: String, mode: String = "AND",
               k: Int = 10, scopes: Seq[String] = Nil): Vector[SearchHit] = {
-    require(IndexManifest.versions(root).contains(snapshotId),
+    val retained = IndexManifest.versions(root)
+    require(retained.contains(snapshotId),
       s"snapshot $snapshotId not available at $root (expired or never " +
-      s"committed); retained: ${IndexManifest.versions(root).mkString(",")}")
-    val m = IndexManifest.readVersion(root, snapshotId)
+      s"committed); retained: ${retained.mkString(",")}")
+    val m = IndexManifest.readVersionCached(root, snapshotId)
     withExpiryDiagnosis(root, snapshotId) {
       if (scopes.isEmpty) queryResolved(spark, root, m, queryText, mode, k)
       else {

@@ -71,6 +71,7 @@ object SparkEntry {
     "embedding_near_dup" -> (Q.embeddingNearDup(_, _)),
     "u6_snippets" -> (Q.u6Snippets(_, _)),
     "multimodal_signals" -> (Q.multimodalSignals(_, _)),
+    "lm_bigram_quality" -> (Q.lmBigramQuality(_, _)),
     // batch twin of the streaming sessionizer (full SQL oracle)
     "w4_sessionize" -> (Q.w4Sessionize(_, _)),
   )
@@ -120,6 +121,7 @@ object SparkEntry {
     "lang_id" -> Q.langIdSql,
     "u6_snippets" -> Q.u6SnippetsSql,
     "multimodal_signals" -> Q.multimodalSignalsSql,
+    "lm_bigram_quality" -> Q.lmBigramQualitySql,
     "ann_ivf_topk" -> Q.annIvfTopKSql,
     "token_count_bpe" -> Q.tokenCountBpeSql,
     // pinned goldens for the probabilistic ops (deterministic on the

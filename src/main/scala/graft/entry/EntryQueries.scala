@@ -889,6 +889,37 @@ object EntryQueries {
   }
 
 
+  /** LM-count quality gate (r5; CCNet-motivated, Wenzek et al. LREC'20):
+    * per-doc bigram corpus-frequency signals — exact integer sums + ONE
+    * IEEE divide, so the DuckDB hash gate is bit-stable (the float
+    * log-prob sibling TextOps.lmLogProb is spec-tested under tolerance
+    * instead — a many-term float sum can't be libm-bit-exact across
+    * engines). */
+  def lmBigramQuality(s: SparkSession, dir: String): DataFrame =
+    TextOps.bigramQuality(t(s, dir, "documents")).orderBy(col("doc_id"))
+
+  val lmBigramQualitySql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) >= 2) AS toks
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+      |    SELECT doc_id,
+      |      unnest([{'w1': toks[i], 'w2': toks[i+1]} for i in range(1, len(toks))]) AS b
+      |    FROM w WHERE len(toks) >= 2
+      |  )
+      |), cnt AS (
+      |  SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2
+      |)
+      |SELECT p.doc_id,
+      |  count(*) AS n_bigrams,
+      |  CAST(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS known_bigrams,
+      |  CAST(sum(c.c) AS BIGINT) AS freq_sum,
+      |  CAST(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS known_ratio
+      |FROM pairs p JOIN cnt c ON p.w1 = c.w1 AND p.w2 = c.w2
+      |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+
   /** Multimodal decode gate (r5): REAL JDK image/audio decode over the
     * deterministic synthetic media table — media is SYNTHESIZED (real
     * PNG bytes via javax.imageio, real RIFF/WAVE PCM), so this golden is

@@ -319,4 +319,71 @@ object TextOps {
     val z = rows.foldLeft(0.0)(_ + _._2)
     rows.map { case (s, w) => s -> (if (z == 0.0) 0.0 else w / z) }.toMap
   }
+
+  /** Per-doc bigram stream (adjacent token pairs after the length≥2
+    * filter). Docs with < 2 tokens contribute no rows. */
+  private def bigramPairs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        filter(split(col("text"), " "), t => length(t) >= 2).as("toks"))
+      // size >= 2 FIRST: Spark's sequence(1, 0) would count DOWNWARD
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks)-1), " +
+        "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** LM-count quality signals (the exact-arithmetic face of CCNet-style
+    * LM filtering, Wenzek et al., "CCNet", LREC'20): per doc over its
+    * adjacent-token bigrams,
+    *   n_bigrams       — pair count,
+    *   known_bigrams   — pairs whose CORPUS frequency ≥ 2 (seen beyond
+    *                     this occurrence: boilerplate scores high,
+    *                     gibberish scores low),
+    *   freq_sum        — Σ corpus frequency (exact BIGINT),
+    *   known_ratio     — known/n, the quality score (ONE IEEE divide).
+    * Distribution shape at 100 TB: one partial-aggregated bigram count
+    * (hot pairs like "of the" pre-combine map-side) and one shuffle join
+    * on the bigram key back to the pair stream — no vocab-sized
+    * broadcast anywhere; per-doc sums are exact integers so the gate is
+    * bit-stable at any parallelism. Docs with < 2 tokens are absent (no
+    * bigrams to judge). */
+  def bigramQuality(docs: DataFrame): DataFrame = {
+    val pairs = bigramPairs(docs)
+    val counts = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    pairs.join(counts, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("known_bigrams"),
+        sum(col("c")).as("freq_sum"))
+      .withColumn("known_ratio",
+        col("known_bigrams").cast("double") / col("n_bigrams").cast("double"))
+  }
+
+  /** True CCNet-style average log-probability under a Laplace-smoothed
+    * corpus bigram LM: per doc, mean over its bigrams of
+    * ln((c(w1,w2) + 1) / (c1(w1) + V)) with V = distinct-token count.
+    * NOT driver-gated: a many-term float sum cannot be made bit-exact
+    * against an independent engine (different libm ulps), so its oracle
+    * is OpsSpec's brute-force twin under tolerance; [[bigramQuality]] is
+    * the exact-gate sibling. Same 100 TB shape: count aggs + shuffle
+    * joins on token keys, nothing broadcast, nothing collected. */
+  def lmLogProb(docs: DataFrame): DataFrame = {
+    val pairs = bigramPairs(docs)
+    val bigramC = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val toks = docs.select(col("doc_id"),
+        explode(filter(split(col("text"), " "), t => length(t) >= 2)).as("w1"))
+    val unigramC = toks.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = unigramC.agg(count(lit(1)).as("v"))
+    pairs
+      .join(bigramC, Seq("w1", "w2"))
+      .join(unigramC, Seq("w1"))
+      .crossJoin(broadcast(vocab)) // 1 row — never a real cartesian
+      .select(col("doc_id"),
+        log((col("c2").cast("double") + lit(1.0)) /
+            (col("c1").cast("double") + col("v").cast("double"))).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("lp")).as("avg_logp"))
+  }
 }

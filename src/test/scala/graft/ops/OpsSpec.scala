@@ -489,4 +489,68 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getDouble(4))).toMap
     w.foreach { case (s, (_, _, _, wv)) => assert(w2(s) == wv) }
   }
+
+  // ---- LM-count quality (CCNet-motivated) ---------------------------------
+
+  private val lmCorpus = Seq(
+    (0L, "aa bb aa bb"), // bigrams (aa,bb) (bb,aa) (aa,bb)
+    (1L, "aa bb cc"),    // (aa,bb) (bb,cc)
+    (2L, "zz"),          // no bigrams — absent from the result
+    (3L, "xx yy"))       // (xx,yy)
+
+  test("bigramQuality: hand-computed counts, exact ratio, <2-token docs absent") {
+    val docs = lmCorpus.toDF("doc_id", "text")
+    val got = TextOps.bigramQuality(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    // corpus bigram counts: (aa,bb)=3, (bb,aa)=1, (bb,cc)=1, (xx,yy)=1
+    assert(got(0L) == ((3L, 2L, 7L, 2.0 / 3.0)))
+    assert(got(1L) == ((2L, 1L, 4L, 0.5)))
+    assert(got(3L) == ((1L, 0L, 1L, 0.0)))
+    assert(!got.contains(2L), "a 1-token doc has no bigrams to judge")
+    // exact integers + one divide ⇒ bit-identical at any parallelism
+    val again = TextOps.bigramQuality(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(again == got)
+  }
+
+  test("LM quality plans: key-partitioned joins only — no cartesian, no nested loop") {
+    // the 100 TB shape: bigram counts partial-aggregate map-side and join
+    // back on the bigram key; nothing may degrade to a cartesian product
+    val docs = lmCorpus.toDF("doc_id", "text")
+    Seq(TextOps.bigramQuality(docs), TextOps.lmLogProb(docs)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan.take(800))
+      // the only nested-loop allowed is the documented 1-row vocab
+      // broadcast in lmLogProb
+      val nested = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      assert(nested <= 1, plan.take(800))
+    }
+  }
+
+  test("lmLogProb: Laplace bigram LM average log-prob matches brute force") {
+    val docs = lmCorpus.toDF("doc_id", "text")
+    val got = TextOps.lmLogProb(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // brute force over the same corpus
+    val toks = lmCorpus.map { case (id, t) =>
+      id -> t.split(" ").filter(_.length >= 2).toSeq }
+    val uni = toks.flatMap(_._2).groupBy(identity).map { case (w, xs) => w -> xs.size }
+    val big = toks.flatMap { case (_, ws) => ws.zip(ws.drop(1)) }
+      .groupBy(identity).map { case (p, xs) => p -> xs.size }
+    val v = uni.size
+    toks.filter(_._2.size >= 2).foreach { case (id, ws) =>
+      val lps = ws.zip(ws.drop(1)).map { case (w1, w2) =>
+        math.log((big((w1, w2)) + 1.0) / (uni(w1) + v.toDouble)) }
+      val (n, avg) = got(id)
+      assert(n == lps.size)
+      assert(math.abs(avg - lps.sum / lps.size) < 1e-12,
+        s"doc $id: $avg vs ${lps.sum / lps.size}")
+    }
+    assert(!got.contains(2L))
+    // sanity: boilerplate (repeated bigrams) scores higher than novel text
+    assert(got(0L)._2 > got(3L)._2,
+      "a doc of corpus-frequent bigrams must out-score all-novel text")
+  }
 }

@@ -72,6 +72,7 @@ object SparkEntry {
     "u6_snippets" -> (Q.u6Snippets(_, _)),
     "multimodal_signals" -> (Q.multimodalSignals(_, _)),
     "lm_bigram_quality" -> (Q.lmBigramQuality(_, _)),
+    "pack_sequences" -> (Q.packSequencesQ(_, _)),
     // batch twin of the streaming sessionizer (full SQL oracle)
     "w4_sessionize" -> (Q.w4Sessionize(_, _)),
   )
@@ -122,6 +123,7 @@ object SparkEntry {
     "u6_snippets" -> Q.u6SnippetsSql,
     "multimodal_signals" -> Q.multimodalSignalsSql,
     "lm_bigram_quality" -> Q.lmBigramQualitySql,
+    "pack_sequences" -> Q.packSequencesSql,
     "ann_ivf_topk" -> Q.annIvfTopKSql,
     "token_count_bpe" -> Q.tokenCountBpeSql,
     // pinned goldens for the probabilistic ops (deterministic on the

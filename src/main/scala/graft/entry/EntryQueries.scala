@@ -889,6 +889,32 @@ object EntryQueries {
   }
 
 
+  /** Sequence-packing gate (r5): concatenate-then-chunk pretraining
+    * packing over `documents` in doc_id order — exact global token
+    * offsets via the scale-safe two-phase prefix sum (no global window,
+    * no single-partition trap; the o1_df_order scaffold), integer
+    * `div` arithmetic throughout so the gate is bit-stable. */
+  def packSequencesQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.packSequences(t(s, dir, "documents"), budget = 512L)
+      .orderBy(col("doc_id"))
+
+  val packSequencesSql: String =
+    """WITH tl AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> length(x) >= 2)) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+      |  FROM tl
+      |)
+      |SELECT doc_id, n_tokens, start_offset,
+      |  start_offset // 512 AS pack_id,
+      |  (n_tokens > 0 AND
+      |   start_offset // 512 <> (start_offset + n_tokens - 1) // 512) AS spans_boundary
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** LM-count quality gate (r5; CCNet-motivated, Wenzek et al. LREC'20):
     * per-doc bigram corpus-frequency signals — exact integer sums + ONE
     * IEEE divide, so the DuckDB hash gate is bit-stable (the float

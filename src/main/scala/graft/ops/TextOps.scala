@@ -320,6 +320,81 @@ object TextOps {
     rows.map { case (s, w) => s -> (if (z == 0.0) 0.0 else w / z) }.toMap
   }
 
+  /** Sequence packing for pretraining dataloaders (r5): the standard
+    * concatenate-then-chunk scheme — the token streams of all docs, in
+    * doc_id order, form one flat stream cut into fixed `budget`-token
+    * training sequences ("packs"). Per doc: exact token count, exact
+    * GLOBAL start offset in the flat stream, the pack its first token
+    * lands in, and whether it straddles a pack boundary (the rows a
+    * loss-masking dataloader treats specially).
+    *
+    * The global exclusive prefix sum runs WITHOUT the single-partition
+    * window trap, on the shared DocIdAssigner pid-column scaffold:
+    * deterministic value-hash boundary sample → per-pid token sums →
+    * broadcast prefix offsets → steered repartition (one pid = one
+    * task) + in-task running sum. No partition ever holds more than
+    * ~n/p rows and no global sort precedes the (inherently ordered)
+    * output — the same shape that ranks a 10^8-term vocabulary in
+    * o1_df_order. All arithmetic is exact integers (`div`, not float
+    * division), so the gate is bit-stable at any parallelism. */
+  def packSequences(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"pack budget must be positive: $budget")
+    val s = docs.sparkSession
+    import graft.index.DocIdAssigner.{bucketOf, prefixOffsets,
+      quantileBoundaries, steeringKeys}
+    import s.implicits._
+    val tl = docs.select(col("doc_id").cast("long").as("doc_id"),
+        size(filter(split(col("text"), " "), t => length(t) >= 2))
+          .cast("long").as("n_tokens"))
+      .cache() // tiny (two longs per doc); three jobs read it
+    try {
+      val p = math.max(1, s.sessionState.conf.numShufflePartitions / 2)
+      val n = tl.count()
+      val sampleMod = math.max(1L, n / math.max(1L, p.toLong * 200L))
+      val keys = tl
+        .filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+      val bnds = quantileBoundaries[Long](
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(keys), p)
+      val nPids = bnds.length + 1
+      val bB = s.sparkContext.broadcast(bnds)
+      val bSteer = s.sparkContext.broadcast(steeringKeys(nPids))
+      val pidUdf = udf((d: Long) => bucketOf[Long](bB.value, d))
+      val withPid = tl.withColumn("pid", pidUdf(col("doc_id")))
+      // per-pid TOKEN sums (not row counts) → exclusive prefix offsets
+      val sums: Map[Int, Long] =
+        if (nPids == 1) Map.empty
+        else withPid.groupBy(col("pid"))
+          .agg(sum(col("n_tokens")).as("t")).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val bOff = s.sparkContext.broadcast(prefixOffsets(sums, nPids, base = 0L))
+      val pkeyUdf = udf((pid: Int) => bSteer.value(pid))
+      withPid
+        .withColumn("pkey", pkeyUdf(col("pid")))
+        .repartition(nPids, col("pkey"))
+        .sortWithinPartitions(col("pid"), col("doc_id"))
+        .mapPartitions { it =>
+          var curPid = -1
+          var off = 0L
+          it.map { r => // (doc_id, n_tokens, pid, pkey)
+            val pid = r.getInt(2)
+            if (pid != curPid) { curPid = pid; off = bOff.value(pid) }
+            val start = off
+            off += r.getLong(1)
+            (r.getLong(0), r.getLong(1), start)
+          }
+        }
+        .toDF("doc_id", "n_tokens", "start_offset")
+        .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+          expr(s"start_offset div $budget").as("pack_id"),
+          (col("n_tokens") > 0 &&
+            expr(s"start_offset div $budget") =!=
+            expr(s"(start_offset + n_tokens - 1) div $budget"))
+            .as("spans_boundary"))
+        .localCheckpoint(true) // materialize before the finally unpersists
+    } finally { tl.unpersist(); () }
+  }
+
   /** Per-doc bigram stream (adjacent token pairs after the length≥2
     * filter). Docs with < 2 tokens contribute no rows. */
   private def bigramPairs(docs: DataFrame): DataFrame =

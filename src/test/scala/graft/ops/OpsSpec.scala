@@ -490,6 +490,47 @@ class OpsSpec extends AnyFunSuite {
     w.foreach { case (s, (_, _, _, wv)) => assert(w2(s) == wv) }
   }
 
+  // ---- sequence packing ---------------------------------------------------
+
+  test("packSequences: exact global offsets, pack ids, boundary straddles; partitioning-invariant") {
+    // hand corpus: token counts 3, 0, 4, 2, 5 in doc_id order; budget 4
+    // flat stream offsets: d0@0, d1@3 (empty), d2@3, d3@7, d4@9
+    // packs of 4 tokens: d0→pack0, d2 starts pack0 and straddles into
+    // pack1, d3 starts pack1 straddling pack2, d4 starts pack2 into 3
+    val docs = Seq(
+      (0L, "aa bb cc"), (1L, "x"), (2L, "dd ee ff gg"),
+      (3L, "hh ii"), (4L, "jj kk ll mm nn")).toDF("doc_id", "text")
+    val got = TextOps.packSequences(docs, budget = 4L).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(0L) == ((3L, 0L, 0L, false)))
+    assert(got(1L) == ((0L, 3L, 0L, false))) // empty doc: offset only
+    assert(got(2L) == ((4L, 3L, 0L, true)))  // tokens 3..6 cross pack 0→1
+    assert(got(3L) == ((2L, 7L, 1L, true)))  // tokens 7..8 cross pack 1→2
+    assert(got(4L) == ((5L, 9L, 2L, true)))  // tokens 9..13 cross pack 2→3
+    // exact at any physical partitioning (the two-phase prefix sum)
+    val again = TextOps.packSequences(docs.repartition(7), budget = 4L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(again == got)
+    // brute-force twin on a larger random-ish corpus
+    val big = (0L until 300L).map(i =>
+      (i, Seq.fill(((i * 7 + 3) % 11).toInt)(s"t${i % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bigGot = TextOps.packSequences(big, budget = 128L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).sortBy(_._1)
+    var off = 0L
+    (0L until 300L).foreach { i =>
+      val nt = ((i * 7 + 3) % 11).toInt // "t..." tokens are all length>=2
+      val (_, gn, gs, gp, gb) = bigGot(i.toInt)
+      assert(gn == nt && gs == off, s"doc $i: ($gn,$gs) vs ($nt,$off)")
+      assert(gp == off / 128)
+      assert(gb == (nt > 0 && off / 128 != (off + nt - 1) / 128))
+      off += nt
+    }
+  }
+
   // ---- LM-count quality (CCNet-motivated) ---------------------------------
 
   private val lmCorpus = Seq(

@@ -73,6 +73,7 @@ object SparkEntry {
     "multimodal_signals" -> (Q.multimodalSignals(_, _)),
     "lm_bigram_quality" -> (Q.lmBigramQuality(_, _)),
     "pack_sequences" -> (Q.packSequencesQ(_, _)),
+    "substring_overlap" -> (Q.substringOverlap(_, _)),
     // batch twin of the streaming sessionizer (full SQL oracle)
     "w4_sessionize" -> (Q.w4Sessionize(_, _)),
   )
@@ -124,6 +125,7 @@ object SparkEntry {
     "multimodal_signals" -> Q.multimodalSignalsSql,
     "lm_bigram_quality" -> Q.lmBigramQualitySql,
     "pack_sequences" -> Q.packSequencesSql,
+    "substring_overlap" -> Q.substringOverlapSql,
     "ann_ivf_topk" -> Q.annIvfTopKSql,
     "token_count_bpe" -> Q.tokenCountBpeSql,
     // pinned goldens for the probabilistic ops (deterministic on the

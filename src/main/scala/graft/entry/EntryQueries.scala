@@ -889,6 +889,39 @@ object EntryQueries {
   }
 
 
+  /** Exact-substring overlap gate (r5; Lee et al. 2022 dedup class):
+    * winnowing-fingerprint intersection pairs — bucket join on the
+    * fingerprint key with a hot-fingerprint cap, never all-pairs. */
+  def substringOverlap(s: SparkSession, dir: String): DataFrame =
+    TextOps.substringOverlapPairs(t(s, dir, "documents"))
+      .orderBy(col("d1"), col("d2"))
+
+  val substringOverlapSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '),
+      |           x -> length(x) >= 2) AS tk
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |    [ md5(array_to_string(tk[i:i+2], ' ')) for i in range(1, len(tk) - 1) ] AS hs
+      |  FROM t WHERE len(tk) >= 6
+      |), sel AS (
+      |  SELECT doc_id,
+      |    list_distinct([ list_min(hs[i:i+3]) for i in range(1, len(hs) - 2) ]) AS fps
+      |  FROM g
+      |), fp AS (
+      |  SELECT doc_id, unnest(fps) AS fp FROM sel
+      |), usable AS (
+      |  SELECT fp FROM (SELECT fp, count(*) AS c FROM fp GROUP BY fp)
+      |  WHERE c >= 2 AND c <= 64
+      |), kept AS (
+      |  SELECT f.doc_id, f.fp FROM fp f JOIN usable u ON f.fp = u.fp
+      |)
+      |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared_fps
+      |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY d1, d2""".stripMargin
+
   /** Sequence-packing gate (r5): concatenate-then-chunk pretraining
     * packing over `documents` in doc_id order — exact global token
     * offsets via the scale-safe two-phase prefix sum (no global window,

@@ -177,6 +177,35 @@ object TextOps {
           i => array_min(slice(col("hs"), i, lit(w))))).as("fps"))
   }
 
+  /** Exact-substring overlap candidates (r5) — the dedup class of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): doc pairs sharing ≥ `minShared` winnowing fingerprints.
+    * By the winnowing guarantee (Schleimer et al. §3: any shared token
+    * run of length ≥ k+w-1 shares ≥ 1 selected fingerprint), a pair
+    * with many shared fingerprints is covered by long literal common
+    * substrings — the suffix-array use case, in join-friendly form.
+    *
+    * Shape at 100 TB: self-join ON THE FINGERPRINT KEY (bucket join,
+    * never all-pairs), with ubiquitous fingerprints dropped first —
+    * a fingerprint in > `maxDocsPerFp` docs is boilerplate whose
+    * c² pair blow-up would dominate cost while signaling nothing
+    * (the LSH hot-band cap, same reasoning). */
+  def substringOverlapPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+                            minShared: Long = 2L,
+                            maxDocsPerFp: Long = 64L): DataFrame = {
+    val sel = winnowSelected(docs, k, w)
+    val usable = sel.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2 && col("c") <= maxDocsPerFp)
+      .select(col("fp"))
+    val kept = sel.join(usable, Seq("fp"))
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Repetition-based quality signals (the Gopher rules of Rae et al.
     * 2021, §A1.1, restated over the analyzer token stream): the fraction
     * of all 2-grams taken by the single most frequent 2-gram, the fraction

@@ -490,6 +490,43 @@ class OpsSpec extends AnyFunSuite {
     w.foreach { case (s, (_, _, _, wv)) => assert(w2(s) == wv) }
   }
 
+  // ---- exact-substring overlap (Lee et al. 2022 class) --------------------
+
+  test("substringOverlapPairs: planted shared substring found, boilerplate fp capped, brute-force twin") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val boiler = "copyright notice footer text here now"          // in many docs
+    val docs = Seq(
+      (0L, s"unique00 intro $shared outro00 tail00"),
+      (1L, s"unique11 lead $shared close11 tail11"),
+      (2L, "totally different content with nothing repeated here at all"),
+      (3L, s"$boiler first unique page body aa bb cc dd"),
+      (4L, s"$boiler second unique page body ee ff gg hh"),
+      (5L, s"$boiler third unique page body ii jj kk ll"),
+      (6L, s"$boiler fourth unique page body mm nn oo pp"),
+      (7L, s"$boiler fifth unique page body qq rr ss tt")
+    ).toDF("doc_id", "text")
+    // cap at 4: the boilerplate fingerprints (5 docs) are dropped
+    val got = TextOps.substringOverlapPairs(docs, minShared = 2L,
+        maxDocsPerFp = 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((0L, 1L)),
+      s"the planted 8-token shared substring must pair docs 0/1: $got")
+    assert(got.keys.forall { case (a, b) => Set(a, b).subsetOf(Set(0L, 1L)) },
+      s"boilerplate above the fp cap must not create pairs: $got")
+    // brute-force twin from the engine's own (independently-oracled)
+    // fingerprint sets: pair counts over fps in 2..4 docs
+    val fps = TextOps.winnowSelected(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byFp = fps.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+      .filter { case (_, ds) => ds.size >= 2 && ds.size <= 4 }
+    val expected = byFp.values.toSeq
+      .flatMap(ds => for (i <- ds.indices; j <- i + 1 until ds.size)
+        yield (ds(i), ds(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 2L)
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   // ---- sequence packing ---------------------------------------------------
 
   test("packSequences: exact global offsets, pack ids, boundary straddles; partitioning-invariant") {

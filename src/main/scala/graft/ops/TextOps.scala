@@ -156,10 +156,61 @@ object TextOps {
       md5(concat_ws("", array_sort(col("fps")))).as("fp_digest"))
 
   /** Exploded winnowing fingerprints: one row per (doc_id, fp) — the join
-    * key shape for cross-doc overlap/attribution queries. */
-  def winnowSelected(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
-    winnowSets(docs, k, w)
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    * key shape for cross-doc overlap/attribution queries.
+    *
+    * Computed in ONE typed map pass (plain Scala rolling window), not by
+    * exploding the [[winnowSets]] expression: Spark's
+    * InferFiltersFromGenerate infers `size(fps) > 0` below the explode
+    * and INLINES the whole nested transform into that filter, where the
+    * inner k-gram transform re-evaluates per outer lambda element —
+    * O(tokens²) md5s per document (probed 93 s vs 0.6 s at sf0.1). The
+    * map pass is also the right 100 TB shape: narrow, codegen-free hot
+    * loop, no pathological Catalyst expression nesting to re-plan.
+    * Semantics are bit-identical to the expression path (same analyzer
+    * tokens, same md5-hex k-gram hashes, same window-min + first-seen
+    * distinct) — OpsSpec's twins and the DuckDB winnowing oracle pin it. */
+  def winnowSelected(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k=$k w=$w")
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def md5hex(s: String): String = {
+          md.reset()
+          val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val sb = new StringBuilder(32)
+          d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+          sb.toString
+        }
+        it.flatMap { case (id, text) =>
+          val toks = graft.analysis.Analyzer.tokens(text)
+          if (toks.length < k + w - 1) Iterator.empty
+          else {
+            val n = toks.length - k + 1
+            val hs = new Array[String](n)
+            var i = 0
+            while (i < n) {
+              hs(i) = md5hex(toks.slice(i, i + k).mkString(" "))
+              i += 1
+            }
+            // window minima (md5 hex is ASCII ⇒ String order == the
+            // binary order array_min/list_min use), first-seen distinct
+            val out = scala.collection.mutable.LinkedHashSet.empty[String]
+            var j = 0
+            while (j <= n - w) {
+              var m = hs(j)
+              var l = j + 1
+              while (l < j + w) { if (hs(l) < m) m = hs(l); l += 1 }
+              out += m
+              j += 1
+            }
+            out.iterator.map(fp => (id, fp))
+          }
+        }
+      }
+      .toDF("doc_id", "fp")
+  }
 
   private def winnowSets(docs: DataFrame, k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"k=$k w=$w")
@@ -193,11 +244,15 @@ object TextOps {
   def substringOverlapPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
                             minShared: Long = 2L,
                             maxDocsPerFp: Long = 64L): DataFrame = {
-    val sel = winnowSelected(docs, k, w)
+    // materialize the (doc, fp) frame ONCE (localCheckpoint, the o1 /
+    // packSequences pattern): it feeds the frequency filter AND both
+    // sides of the self-join — without this the tokenize+md5+winnow
+    // pipeline recomputes four times (probed 100 s → ~3 s at sf0.1)
+    val sel = winnowSelected(docs, k, w).localCheckpoint(true)
     val usable = sel.groupBy(col("fp")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2 && col("c") <= maxDocsPerFp)
       .select(col("fp"))
-    val kept = sel.join(usable, Seq("fp"))
+    val kept = sel.join(usable, Seq("fp")).localCheckpoint(true)
     kept.as("a")
       .join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

@@ -979,16 +979,17 @@ object EntryQueries {
       |FROM pairs p JOIN cnt c ON p.w1 = c.w1 AND p.w2 = c.w2
       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
 
-  /** Multimodal decode gate (r5): REAL JDK image/audio decode over the
-    * deterministic synthetic media table — media is SYNTHESIZED (real
-    * PNG bytes via javax.imageio, real RIFF/WAVE PCM), so this golden is
-    * sfDir-independent and holds at every scale factor. Signals column
-    * semantics: f0 = aspect ratio (image) / RMS (audio) / stub moment
-    * (video); f1 = mean-R (image) / zero-crossing rate (audio) / stub
-    * moment. Video rows stay decoded=false (labeled stub — no JDK video
-    * codec). Exactness is pinned twice: MultimodalSpec asserts the
-    * physics (sine RMS/zero-crossings, pixel-exact resize) and this
-    * golden freezes the concrete output for the DuckDB hash gate. */
+  /** Multimodal decode gate (r5): REAL JDK decode for ALL THREE kinds
+    * over the deterministic synthetic media table — media is SYNTHESIZED
+    * (real PNG bytes via javax.imageio, real RIFF/WAVE PCM, real
+    * RIFF/AVI MJPEG whose frames decode through ImageIO's JPEG reader),
+    * so this golden is sfDir-independent and holds at every scale
+    * factor. Signals column semantics: f0 = aspect ratio (image/video) /
+    * RMS (audio); f1 = mean-R (image) / zero-crossing rate (audio) /
+    * mean frame luma (video). Exactness is pinned twice: MultimodalSpec
+    * asserts the physics (sine RMS/zero-crossings, pixel-exact resize,
+    * panning-gradient motion) and this golden freezes the concrete
+    * output for the DuckDB hash gate. */
   def multimodalSignals(s: SparkSession, dir: String): DataFrame = {
     val sig = graft.multimodal.Multimodal.mediaSignals(
       graft.multimodal.Multimodal.syntheticMediaReal(s, 30), dim = 16)
@@ -1013,34 +1014,34 @@ object EntryQueries {
       |FROM (VALUES
       |  (0, 'image', TRUE, 32, 32, 0, 1.0, 0.4885876178741455),
       |  (1, 'audio', TRUE, 0, 0, 375, 0.2590062916278839, 0.10999999940395355),
-      |  (2, 'video', FALSE, 128, 72, 2002, 0.6332510113716125, 0.6511004567146301),
+      |  (2, 'video', TRUE, 64, 36, 750, 1.7777777910232544, 0.492247074842453),
       |  (3, 'image', TRUE, 80, 32, 0, 2.5, 0.49393534660339355),
       |  (4, 'audio', TRUE, 0, 0, 750, 0.2589685320854187, 0.10983332991600037),
-      |  (5, 'video', FALSE, 128, 72, 2005, 0.0786176398396492, 0.25514233112335205),
+      |  (5, 'video', TRUE, 64, 36, 625, 1.7777777910232544, 0.49194443225860596),
       |  (6, 'image', TRUE, 64, 32, 0, 2.0, 0.4927791953086853),
       |  (7, 'audio', TRUE, 0, 0, 1125, 0.2589610517024994, 0.10999999940395355),
-      |  (8, 'video', FALSE, 128, 72, 2008, 0.4501965045928955, 0.3708788752555847),
+      |  (8, 'video', TRUE, 64, 36, 500, 1.7777777910232544, 0.49261173605918884),
       |  (9, 'image', TRUE, 48, 32, 0, 1.5, 0.4959941804409027),
       |  (10, 'audio', TRUE, 0, 0, 500, 0.2588803768157959, 0.10975000262260437),
-      |  (11, 'video', FALSE, 128, 72, 2011, 0.5514534711837769, 0.5939221978187561),
+      |  (11, 'video', TRUE, 64, 36, 875, 1.7777777910232544, 0.4934835135936737),
       |  (12, 'image', TRUE, 32, 32, 0, 1.0, 0.4831341803073883),
       |  (13, 'audio', TRUE, 0, 0, 875, 0.25891363620758057, 0.10999999940395355),
-      |  (14, 'video', FALSE, 128, 72, 2014, 0.1351359486579895, 0.1485055387020111),
+      |  (14, 'video', TRUE, 64, 36, 750, 1.7777777910232544, 0.49112170934677124),
       |  (15, 'image', TRUE, 80, 32, 0, 2.5, 0.4991881251335144),
       |  (16, 'audio', TRUE, 0, 0, 250, 0.2590082585811615, 0.10949999839067459),
-      |  (17, 'video', FALSE, 128, 72, 2017, 0.03445896506309509, 0.055648330599069595),
+      |  (17, 'video', TRUE, 64, 36, 625, 1.7777777910232544, 0.49180930852890015),
       |  (18, 'image', TRUE, 64, 32, 0, 2.0, 0.4973939061164856),
       |  (19, 'audio', TRUE, 0, 0, 625, 0.25885823369026184, 0.10980000346899033),
-      |  (20, 'video', FALSE, 128, 72, 2020, 0.3065508008003235, 0.41803744435310364),
+      |  (20, 'video', TRUE, 64, 36, 500, 1.7777777910232544, 0.4918738901615143),
       |  (21, 'image', TRUE, 48, 32, 0, 1.5, 0.4921160042285919),
       |  (22, 'audio', TRUE, 0, 0, 1000, 0.25895676016807556, 0.10999999940395355),
-      |  (23, 'video', FALSE, 128, 72, 2023, 0.7363179326057434, 0.6540603637695312),
+      |  (23, 'video', TRUE, 64, 36, 875, 1.7777777910232544, 0.49296438694000244),
       |  (24, 'image', TRUE, 32, 32, 0, 1.0, 0.49703583121299744),
       |  (25, 'audio', TRUE, 0, 0, 375, 0.2589206099510193, 0.10966666787862778),
-      |  (26, 'video', FALSE, 128, 72, 2026, 0.22570322453975677, 0.21982340514659882),
+      |  (26, 'video', TRUE, 64, 36, 750, 1.7777777910232544, 0.4924442172050476),
       |  (27, 'image', TRUE, 80, 32, 0, 2.5, 0.4923483431339264),
       |  (28, 'audio', TRUE, 0, 0, 750, 0.2589513063430786, 0.10999999940395355),
-      |  (29, 'video', FALSE, 128, 72, 2029, 0.30645081400871277, 0.4543163776397705)
+      |  (29, 'video', TRUE, 64, 36, 625, 1.7777777910232544, 0.49242544174194336)
       |) AS g(media_id, kind, decoded, width, height, duration_ms, f0, f1)
       |ORDER BY media_id""".stripMargin
 

@@ -11,14 +11,17 @@ import org.apache.spark.sql.types._
   * `mapInPandas` batch UDFs — one partition = one batch stream, no
   * per-row JVM↔native round trips).
   *
-  * Codec status (r5): IMAGE and AUDIO decode are REAL — [[JdkCodec]]
-  * uses the JDK's own `javax.imageio` (PNG/JPEG/BMP/GIF) and a
-  * hand-rolled RIFF/WAVE PCM parser, both headless-safe and
-  * deterministic (pixel/sample math in integer accumulators, resize by
-  * direct-raster nearest neighbor — no AWT rendering pipeline). VIDEO
-  * remains the clearly-marked [[StubCodec]] byte-level fake: no video
-  * codec exists in the JDK or this container; swapping it for a real
-  * one changes no plumbing (same Option-returning decode boundary).
+  * Codec status (r5): IMAGE, AUDIO and VIDEO decode are all REAL —
+  * [[JdkCodec]] uses the JDK's own `javax.imageio` (PNG/JPEG/BMP/GIF),
+  * a hand-rolled RIFF/WAVE PCM parser, and a hand-rolled RIFF/AVI
+  * container walk whose MJPEG frame payloads decode through the same
+  * `javax.imageio` JPEG decoder (MJPEG = one whole JPEG per frame, the
+  * one video coding the bare JDK can decode). Everything is
+  * headless-safe and deterministic (pixel/sample math in integer
+  * accumulators, resize by direct-raster nearest neighbor — no AWT
+  * rendering pipeline). [[StubCodec]] remains only as the
+  * codec-agnostic byte-level fake behind the generic batch-contract
+  * demos ([[extractFeatures]]/[[sampleFrames]]/[[resized]]).
   */
 object Multimodal {
 
@@ -288,19 +291,211 @@ object Multimodal {
       }
       bos.toByteArray
     }
+
+    // ================== VIDEO: RIFF/AVI + MJPEG ==================
+
+    /** Parsed AVI payload: container metadata + the raw per-frame JPEG
+      * byte chunks ('00dc'/'00db' entries of the movi list), in stream
+      * order. Frames decode individually via ImageIO (MJPEG: every
+      * frame is a complete JPEG — no inter-frame state). */
+    final case class AviVideo(width: Int, height: Int,
+                              microSecPerFrame: Long,
+                              frames: Vector[Array[Byte]]) {
+      def durationMs: Long = microSecPerFrame * frames.length / 1000
+    }
+
+    /** Minimal RIFF/AVI reader: walks the chunk tree for the 'avih'
+      * header (dims + frame timing) and the 'movi' LIST's video chunks.
+      * Bounds-checked exactly like [[parseWav]] — truncated payloads,
+      * negative 32-bit chunk lengths (which would otherwise step the
+      * walk backwards and spin forever) and alien containers all yield
+      * None, never an exception or a hang. */
+    def parseAviMjpeg(bytes: Array[Byte]): Option[AviVideo] = {
+      def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      def tag(o: Int) = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      try {
+        if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+        var w = -1; var h = -1; var uspf = -1L
+        val frames = Vector.newBuilder[Array[Byte]]
+        var nFrames = 0
+        // walk one LIST body [lo, hi): top level, hdrl, movi share shape
+        def walk(lo: Int, hi: Int, depth: Int): Boolean = {
+          if (depth > 4) return false // AVI nests 2 deep; deeper = hostile
+          var off = lo
+          while (off + 8 <= hi) {
+            val id = tag(off)
+            val len = u32(off + 4).toInt
+            if (len < 0 || off + 8 + len > hi) return false // truncated/corrupt
+            if (id == "LIST") {
+              if (len < 4) return false
+              val lt = tag(off + 8)
+              if (lt == "hdrl" || lt == "movi" || lt == "strl")
+                if (!walk(off + 12, off + 8 + len, depth + 1)) return false
+            } else if (id == "avih" && len >= 40) {
+              uspf = u32(off + 8)
+              w = u32(off + 8 + 32).toInt
+              h = u32(off + 8 + 36).toInt
+            } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db"))) {
+              frames += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
+              nFrames += 1
+              if (nFrames > (1 << 20)) return false // runaway chunk storm
+            }
+            off += 8 + len + (len & 1) // chunks are word-aligned
+          }
+          true
+        }
+        if (!walk(12, bytes.length, 0)) return None
+        val fs = frames.result()
+        if (w > 0 && h > 0 && uspf > 0 && fs.nonEmpty) Some(AviVideo(w, h, uspf, fs))
+        else None
+      } catch { case _: IndexOutOfBoundsException => None }
+    }
+
+    /** How many frames [[videoSignals]] decodes at most — evenly-spaced
+      * sample so cost per payload is bounded regardless of length. */
+    val VideoSampleFrames = 8
+
+    /** (width, height, duration_ms, features[dim]) for an MJPEG AVI:
+      * f0 = aspect, f1 = mean frame luma, f2 = motion (mean |Δluma|
+      * between successive sampled frames), f3 = luma stddev across
+      * frames, f4.. = the sampled per-frame luma means in time order.
+      * Per-frame luma accumulates in Longs (bit-deterministic); frames
+      * that fail JPEG decode are skipped, and a payload with zero
+      * decodable frames is None. */
+    def videoSignals(bytes: Array[Byte], dim: Int = 16): Option[(Int, Int, Long, Array[Float])] =
+      parseAviMjpeg(bytes).flatMap { v =>
+        val n = v.frames.length
+        val s = math.min(VideoSampleFrames, n)
+        val lumas = (0 until s).iterator
+          .map(j => v.frames(j * n / s))
+          .flatMap(decodeImage(_))
+          .map { img =>
+            val fw = img.getWidth; val fh = img.getHeight
+            var sy = 0L
+            var y = 0
+            while (y < fh) {
+              var x = 0
+              while (x < fw) {
+                val rgb = img.getRGB(x, y)
+                sy += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                  114 * (rgb & 0xff)) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            sy.toDouble / (fw.toLong * fh) / 255.0
+          }
+          .toVector
+        if (lumas.isEmpty) None
+        else {
+          val mean = lumas.sum / lumas.length
+          val motion =
+            if (lumas.length < 2) 0.0
+            else lumas.sliding(2).map(p => math.abs(p(1) - p(0))).sum / (lumas.length - 1)
+          val sd = math.sqrt(lumas.map(l => (l - mean) * (l - mean)).sum / lumas.length)
+          val f = new Array[Float](dim)
+          f(0) = v.width.toFloat / v.height
+          if (dim > 1) f(1) = mean.toFloat
+          if (dim > 2) f(2) = motion.toFloat
+          if (dim > 3) f(3) = sd.toFloat
+          var i = 0
+          while (i < lumas.length && 4 + i < dim) {
+            f(4 + i) = lumas(i).toFloat; i += 1
+          }
+          Some((v.width, v.height, v.durationMs, f))
+        }
+      }
+
+    def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+
+    /** Deterministic synthetic MJPEG AVI: each frame is a seeded
+      * xorshift pixel field under a gradient that PANS with the frame
+      * index (so motion is real and the motion signal is exercised);
+      * frames JPEG-encode through ImageIO (pure-Java writer — no
+      * timestamps, equal pixels ⇒ equal bytes) and wrap in a minimal
+      * spec-shaped RIFF: hdrl(avih + strl(strh'vids'/MJPG + strf
+      * BITMAPINFOHEADER)) + movi('00dc'…) + idx1. */
+    def synthAviMjpeg(seed: Long, w: Int, h: Int, nFrames: Int,
+                      fps: Int = 8): Array[Byte] = {
+      def u16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def u32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def ascii(s: String) = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+        val pad = payload.length & 1
+        ascii(id) ++ u32(payload.length.toLong) ++ payload ++ Array.fill[Byte](pad)(0)
+      }
+      def list(lt: String, payload: Array[Byte]): Array[Byte] =
+        chunk("LIST", ascii(lt) ++ payload)
+
+      val jpegs = (0 until nFrames).map { fIdx =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var s = (seed * 31 + fIdx) * 0x9E3779B97F4A7C15L + 1
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+            // gradient origin pans right by 1/8 width per frame → motion
+            val gx = (x + fIdx * w / 8) % w
+            val r = ((s & 0xff) + 256 * gx / w) / 2
+            val g = (((s >>> 8) & 0xff) + 256 * y / h) / 2
+            val b = ((s >>> 16) & 0xff).toInt
+            img.setRGB(x, y, (r.toInt << 16) | (g.toInt << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        encodeJpeg(img)
+      }
+
+      val uspf = 1000000L / fps
+      val maxFrame = jpegs.map(_.length).max
+      val avih = u32(uspf) ++ u32(0) ++ u32(0) ++ u32(0x10) ++
+        u32(nFrames.toLong) ++ u32(0) ++ u32(1) ++ u32(maxFrame.toLong) ++
+        u32(w.toLong) ++ u32(h.toLong) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0)
+      val strh = ascii("vids") ++ ascii("MJPG") ++ u32(0) ++ u16(0) ++ u16(0) ++
+        u32(0) ++ u32(1) ++ u32(fps.toLong) ++ u32(0) ++ u32(nFrames.toLong) ++
+        u32(maxFrame.toLong) ++ u32(0xFFFFFFFFL) ++ u32(0) ++
+        u16(0) ++ u16(0) ++ u16(w) ++ u16(h)
+      val strf = u32(40) ++ u32(w.toLong) ++ u32(h.toLong) ++ u16(1) ++ u16(24) ++
+        ascii("MJPG") ++ u32(w.toLong * h * 3) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0)
+      val hdrl = list("hdrl",
+        chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val moviChunks = jpegs.map(j => chunk("00dc", j))
+      val movi = list("movi", moviChunks.flatten.toArray)
+      // idx1: offsets are relative to the movi list's 'movi' tag position
+      val idxEntries = {
+        var off = 4L
+        moviChunks.zip(jpegs).map { case (c, j) =>
+          val e = ascii("00dc") ++ u32(0x10) ++ u32(off) ++ u32(j.length.toLong)
+          off += c.length
+          e
+        }
+      }
+      val idx1 = chunk("idx1", idxEntries.flatten.toArray)
+      val body = ascii("AVI ") ++ hdrl ++ movi ++ idx1
+      ascii("RIFF") ++ u32(body.length.toLong) ++ body
+    }
   }
 
-  /** One decoded row per media item — REAL signals for image/audio,
-    * stub for video, `decoded = false` (empty features) for corrupt or
-    * unsupported payloads. */
+  /** One decoded row per media item — REAL signals for every kind,
+    * `decoded = false` (empty features) for corrupt or unsupported
+    * payloads. */
   final case class MediaSignals(media_id: Long, kind: String, decoded: Boolean,
                                 width: Int, height: Int, duration_ms: Long,
                                 features: Array[Float])
 
   /** Batched REAL decode + feature extraction (mapPartitions batch
     * shape — decoder state would init once per partition). Dispatch by
-    * kind: image → ImageIO, audio → WAV PCM parser, video → labeled
-    * stub moments over the raw bytes. */
+    * kind: image → ImageIO, audio → WAV PCM parser, video → AVI walk +
+    * per-frame MJPEG decode. */
   def mediaSignals(media: Dataset[Media], dim: Int = 16): Dataset[MediaSignals] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
@@ -314,11 +509,26 @@ object Multimodal {
             case Some((ms, f)) => MediaSignals(m.media_id, m.kind, decoded = true, 0, 0, ms, f)
             case None => MediaSignals(m.media_id, m.kind, decoded = false, 0, 0, 0L, Array.empty)
           }
-          case _ => // video: StubCodec (no JDK video codec exists)
-            MediaSignals(m.media_id, m.kind, decoded = false,
-              m.meta.width, m.meta.height, m.meta.duration_ms,
-              StubCodec.extractFeatures(m.bytes, dim))
+          case _ => JdkCodec.videoSignals(m.bytes, dim) match {
+            case Some((w, h, ms, f)) => MediaSignals(m.media_id, m.kind, decoded = true, w, h, ms, f)
+            case None => MediaSignals(m.media_id, m.kind, decoded = false, 0, 0, 0L, Array.empty)
+          }
         }
+      }
+    }
+  }
+
+  /** REAL frame sampling for video payloads: parse the AVI container and
+    * emit up to `nFrames` evenly-spaced frames as standalone JPEG bytes
+    * (each decodable by ImageIO on its own — MJPEG property). Corrupt or
+    * non-video rows contribute no frames, never a task failure. */
+  def sampleVideoFrames(media: Dataset[Media], nFrames: Int = 4): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      JdkCodec.parseAviMjpeg(m.bytes).toSeq.flatMap { v =>
+        val n = v.frames.length
+        val s = math.min(nFrames, n)
+        (0 until s).map(j => Frame(m.media_id, j, v.frames(j * n / s)))
       }
     }
   }
@@ -338,8 +548,8 @@ object Multimodal {
       .toDF("media_id", "kind", "resized", "original_bytes")
   }
 
-  /** Deterministic synthetic media with REAL image/audio payloads
-    * (PNG via ImageIO, RIFF/WAVE PCM) and stub video bytes. */
+  /** Deterministic synthetic media with REAL payloads for all three
+    * kinds (PNG via ImageIO, RIFF/WAVE PCM, RIFF/AVI MJPEG). */
   def syntheticMediaReal(spark: SparkSession, n: Long,
                          partitions: Int = 8): Dataset[Media] = {
     import spark.implicits._
@@ -355,9 +565,10 @@ object Multimodal {
           Media(id, "audio", JdkCodec.synthWav(id, ms),
             MediaMeta(0, 0, ms.toLong, "audio/wav"))
         case _ =>
-          val size = 256 + (id % 7).toInt * 128
-          Media(id, "video", StubCodec.synthBytes(id, size),
-            MediaMeta(128, 72, 2000L + id % 30000, "video/mp4"))
+          val nf = 4 + (id % 4).toInt
+          val fps = 8
+          Media(id, "video", JdkCodec.synthAviMjpeg(id, 64, 36, nf, fps),
+            MediaMeta(64, 36, nf * 1000L / fps, "video/x-msvideo"))
       }
     }
   }

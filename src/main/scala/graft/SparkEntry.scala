@@ -25,6 +25,7 @@ object SparkEntry {
     "o5_or_union" -> (Q.o5OrUnion(_, _)),
     "u5_bm25_topk" -> (Q.u5Bm25TopK(_, _)),
     "u5_bm25_or_topk" -> (Q.u5Bm25OrTopK(_, _)),
+    "phrase_topk" -> (Q.phraseTopK(_, _)),
     "w1_token_positions" -> (Q.w1TokenPositions(_, _)),
     // relational operators (§2.1-§2.7)
     "q1_agg" -> (Q.q1Agg(_, _)),
@@ -87,6 +88,7 @@ object SparkEntry {
     "o5_or_union" -> Q.o5OrUnionSql,
     "u5_bm25_topk" -> Q.u5Bm25TopKSql,
     "u5_bm25_or_topk" -> Q.u5Bm25OrTopKSql,
+    "phrase_topk" -> Q.phraseTopKSql,
     "w1_token_positions" -> Q.w1TokenPositionsSql,
     "q1_agg" -> Q.q1AggSql,
     "j3_broadcast_join" -> Q.j3BroadcastJoinSql,

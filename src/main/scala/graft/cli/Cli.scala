@@ -70,7 +70,10 @@ object BuildIndex {
 }
 
 /** Query a built index.
-  * Usage: Query <indexRoot> <queryText> [--mode AND|OR] [--k N] [--naive]
+  * Usage: Query <indexRoot> <queryText> [--mode AND|OR|PHRASE] [--k N]
+  *        [--naive]
+  * PHRASE mode treats <queryText> as an exact phrase over the analyzed
+  * token stream (SearchEngine.phraseTopK).
   */
 object Query {
   def main(args: Array[String]): Unit = {
@@ -78,7 +81,7 @@ object Query {
     def opt(name: String): Option[String] =
       a.indexOf(name) match { case -1 => None; case i => a.lift(i + 1) }
     if (a.size < 2) sys.error(
-      "usage: Query <indexRoot> <queryText> [--mode AND|OR] [--k N] [--naive] [--conv <prefix>] [--snapshot N]")
+      "usage: Query <indexRoot> <queryText> [--mode AND|OR|PHRASE] [--k N] [--naive] [--conv <prefix>] [--snapshot N]")
     val root = a(0)
     val q = a(1)
     val mode = opt("--mode").getOrElse("AND").toUpperCase
@@ -105,8 +108,13 @@ object Query {
       graft.index.IndexManifest.readVersion(root, v)
     }
     val t0 = System.nanoTime()
+    require(mode != "PHRASE" ||
+      (snapshot.isEmpty && conv.isEmpty && scopes.isEmpty && !a.contains("--naive")),
+      "PHRASE mode does not combine with --naive/--conv/--scopes/--snapshot")
     val hits =
-      if (a.contains("--naive"))
+      if (mode == "PHRASE")
+        SearchEngine.phraseTopK(spark, root, q, k)
+      else if (a.contains("--naive"))
         SearchEngine.queryNaive(spark, root, q, mode, k).collect()
           .map(r => graft.model.SearchHit(r.getLong(0), r.getDouble(1))).toVector
       else (snapshot, scopes.orElse(conv.map(Seq(_)))) match {

@@ -193,8 +193,24 @@ object EntryQueries {
 
   val u5Bm25OrTopKSql: String = bm25Sql(Seq("vector", "window"), and = false, k = 15)
 
+  /** Exact-phrase BM25 top-k — the relational twin of
+    * `SearchEngine.phraseTopK` (Lucene PhraseQuery semantics): same
+    * scoring as `u5_bm25_topk` over the SAME term pair, but candidates
+    * are docs where the phrase occurs CONSECUTIVELY in the filtered
+    * token stream. Adjacency is a map-only higher-order-function
+    * predicate over the token array (`exists` over the valid start
+    * offsets — codegen'd, no positional self-join, no extra shuffle);
+    * the SQL oracle mirrors it with the w1 ordinality idiom + an
+    * adjacency join. */
+  def phraseTopK(s: SparkSession, dir: String): DataFrame =
+    bm25(s, dir, Seq("spark", "merge"), and = true, k = 10,
+      phrase = Some(Seq("spark", "merge")))
+
+  val phraseTopKSql: String = phraseSql(Seq("spark", "merge"), k = 10)
+
   private def bm25(s: SparkSession, dir: String, terms: Seq[String],
-                   and: Boolean, k: Int): DataFrame = {
+                   and: Boolean, k: Int,
+                   phrase: Option[Seq[String]] = None): DataFrame = {
     val docs = t(s, dir, "documents")
     // the cache is scoped to THIS call: the ≤k-row result is materialized
     // while it is hot and the cache unpersisted before returning (the r01
@@ -212,11 +228,23 @@ object EntryQueries {
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val qtf = tf.filter(col("term").isin(terms: _*))
-      val cand =
-        if (and)
+      val cand = phrase match {
+        case Some(ph) =>
+          val w = TextOps.tokensCol
+          val m = ph.length
+          // exists start offset i (0-based) with w[i+j] == ph(j) for all j;
+          // CaseWhen guards the too-short rows (sequence(0, negative)
+          // would generate a DESCENDING range, not an empty one)
+          val adjacent = exists(sequence(lit(0), size(w) - lit(m)),
+            i => ph.zipWithIndex.map { case (tm, j) =>
+              element_at(w, i + lit(j + 1)) === lit(tm) }.reduce(_ && _))
+          docs.filter(when(size(w) >= m, adjacent).otherwise(lit(false)))
+            .select(col("doc_id"))
+        case None if and =>
           terms.map(tm => qtf.filter(col("term") === tm).select(col("doc_id")))
             .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
-        else qtf.select(col("doc_id")).distinct()
+        case None => qtf.select(col("doc_id")).distinct()
+      }
       val dfCol = typedLit(dfMap)
       val result = qtf.join(cand, Seq("doc_id"), "left_semi")
         .join(dl, Seq("doc_id"))
@@ -241,7 +269,13 @@ object EntryQueries {
        |), cand AS (
        |  $cand
        |)
-       |SELECT c.doc_id,
+       |${bm25ScoreTail(inList, k)}""".stripMargin
+  }
+
+  /** The shared BM25 scoring tail over a `cand(doc_id)` CTE (used by
+    * both the AND/OR and the phrase oracle). */
+  private def bm25ScoreTail(inList: String, k: Int): String =
+    s"""SELECT c.doc_id,
        |  round(sum( ln((s.n - q.df + 0.5)/(q.df + 0.5) + 1.0) * t.tf * (1.2 + 1.0)
        |             / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * d.dl / s.avgdl)) ), 6) AS score
        |FROM cand c
@@ -252,6 +286,28 @@ object EntryQueries {
        |GROUP BY c.doc_id
        |ORDER BY score DESC, c.doc_id
        |LIMIT $k""".stripMargin
+
+  /** Phrase oracle: candidates via the w1 ordinality idiom + an
+    * adjacency self-join chain (p1.pos + j), then the shared BM25 tail. */
+  private def phraseSql(terms: Seq[String], k: Int): String = {
+    val inList = terms.map(x => s"'$x'").mkString(", ")
+    val joins = terms.zipWithIndex.drop(1).map { case (tm, j) =>
+      s"JOIN pos p${j + 1} ON p${j + 1}.doc_id = p1.doc_id AND " +
+        s"p${j + 1}.pos = p1.pos + $j AND p${j + 1}.term = '$tm'"
+    }.mkString("\n  ")
+    s"""$bm25SqlCte, pos AS (
+       |  SELECT doc_id, CAST(p.i AS INT) AS pos, p.term FROM (
+       |    SELECT doc_id, unnest([{'i': i, 'term': w[i]} for i in range(1, len(w) + 1)]) AS p
+       |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) >= 2) AS w
+       |          FROM documents))
+       |), qt AS (
+       |  SELECT term, count(*) AS df FROM tf WHERE term IN ($inList) GROUP BY term
+       |), cand AS (
+       |  SELECT DISTINCT p1.doc_id FROM pos p1
+       |  $joins
+       |  WHERE p1.term = '${terms.head}'
+       |)
+       |${bm25ScoreTail(inList, k)}""".stripMargin
   }
 
   /** W1 (GenerateSnippetAction.java:40-66): token ordinals via posexplode. */

@@ -109,6 +109,32 @@ final class Oracle(corpus: Seq[Turn],
     hits.sortBy(h => (-h.score, h.docId)).take(k)
   }
 
+  /** Exact-phrase brute force: every doc whose analyzed token stream
+    * contains the phrase's analyzed tokens as a consecutive run, scored
+    * as the BM25 sum over the phrase's DISTINCT terms in canonical
+    * (df asc, term asc) order — the same float-op order as the engine,
+    * so scores must be bit-equal. No stop cap; an unknown term ⇒ empty
+    * (a phrase with an unindexed word matches nothing). */
+  def phraseTopK(phrase: String, k: Int = 10): Vector[SearchHit] = {
+    val seq = Analyzer.tokensFor(analyzerVersion, phrase)
+    if (seq.isEmpty) return Vector.empty
+    val distinct = seq.distinct
+    if (distinct.exists(t => df(t) == 0L)) return Vector.empty
+    val kept = distinct.sortBy(t => (df(t), t))
+    val postings = kept.map(t => index(t).toMap)
+    val candidates = postings.map(_.keySet).reduce(_ intersect _)
+    val hits = candidates.toVector
+      .filter(d => docTokens(d.toInt).containsSlice(seq))
+      .map { d =>
+        var s = 0.0
+        kept.zipWithIndex.foreach { case (t, i) =>
+          s += Bm25.score(postings(i)(d), df(t), dl(d), nDocs, avgdl)
+        }
+        SearchHit(d, s)
+      }
+    hits.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
   /** Multi-scope union with per-scope stats (reference multi-site search,
     * SearchServiceImpl.java:127-162): per-scope top-k unioned, best
     * instance per doc, global (score DESC, docId ASC) order. */

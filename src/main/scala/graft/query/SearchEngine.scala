@@ -539,16 +539,7 @@ object SearchEngine {
     //  - multi-file shard dirs (external/legacy layout) → fall back to
     //    the repartition, trading latency for unconditional correctness.
     val t0 = System.nanoTime()
-    val (scanFrame, pathName, needShuffle) =
-      cachedPostings.get(root).filter(_ => cacheMatches(root, m)) match {
-        case Some(df) =>
-          val aligned = cachedPostingsAligned.getOrElse(root, false)
-          (df, if (aligned) "cached-aligned" else "cached", !aligned)
-        case None => alignedPostingsFor(spark, root, m) match {
-          case Some(df) => (df, "aligned", false)
-          case None => (IndexSnapshot.postings(spark, root, m), "repartition", true)
-        }
-      }
+    val (scanFrame, pathName, needShuffle) = resolvedPostingsScan(spark, root, m)
     val selected = shardPrune(scanFrame).filter($"term".isin(termList: _*))
     val perShard =
       shardLocalTopK(if (needShuffle) selected.repartition($"shard") else selected)
@@ -561,6 +552,140 @@ object SearchEngine {
       f""""wand_ms":${wandNanos.map(_.value / 1e6).getOrElse(-1.0)}%.1f,""" +
       f""""shard_hits":${perShard.length},"hits":${merged.size}}}""")
     merged
+  }
+
+  /** Candidate-set size below which the verification join broadcasts the
+    * candidate side (a phrase's AND intersection is usually tiny next to
+    * the docs table; above this, AQE picks the strategy). */
+  private val PhraseBroadcastMax = 100000L
+
+  /** Exact-phrase top-k: documents whose ANALYZED token stream contains
+    * `phraseText`'s analyzed tokens as a consecutive run (Lucene
+    * PhraseQuery semantics — the phrase matches on the post-analysis
+    * stream, so stemming applies when the index was built `--stem`).
+    * Scoring is the same BM25 sum over the phrase's DISTINCT terms as
+    * `query(mode=AND)` — a phrase hit scores identically to its AND hit
+    * (PhraseSpec pins this), so phrase results are the AND results
+    * filtered by adjacency.
+    *
+    * Execution (positions-free design — the index stores no positional
+    * postings, so adjacency is verified against doc text):
+    *  1. enumerate the COMPLETE AND intersection with scores via one
+    *     shard-aligned posting scan ([[Wand.andAll]] — no top-k cut
+    *     before the phrase filter, else hits could be dropped);
+    *  2. pin the candidate frame (localCheckpoint) and prune the docs
+    *     scan to the shards that produced candidates;
+    *  3. join docs←candidates (broadcast when the candidate count is
+    *     small — the common case; AQE otherwise), keep docs whose token
+    *     stream containsSlice the phrase, take the global top-k.
+    * Scale shape: step 1 is the cost of an AND query without the k-cut;
+    * steps 2-3 touch only candidate shards and candidate rows. A phrase
+    * of frequent terms (large intersection) degrades gracefully to a
+    * pruned join; the format-rev path for that workload is positional
+    * postings, documented in SURVEY §2.
+    *
+    * Dictionary gate: a phrase term ABSENT from the dictionary means no
+    * document can contain the phrase → empty (unlike AND's
+    * drop-missing-terms-and-continue). The stop cap is NOT applied:
+    * dropping a term would change phrase semantics, and the adjacency
+    * filter already bounds the damage of a frequent term. */
+  def phraseTopK(spark: SparkSession, root: String, phraseText: String,
+                 k: Int = 10, pinned: Option[Manifest] = None): Vector[SearchHit] = {
+    val m = pinned.getOrElse(pinnedManifest(root))
+    val seq = Analyzer.tokensFor(m.analyzerVersion, phraseText)
+    if (seq.isEmpty) return Vector.empty
+    memoized(root, QueryKey(seq, "PHRASE", k, Nil, m.snapshotId)) {
+      val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
+      val distinctTerms = seq.distinct
+      val p = plan(spark, root, QuerySpec(distinctTerms, "AND", k), stats,
+        applyStopCap = false, pinned = Some(m))
+      if (p.terms.size < distinctTerms.size) Vector.empty
+      else phraseExec(spark, root, m, p, stats, seq, k)
+    }
+  }
+
+  private def phraseExec(spark: SparkSession, root: String, m: Manifest,
+                         p: Plan, stats: CorpusStats, seq: Vector[String],
+                         k: Int): Vector[SearchHit] = {
+    import spark.implicits._
+    val cand = phraseCandidates(spark, root, m, p, stats)
+      .localCheckpoint(true) // one evaluation feeds shards, count, join
+    try {
+      if (cand.isEmpty) return Vector.empty
+      val candShards =
+        cand.select($"shard").distinct().as[Int].collect().toSeq // O(shards)
+      val candFrame = cand.select($"docId", $"score")
+      val joinCand =
+        if (cand.count() <= PhraseBroadcastMax)
+          org.apache.spark.sql.functions.broadcast(candFrame)
+        else candFrame
+      val ver = m.analyzerVersion
+      IndexSnapshot.docsFor(spark, root, m, candShards)
+        .select($"docId", $"text")
+        .join(joinCand, "docId")
+        .select($"docId", $"score", $"text").as[(Long, Double, String)]
+        .mapPartitions(_.collect {
+          case (d, s, txt) if Analyzer.tokensFor(ver, txt).containsSlice(seq) =>
+            SearchHit(d, s)
+        })
+        .orderBy($"score".desc, $"docId".asc).limit(k) // TakeOrderedAndProject
+        .collect().toVector
+    } finally { cand.unpersist(); () }
+  }
+
+  /** The complete scored AND intersection as a distributed frame
+    * (shard, docId, score) — [[executePlan]]'s shard-aligned decode pass
+    * with [[Wand.andAll]] in place of the top-k executor. */
+  private def phraseCandidates(spark: SparkSession, root: String,
+                               m: Manifest, p: Plan,
+                               stats: CorpusStats): DataFrame = {
+    import spark.implicits._
+    val termList = p.terms.map(_.term)
+    val dfByTerm = p.terms.map(t => t.term -> t.df).toMap
+    val canonical = p.terms.sortBy(t => (t.df, t.term)).map(_.term)
+      .zipWithIndex.toMap
+    val nDocs = stats.nDocs
+    val avgdl = stats.avgdl
+    val nTerms = termList.size
+    val (scanFrame, _, needShuffle) = resolvedPostingsScan(spark, root, m)
+    val selected0 = scanFrame.filter($"term".isin(termList: _*))
+    val selected = if (needShuffle) selected0.repartition($"shard") else selected0
+    selected
+      .select($"shard", $"term", $"chunk", $"count", $"docIds", $"tfs",
+        $"dls", $"blockFirst", $"docOff", $"tfOff", $"dlOff",
+        $"blockMaxTf", $"blockMinDl")
+      .mapPartitions { rows =>
+        val byTerm = scala.collection.mutable.LinkedHashMap
+          .empty[(Int, String),
+                 scala.collection.mutable.ArrayBuffer[graft.index.PostingCodec.BlockedList]]
+        rows.foreach { r =>
+          val key = (r.getInt(0), r.getString(1))
+          byTerm.getOrElseUpdate(key,
+            scala.collection.mutable.ArrayBuffer
+              .empty[graft.index.PostingCodec.BlockedList]) +=
+            graft.index.PostingCodec.BlockedList(
+              r.getLong(3).toInt, r.getAs[Array[Byte]](4),
+              r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6),
+              r.getSeq[Long](7).toArray, r.getSeq[Int](8).toArray,
+              r.getSeq[Int](9).toArray, r.getSeq[Int](10).toArray,
+              r.getSeq[Int](11).toArray, r.getSeq[Int](12).toArray)
+        }
+        byTerm.groupBy(_._1._1).iterator.flatMap { case (shard, termChunks) =>
+          val cursors = termChunks.map { case ((_, term), chunks) =>
+            val sorted = chunks
+              .sortBy(c => if (c.blockFirst.isEmpty) Long.MaxValue
+                           else c.blockFirst(0))
+              .toIndexedSeq
+            new Wand.TermCursor(
+              Wand.TermPostings(term, dfByTerm(term), canonical(term), sorted),
+              nDocs, avgdl)
+          }.toSeq
+          // a term absent from this shard ⇒ empty local intersection
+          if (cursors.size < nTerms) Iterator.empty
+          else Wand.andAll(cursors).iterator.map(h => (shard, h.docId, h.score))
+        }
+      }
+      .toDF("shard", "docId", "score")
   }
 
   /** Naive Catalyst path over the uncompressed tf relation — correctness
@@ -775,6 +900,23 @@ object SearchEngine {
     * (VERDICT r03 item 5). */
   private val alignedPostings =
     scala.collection.concurrent.TrieMap.empty[(String, Long), Option[DataFrame]]
+
+  /** Pick the postings scan frame for one query: serving-cached frame
+    * when pinned and fresh, else the shard-aligned scan (one task = one
+    * whole shard file, no shuffle), else the raw snapshot scan that
+    * needs a per-query `repartition($"shard")` for in-task completeness.
+    * Returns (frame, telemetry label, needs-shuffle). */
+  private def resolvedPostingsScan(spark: SparkSession, root: String,
+                                   m: Manifest): (DataFrame, String, Boolean) =
+    cachedPostings.get(root).filter(_ => cacheMatches(root, m)) match {
+      case Some(df) =>
+        val aligned = cachedPostingsAligned.getOrElse(root, false)
+        (df, if (aligned) "cached-aligned" else "cached", !aligned)
+      case None => alignedPostingsFor(spark, root, m) match {
+        case Some(df) => (df, "aligned", false)
+        case None => (IndexSnapshot.postings(spark, root, m), "repartition", true)
+      }
+    }
 
   private[graft] def alignedPostingsFor(spark: SparkSession, root: String,
                                         m: Manifest): Option[DataFrame] = {

@@ -184,6 +184,54 @@ object Wand {
     heap.results
   }
 
+  /** EVERY doc in the AND intersection with its BM25 score, emitted in
+    * ascending-docId order — the candidate enumerator for phrase
+    * verification (candidates must be complete BEFORE any top-k cut:
+    * the phrase filter runs after this, so pruning here would drop
+    * hits). Same merge walk and canonical-order scoring as
+    * [[andTopKSegments]], minus the heap (no k to prune against). */
+  def andAll(terms: Seq[TermCursor],
+             segments: Seq[(Long, Long)] = Vector((0L, Long.MaxValue))): Vector[SearchHit] = {
+    if (terms.isEmpty || segments.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[SearchHit]
+    val byDf = terms.sortBy(c => (c.df, c.term)).toArray // rarest first drives
+    val contribs = new Array[Double](terms.map(_.canonical).max + 1)
+    val segs = segments.iterator
+    while (segs.hasNext) {
+      val (minDoc, maxDoc) = segs.next()
+      byDf.foreach(_.advanceTo(minDoc))
+      var continue = !byDf.exists(_.exhausted)
+      if (!continue) return out.result()
+      while (continue) {
+        val cand = byDf(0).docId
+        if (cand > maxDoc) continue = false // next segment
+        else if (cand == Long.MaxValue) return out.result()
+        else {
+          var all = true
+          var i = 1
+          while (all && i < byDf.length) {
+            byDf(i).advanceTo(cand)
+            if (byDf(i).docId != cand) all = false
+            i += 1
+          }
+          if (all) {
+            var j = 0
+            while (j < byDf.length) {
+              contribs(byDf(j).canonical) = byDf(j).score
+              j += 1
+            }
+            out += SearchHit(cand, canonicalSum(contribs))
+            byDf(0).advance()
+          } else {
+            byDf(0).advanceTo(byDf.map(_.docId).max)
+          }
+          if (byDf(0).exhausted) return out.result()
+        }
+      }
+    }
+    out.result()
+  }
+
   /** OR top-k: WAND with term-level upper bounds (each derived from the
     * per-block maxTf/minDl metadata, i.e. tighter than a plain maxTf
     * bound). Exact (see exactness contract above). */

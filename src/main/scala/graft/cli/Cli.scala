@@ -100,12 +100,20 @@ object Query {
     // reason — an already-expired snapshot must surface the loud
     // retained-versions message, not a raw FileNotFoundException from
     // this pre-pin (ADVICE r04 item 4).
+    // readVersionCached shares the parse with queryAt below (one LIST +
+    // one manifest read per invocation, not two of each); wrapping in
+    // withExpiryDiagnosis turns both an already-expired snapshot and an
+    // expiry racing this pre-pin into the loud retention message.
     val pinned = snapshot.map { v =>
       val retained = graft.index.IndexManifest.versions(root)
       require(retained.contains(v),
         s"snapshot $v not available at $root (expired or never " +
         s"committed); retained: ${retained.mkString(",")}")
-      graft.index.IndexManifest.readVersion(root, v)
+      // expiry can still win the race between the listing above and a
+      // cold-cache parse — diagnose that as the loud retention error too
+      SearchEngine.withExpiryDiagnosis(root, v) {
+        graft.index.IndexManifest.readVersionCached(root, v)
+      }
     }
     val t0 = System.nanoTime()
     require(mode != "PHRASE" ||

@@ -326,7 +326,9 @@ object Multimodal {
           while (off + 8 <= hi) {
             val id = tag(off)
             val len = u32(off + 4).toInt
-            if (len < 0 || off + 8 + len > hi) return false // truncated/corrupt
+            // compare in Long: off + 8 + len can wrap Int for a hostile
+            // ~2^31 chunk length, sneaking past the guard into copyOfRange
+            if (len < 0 || off.toLong + 8L + len > hi) return false // truncated/corrupt
             if (id == "LIST") {
               if (len < 4) return false
               val lt = tag(off + 8)

@@ -176,12 +176,18 @@ object TextOps {
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef".toCharArray
         def md5hex(s: String): String = {
           md.reset()
           val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val sb = new StringBuilder(32)
-          d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-          sb.toString
+          val cs = new Array[Char](32)
+          var b = 0
+          while (b < 16) {
+            cs(2 * b) = hex((d(b) & 0xf0) >> 4)
+            cs(2 * b + 1) = hex(d(b) & 0x0f)
+            b += 1
+          }
+          new String(cs)
         }
         it.flatMap { case (id, text) =>
           val toks = graft.analysis.Analyzer.tokens(text)
@@ -253,6 +259,12 @@ object TextOps {
       .filter(col("c") >= 2 && col("c") <= maxDocsPerFp)
       .select(col("fp"))
     val kept = sel.join(usable, Seq("fp")).localCheckpoint(true)
+    // kept's eager checkpoint is its own block set — sel (the full
+    // fingerprint frame, the job's largest intermediate) is dead from
+    // here; release it instead of pinning it until driver GC. kept's
+    // (smaller, boilerplate-pruned) blocks back the returned plan and
+    // live with it — the inherent lifetime of a checkpoint-backed result.
+    sel.unpersist(false)
     kept.as("a")
       .join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

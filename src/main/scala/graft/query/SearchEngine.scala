@@ -115,8 +115,11 @@ object SearchEngine {
     require(retained.contains(snapshotId),
       s"snapshot $snapshotId not available at $root (expired or never " +
       s"committed); retained: ${retained.mkString(",")}")
-    val m = IndexManifest.readVersionCached(root, snapshotId)
     withExpiryDiagnosis(root, snapshotId) {
+      // the manifest parse itself can lose the race with expiry (cold
+      // cache miss after versions() listed the snapshot) — keep it
+      // inside the diagnosis wrapper so it fails loudly, not raw
+      val m = IndexManifest.readVersionCached(root, snapshotId)
       if (scopes.isEmpty) queryResolved(spark, root, m, queryText, mode, k)
       else {
         // scoped time travel: the scoped path already pins one manifest
@@ -682,7 +685,7 @@ object SearchEngine {
           }.toSeq
           // a term absent from this shard ⇒ empty local intersection
           if (cursors.size < nTerms) Iterator.empty
-          else Wand.andAll(cursors).iterator.map(h => (shard, h.docId, h.score))
+          else Wand.andAll(cursors).map(h => (shard, h.docId, h.score))
         }
       }
       .toDF("shard", "docId", "score")

@@ -189,47 +189,75 @@ object Wand {
     * verification (candidates must be complete BEFORE any top-k cut:
     * the phrase filter runs after this, so pruning here would drop
     * hits). Same merge walk and canonical-order scoring as
-    * [[andTopKSegments]], minus the heap (no k to prune against). */
+    * [[andTopKSegments]], minus the heap (no k to prune against).
+    *
+    * Returns a LAZY iterator: phrases of two high-df terms (the stop cap
+    * is deliberately off for phrase queries) can intersect to nearly a
+    * whole shard, and the caller streams candidates into adjacency
+    * verification one at a time — materializing the intersection up
+    * front would hold millions of hits per task for nothing. */
   def andAll(terms: Seq[TermCursor],
-             segments: Seq[(Long, Long)] = Vector((0L, Long.MaxValue))): Vector[SearchHit] = {
-    if (terms.isEmpty || segments.isEmpty) return Vector.empty
-    val out = Vector.newBuilder[SearchHit]
+             segments: Seq[(Long, Long)] = Vector((0L, Long.MaxValue))): Iterator[SearchHit] = {
+    if (terms.isEmpty || segments.isEmpty) return Iterator.empty
     val byDf = terms.sortBy(c => (c.df, c.term)).toArray // rarest first drives
     val contribs = new Array[Double](terms.map(_.canonical).max + 1)
     val segs = segments.iterator
-    while (segs.hasNext) {
-      val (minDoc, maxDoc) = segs.next()
-      byDf.foreach(_.advanceTo(minDoc))
-      var continue = !byDf.exists(_.exhausted)
-      if (!continue) return out.result()
-      while (continue) {
-        val cand = byDf(0).docId
-        if (cand > maxDoc) continue = false // next segment
-        else if (cand == Long.MaxValue) return out.result()
+    new scala.collection.AbstractIterator[SearchHit] {
+      private var maxDoc = -1L        // current segment's upper bound
+      private var inSegment = false
+      private var done = false
+      private var pending: SearchHit = null
+
+      // position cursors at the next segment's start; false (and done)
+      // when a list runs dry (AND: ends everything) or segments end
+      private def enterNextSegment(): Boolean =
+        if (!segs.hasNext) { done = true; false }
         else {
-          var all = true
-          var i = 1
-          while (all && i < byDf.length) {
-            byDf(i).advanceTo(cand)
-            if (byDf(i).docId != cand) all = false
-            i += 1
-          }
-          if (all) {
-            var j = 0
-            while (j < byDf.length) {
-              contribs(byDf(j).canonical) = byDf(j).score
-              j += 1
-            }
-            out += SearchHit(cand, canonicalSum(contribs))
-            byDf(0).advance()
-          } else {
-            byDf(0).advanceTo(byDf.map(_.docId).max)
-          }
-          if (byDf(0).exhausted) return out.result()
+          val (lo, hi) = segs.next()
+          byDf.foreach(_.advanceTo(lo))
+          if (byDf.exists(_.exhausted)) { done = true; false }
+          else { maxDoc = hi; true }
         }
+
+      private def computeNext(): Unit =
+        while (pending == null && !done) {
+          if (!inSegment) inSegment = enterNextSegment()
+          else {
+            val cand = byDf(0).docId
+            if (cand > maxDoc) inSegment = false // next segment
+            else if (cand == Long.MaxValue) done = true
+            else {
+              var all = true
+              var i = 1
+              while (all && i < byDf.length) {
+                byDf(i).advanceTo(cand)
+                if (byDf(i).docId != cand) all = false
+                i += 1
+              }
+              if (all) {
+                var j = 0
+                while (j < byDf.length) {
+                  contribs(byDf(j).canonical) = byDf(j).score
+                  j += 1
+                }
+                pending = SearchHit(cand, canonicalSum(contribs))
+                byDf(0).advance()
+              } else {
+                // the failing cursor moved past cand: jump the driver there
+                byDf(0).advanceTo(byDf.map(_.docId).max)
+              }
+              if (byDf(0).exhausted) done = true
+            }
+          }
+        }
+
+      override def hasNext: Boolean = { computeNext(); pending != null }
+      override def next(): SearchHit = {
+        computeNext()
+        if (pending == null) throw new NoSuchElementException("andAll")
+        val h = pending; pending = null; h
       }
     }
-    out.result()
   }
 
   /** OR top-k: WAND with term-level upper bounds (each derived from the

@@ -222,6 +222,16 @@ class MultimodalSpec extends AnyFunSuite {
         b.put("avih".getBytes); b.putInt(0xFFFFFFF8); b.putInt(0); b.putInt(0)
         b.array()
       },
+      { // '00dc' frame chunk whose length makes off+8+len WRAP Int —
+        // an Int-arithmetic bounds guard passes and copyOfRange throws
+        // IllegalArgumentException (from > to), which the walk's
+        // IndexOutOfBoundsException handler does NOT catch; the guard
+        // must compare in Long
+        val b = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("RIFF".getBytes); b.putInt(24); b.put("AVI ".getBytes)
+        b.put("00dc".getBytes); b.putInt(0x7FFFFFF0); b.putInt(0); b.putInt(0)
+        b.array()
+      },
       { // LIST that claims to contain itself (hostile nesting)
         val b = java.nio.ByteBuffer.allocate(80).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         b.put("RIFF".getBytes); b.putInt(72); b.put("AVI ".getBytes)

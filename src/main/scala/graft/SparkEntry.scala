@@ -26,6 +26,8 @@ object SparkEntry {
     "u5_bm25_topk" -> (Q.u5Bm25TopK(_, _)),
     "u5_bm25_or_topk" -> (Q.u5Bm25OrTopK(_, _)),
     "phrase_topk" -> (Q.phraseTopK(_, _)),
+    "near_topk" -> (Q.nearTopK(_, _)),
+    "prefix_term_topk" -> (Q.prefixTermTopK(_, _)),
     "w1_token_positions" -> (Q.w1TokenPositions(_, _)),
     // relational operators (§2.1-§2.7)
     "q1_agg" -> (Q.q1Agg(_, _)),
@@ -89,6 +91,8 @@ object SparkEntry {
     "u5_bm25_topk" -> Q.u5Bm25TopKSql,
     "u5_bm25_or_topk" -> Q.u5Bm25OrTopKSql,
     "phrase_topk" -> Q.phraseTopKSql,
+    "near_topk" -> Q.nearTopKSql,
+    "prefix_term_topk" -> Q.prefixTermTopKSql,
     "w1_token_positions" -> Q.w1TokenPositionsSql,
     "q1_agg" -> Q.q1AggSql,
     "j3_broadcast_join" -> Q.j3BroadcastJoinSql,

@@ -129,4 +129,14 @@ object Analyzer extends Serializable {
   /** Analyze a query string into its distinct terms, insertion-ordered
     * (reference: query lemma Set, SearchServiceImpl.java:68-70). */
   def analyzeQuery(query: String): Vector[String] = tokens(query).distinct
+
+  /** Normalize a PREFIX pattern (SearchEngine.prefixTopK): keep only
+    * token chars, then case/ё fold — but never stem and no minimum
+    * length. Lucene parity: multi-term query patterns bypass analysis
+    * (PrefixQuery terms are not run through the token filters), so the
+    * same `merg*` pattern works against a plain and a stemmed
+    * dictionary alike, and a 1-char prefix is legal even though 1-char
+    * TOKENS are not. */
+  def foldPrefix(raw: String): String =
+    if (raw == null) "" else fold(raw.filter(isTokenChar))
 }

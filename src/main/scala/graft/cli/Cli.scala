@@ -70,10 +70,13 @@ object BuildIndex {
 }
 
 /** Query a built index.
-  * Usage: Query <indexRoot> <queryText> [--mode AND|OR|PHRASE] [--k N]
-  *        [--naive]
+  * Usage: Query <indexRoot> <queryText> [--mode AND|OR|PHRASE|NEAR|PREFIX]
+  *        [--k N] [--slop N] [--naive]
   * PHRASE mode treats <queryText> as an exact phrase over the analyzed
-  * token stream (SearchEngine.phraseTopK).
+  * token stream (SearchEngine.phraseTopK); NEAR matches all terms within
+  * a window of --slop+1 consecutive positions (default slop 2,
+  * SearchEngine.nearTopK); PREFIX treats <queryText> as a dictionary
+  * prefix pattern, e.g. `merg` for merge/merged (SearchEngine.prefixTopK).
   */
 object Query {
   def main(args: Array[String]): Unit = {
@@ -81,7 +84,8 @@ object Query {
     def opt(name: String): Option[String] =
       a.indexOf(name) match { case -1 => None; case i => a.lift(i + 1) }
     if (a.size < 2) sys.error(
-      "usage: Query <indexRoot> <queryText> [--mode AND|OR|PHRASE] [--k N] [--naive] [--conv <prefix>] [--snapshot N]")
+      "usage: Query <indexRoot> <queryText> [--mode AND|OR|PHRASE|NEAR|PREFIX] " +
+      "[--k N] [--slop N] [--naive] [--conv <prefix>] [--snapshot N]")
     val root = a(0)
     val q = a(1)
     val mode = opt("--mode").getOrElse("AND").toUpperCase
@@ -116,12 +120,19 @@ object Query {
       }
     }
     val t0 = System.nanoTime()
-    require(mode != "PHRASE" ||
+    val slop = opt("--slop").map(_.toInt).getOrElse(2)
+    require(!Set("PHRASE", "NEAR", "PREFIX").contains(mode) ||
       (snapshot.isEmpty && conv.isEmpty && scopes.isEmpty && !a.contains("--naive")),
-      "PHRASE mode does not combine with --naive/--conv/--scopes/--snapshot")
+      s"$mode mode does not combine with --naive/--conv/--scopes/--snapshot")
+    require(mode == "NEAR" || opt("--slop").isEmpty,
+      "--slop only applies to NEAR mode")
     val hits =
       if (mode == "PHRASE")
         SearchEngine.phraseTopK(spark, root, q, k)
+      else if (mode == "NEAR")
+        SearchEngine.nearTopK(spark, root, q, slop, k)
+      else if (mode == "PREFIX")
+        SearchEngine.prefixTopK(spark, root, q, k)
       else if (a.contains("--naive"))
         SearchEngine.queryNaive(spark, root, q, mode, k).collect()
           .map(r => graft.model.SearchHit(r.getLong(0), r.getDouble(1))).toVector
@@ -133,7 +144,8 @@ object Query {
         case _ => SearchEngine.query(spark, root, q, mode, k)
       }
     val ms = (System.nanoTime() - t0) / 1e6
-    println(f"query='$q' mode=$mode k=$k → ${hits.size} hits in $ms%.0f ms")
+    val modeLabel = if (mode == "NEAR") s"NEAR~$slop" else mode
+    println(f"query='$q' mode=$modeLabel k=$k → ${hits.size} hits in $ms%.0f ms")
     // hit previews must come from the SAME snapshot the hits did
     val docs = pinned match {
       case Some(m) =>

@@ -208,9 +208,38 @@ object EntryQueries {
 
   val phraseTopKSql: String = phraseSql(Seq("spark", "merge"), k = 10)
 
+  /** NEAR/slop proximity BM25 top-k — the relational twin of
+    * `SearchEngine.nearTopK`: same scoring as `u5_bm25_topk` over the
+    * SAME pair, but candidates are docs where the two terms occur (in
+    * either order) within a window of slop+1 consecutive tokens. The
+    * window check is a map-only higher-order-function predicate over the
+    * token array (slice windows — codegen'd, no positional self-join on
+    * the Spark side); the DuckDB oracle mirrors it with the w1 ordinality
+    * idiom + a |Δpos| <= slop positional join, the 2-term equivalent. */
+  def nearTopK(s: SparkSession, dir: String): DataFrame =
+    bm25(s, dir, Seq("spark", "merge"), and = true, k = 10,
+      near = Some((Seq("spark", "merge"), 3)))
+
+  val nearTopKSql: String = nearSql("spark", "merge", slop = 3, k = 10)
+
+  /** Prefix-term BM25 top-k (Lucene PrefixQuery, scoring rewrite) — the
+    * relational twin of `SearchEngine.prefixTopK`: the expansion is every
+    * dictionary term starting with the prefix ('d' → {data, dup} on this
+    * corpus: one hot term + one rare term, so the expansion actually
+    * changes the ranking), then the standard OR/BM25 tail over the
+    * expansion with per-expanded-term df. ≤2 expansions keeps the score
+    * sum commutative like every bm25 gate; the engine-side operator
+    * handles arbitrary expansions (canonical-order fold) and is pinned by
+    * ProximitySpec instead. */
+  def prefixTermTopK(s: SparkSession, dir: String): DataFrame =
+    bm25Prefix(s, dir, "d", k = 10)
+
+  val prefixTermTopKSql: String = prefixSql("d", k = 10)
+
   private def bm25(s: SparkSession, dir: String, terms: Seq[String],
                    and: Boolean, k: Int,
-                   phrase: Option[Seq[String]] = None): DataFrame = {
+                   phrase: Option[Seq[String]] = None,
+                   near: Option[(Seq[String], Int)] = None): DataFrame = {
     val docs = t(s, dir, "documents")
     // the cache is scoped to THIS call: the ≤k-row result is materialized
     // while it is hot and the cache unpersisted before returning (the r01
@@ -228,8 +257,8 @@ object EntryQueries {
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val qtf = tf.filter(col("term").isin(terms: _*))
-      val cand = phrase match {
-        case Some(ph) =>
+      val cand = (phrase, near) match {
+        case (Some(ph), _) =>
           val w = TextOps.tokensCol
           val m = ph.length
           // exists start offset i (0-based) with w[i+j] == ph(j) for all j;
@@ -240,10 +269,20 @@ object EntryQueries {
               element_at(w, i + lit(j + 1)) === lit(tm) }.reduce(_ && _))
           docs.filter(when(size(w) >= m, adjacent).otherwise(lit(false)))
             .select(col("doc_id"))
-        case None if and =>
+        case (None, Some((nt, slop))) =>
+          val w = TextOps.tokensCol
+          // exists a window start i (1-based) whose slop+1-token slice
+          // contains EVERY near term; slice clips at the array end, and
+          // the CaseWhen guards empty docs (sequence(1, 0) descends)
+          val windowed = exists(sequence(lit(1), size(w)), i =>
+            nt.map(tm => exists(slice(w, i, lit(slop + 1)),
+              x => x === lit(tm))).reduce(_ && _))
+          docs.filter(when(size(w) >= 1, windowed).otherwise(lit(false)))
+            .select(col("doc_id"))
+        case _ if and =>
           terms.map(tm => qtf.filter(col("term") === tm).select(col("doc_id")))
             .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
-        case None => qtf.select(col("doc_id")).distinct()
+        case _ => qtf.select(col("doc_id")).distinct()
       }
       val dfCol = typedLit(dfMap)
       val result = qtf.join(cand, Seq("doc_id"), "left_semi")
@@ -269,23 +308,38 @@ object EntryQueries {
        |), cand AS (
        |  $cand
        |)
-       |${bm25ScoreTail(inList, k)}""".stripMargin
+       |${bm25ScoreTail(s"t.term IN ($inList)", k)}""".stripMargin
   }
 
-  /** The shared BM25 scoring tail over a `cand(doc_id)` CTE (used by
-    * both the AND/OR and the phrase oracle). */
-  private def bm25ScoreTail(inList: String, k: Int): String =
+  /** The shared BM25 scoring tail over a `cand(doc_id)` CTE (used by the
+    * AND/OR, phrase, near and prefix oracles). `termPred` restricts the
+    * tf join to the query's terms — an IN list or a LIKE pattern over
+    * the aliased column `t.term`. */
+  private def bm25ScoreTail(termPred: String, k: Int): String =
     s"""SELECT c.doc_id,
        |  round(sum( ln((s.n - q.df + 0.5)/(q.df + 0.5) + 1.0) * t.tf * (1.2 + 1.0)
        |             / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * d.dl / s.avgdl)) ), 6) AS score
        |FROM cand c
-       |JOIN tf t ON t.doc_id = c.doc_id AND t.term IN ($inList)
+       |JOIN tf t ON t.doc_id = c.doc_id AND $termPred
        |JOIN qt q ON q.term = t.term
        |JOIN dl d ON d.doc_id = c.doc_id
        |CROSS JOIN stats s
        |GROUP BY c.doc_id
        |ORDER BY score DESC, c.doc_id
        |LIMIT $k""".stripMargin
+
+  /** Token-ordinal CTE shared by the positional oracles (the w1
+    * ordinality idiom over the filtered token stream). A `def`, NOT a
+    * `val`: the *TopKSql vals above evaluate during object init, before
+    * a later-declared val would be assigned (a null would silently embed
+    * in the SQL). */
+  private def posCte: String =
+    """pos AS (
+      |  SELECT doc_id, CAST(p.i AS INT) AS pos, p.term FROM (
+      |    SELECT doc_id, unnest([{'i': i, 'term': w[i]} for i in range(1, len(w) + 1)]) AS p
+      |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) >= 2) AS w
+      |          FROM documents))
+      |)""".stripMargin
 
   /** Phrase oracle: candidates via the w1 ordinality idiom + an
     * adjacency self-join chain (p1.pos + j), then the shared BM25 tail. */
@@ -295,19 +349,71 @@ object EntryQueries {
       s"JOIN pos p${j + 1} ON p${j + 1}.doc_id = p1.doc_id AND " +
         s"p${j + 1}.pos = p1.pos + $j AND p${j + 1}.term = '$tm'"
     }.mkString("\n  ")
-    s"""$bm25SqlCte, pos AS (
-       |  SELECT doc_id, CAST(p.i AS INT) AS pos, p.term FROM (
-       |    SELECT doc_id, unnest([{'i': i, 'term': w[i]} for i in range(1, len(w) + 1)]) AS p
-       |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) >= 2) AS w
-       |          FROM documents))
-       |), qt AS (
+    s"""$bm25SqlCte, $posCte, qt AS (
        |  SELECT term, count(*) AS df FROM tf WHERE term IN ($inList) GROUP BY term
        |), cand AS (
        |  SELECT DISTINCT p1.doc_id FROM pos p1
        |  $joins
        |  WHERE p1.term = '${terms.head}'
        |)
-       |${bm25ScoreTail(inList, k)}""".stripMargin
+       |${bm25ScoreTail(s"t.term IN ($inList)", k)}""".stripMargin
+  }
+
+  /** NEAR oracle (2 terms): for two distinct terms, "some slop+1-token
+    * window contains both" is exactly "|pos(a) − pos(b)| <= slop for some
+    * occurrence pair" — one positional self-join, then the shared tail. */
+  private def nearSql(t1: String, t2: String, slop: Int, k: Int): String = {
+    val inList = s"'$t1', '$t2'"
+    s"""$bm25SqlCte, $posCte, qt AS (
+       |  SELECT term, count(*) AS df FROM tf WHERE term IN ($inList) GROUP BY term
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id FROM pos a
+       |  JOIN pos b ON b.doc_id = a.doc_id AND b.term = '$t2'
+       |            AND abs(b.pos - a.pos) <= $slop
+       |  WHERE a.term = '$t1'
+       |)
+       |${bm25ScoreTail(s"t.term IN ($inList)", k)}""".stripMargin
+  }
+
+  /** Prefix oracle: the expansion IS the LIKE pattern — qt carries
+    * per-expanded-term df, candidates are any doc with a matching term,
+    * and the tail joins on the same pattern. */
+  private def prefixSql(pre: String, k: Int): String =
+    s"""$bm25SqlCte, qt AS (
+       |  SELECT term, count(*) AS df FROM tf WHERE term LIKE '$pre%' GROUP BY term
+       |), cand AS (
+       |  SELECT DISTINCT doc_id FROM tf WHERE term LIKE '$pre%'
+       |)
+       |${bm25ScoreTail(s"t.term LIKE '$pre%'", k)}""".stripMargin
+
+  /** Spark side of `prefix_term_topk` (see [[prefixTermTopK]]): the same
+    * bm25 pipeline with the term filter swapped from an IN list to a
+    * startsWith — df, candidates and the score join all range over the
+    * expansion. */
+  private def bm25Prefix(s: SparkSession, dir: String, pre: String,
+                         k: Int): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tf = TextOps.termFrequencies(docs).cache()
+    try {
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head()
+      val n = statsRow.getLong(0)
+      val avgdl = statsRow.getLong(1).toDouble / n.toDouble
+      val qtf = tf.filter(col("term").startsWith(pre))
+      val dfMap = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cand = qtf.select(col("doc_id")).distinct()
+      val dfCol = typedLit(dfMap)
+      val result = qtf.join(cand, Seq("doc_id"), "left_semi")
+        .join(dl, Seq("doc_id"))
+        .withColumn("s", Bm25.scoreCol(col("tf"), dfCol(col("term")),
+          col("dl"), n, avgdl))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("s")), 6).as("score")) // ≤2 expansions: commutative
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(k)
+      s.createDataFrame(result.collectAsList(), result.schema)
+    } finally tf.unpersist()
   }
 
   /** W1 (GenerateSnippetAction.java:40-66): token ordinals via posexplode. */

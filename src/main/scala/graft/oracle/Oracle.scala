@@ -135,6 +135,65 @@ final class Oracle(corpus: Seq[Turn],
     hits.sortBy(h => (-h.score, h.docId)).take(k)
   }
 
+  /** NEAR/slop brute force — a doc matches iff SOME window of `slop + 1`
+    * consecutive token positions contains at least one occurrence of
+    * EVERY distinct query term. Deliberately the naive every-window scan
+    * (slice + contains per start position), INDEPENDENT of the engine's
+    * two-pointer minimal-window walk, so the two implementations
+    * cross-check each other. Scoring identical to [[phraseTopK]]: BM25
+    * over distinct terms in canonical (df asc, term asc) order, no stop
+    * cap, unknown term ⇒ empty. */
+  def nearTopK(query: String, slop: Int, k: Int = 10): Vector[SearchHit] = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    val distinct = Analyzer.analyzeQueryFor(analyzerVersion, query)
+    if (distinct.isEmpty) return Vector.empty
+    if (distinct.exists(t => df(t) == 0L)) return Vector.empty
+    val kept = distinct.sortBy(t => (df(t), t))
+    val postings = kept.map(t => index(t).toMap)
+    val candidates = postings.map(_.keySet).reduce(_ intersect _)
+    val hits = candidates.toVector
+      .filter { d =>
+        val toks = docTokens(d.toInt)
+        toks.indices.exists(i =>
+          distinct.forall(t => toks.slice(i, i + slop + 1).contains(t)))
+      }
+      .map { d =>
+        var s = 0.0
+        kept.zipWithIndex.foreach { case (t, i) =>
+          s += Bm25.score(postings(i)(d), df(t), dl(d), nDocs, avgdl)
+        }
+        SearchHit(d, s)
+      }
+    hits.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
+  /** Prefix-expansion brute force (Lucene PrefixQuery with a
+    * scoring-BooleanQuery rewrite): every dictionary term starting with
+    * the folded (never stemmed) prefix, then OR/BM25 in canonical
+    * (df asc, term asc) order over the expansion — no stop cap (the
+    * pattern designates its terms explicitly, like a phrase). */
+  def prefixTopK(prefix: String, k: Int = 10,
+                 maxExpansions: Int = 128): Vector[SearchHit] = {
+    val pre = Analyzer.foldPrefix(prefix)
+    if (pre.isEmpty) return Vector.empty
+    val expanded = index.keysIterator.filter(_.startsWith(pre)).toVector
+    require(expanded.size <= maxExpansions,
+      s"prefix '$pre*' expands to ${expanded.size} terms (max $maxExpansions)")
+    if (expanded.isEmpty) return Vector.empty
+    val kept = expanded.sortBy(t => (df(t), t))
+    val postings = kept.map(t => index(t).toMap)
+    val candidates = postings.map(_.keySet).reduce(_ union _)
+    val hits = candidates.toVector.map { d =>
+      var s = 0.0
+      kept.zipWithIndex.foreach { case (t, i) =>
+        postings(i).get(d).foreach(tf =>
+          s += Bm25.score(tf, df(t), dl(d), nDocs, avgdl))
+      }
+      SearchHit(d, s)
+    }
+    hits.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
   /** Multi-scope union with per-scope stats (reference multi-site search,
     * SearchServiceImpl.java:127-162): per-scope top-k unioned, best
     * instance per doc, global (score DESC, docId ASC) order. */

@@ -603,13 +603,137 @@ object SearchEngine {
       val p = plan(spark, root, QuerySpec(distinctTerms, "AND", k), stats,
         applyStopCap = false, pinned = Some(m))
       if (p.terms.size < distinctTerms.size) Vector.empty
-      else phraseExec(spark, root, m, p, stats, seq, k)
+      else candidateVerifyTopK(spark, root, m, p, stats, k,
+        toks => toks.containsSlice(seq))
     }
   }
 
-  private def phraseExec(spark: SparkSession, root: String, m: Manifest,
-                         p: Plan, stats: CorpusStats, seq: Vector[String],
-                         k: Int): Vector[SearchHit] = {
+  /** NEAR/slop proximity top-k (Lucene SpanNearQuery-class semantics,
+    * order-free): documents whose ANALYZED token stream has a window of
+    * `slop + 1` CONSECUTIVE positions containing at least one occurrence
+    * of EVERY distinct query term — equivalently, the minimal span over
+    * one occurrence per term is <= slop. slop = 0 degenerates to
+    * single-position (so single-term) matching; a 2-distinct-term phrase
+    * hit is always a NEAR slop=1 hit (ProximitySpec pins the laws).
+    *
+    * Candidate generation, verify-by-rescan execution and scoring are
+    * shared with [[phraseTopK]] (same BM25 sum over distinct terms — a
+    * NEAR hit scores identically to its AND hit), with the two-pointer
+    * window check ([[nearMatch]], O(|doc|)) in place of adjacency. Same
+    * dictionary gate as phrase (missing term ⇒ empty) and same no-stop-cap
+    * rule (dropping a term would change the semantics). */
+  def nearTopK(spark: SparkSession, root: String, queryText: String,
+               slop: Int, k: Int = 10,
+               pinned: Option[Manifest] = None): Vector[SearchHit] = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    val m = pinned.getOrElse(pinnedManifest(root))
+    val terms = Analyzer.analyzeQueryFor(m.analyzerVersion, queryText)
+    if (terms.isEmpty) return Vector.empty
+    memoized(root, QueryKey(terms, s"NEAR:$slop", k, Nil, m.snapshotId)) {
+      val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
+      val p = plan(spark, root, QuerySpec(terms, "AND", k), stats,
+        applyStopCap = false, pinned = Some(m))
+      if (p.terms.size < terms.size) Vector.empty
+      else {
+        val idx = terms.zipWithIndex.toMap
+        val n = terms.size
+        candidateVerifyTopK(spark, root, m, p, stats, k,
+          toks => nearMatch(toks, idx, n, slop))
+      }
+    }
+  }
+
+  /** Window containment for [[nearTopK]]: true iff some window of
+    * `slop + 1` consecutive token positions contains every one of the
+    * `nTerms` terms keyed in `termIdx`. Classic minimal-window
+    * two-pointer over the query-term occurrences — O(|tokens|) time,
+    * O(nTerms) state; the Oracle cross-checks it with an independent
+    * naive every-window scan. */
+  private[query] def nearMatch(tokens: Vector[String],
+                               termIdx: Map[String, Int], nTerms: Int,
+                               slop: Int): Boolean = {
+    val pos = new scala.collection.mutable.ArrayBuffer[Int]
+    val tid = new scala.collection.mutable.ArrayBuffer[Int]
+    var i = 0
+    tokens.foreach { t =>
+      termIdx.get(t) match {
+        case Some(id) => pos += i; tid += id
+        case None =>
+      }
+      i += 1
+    }
+    val counts = new Array[Int](nTerms)
+    var covered = 0
+    var lo = 0
+    var r = 0
+    while (r < pos.length) {
+      val id = tid(r)
+      counts(id) += 1
+      if (counts(id) == 1) covered += 1
+      if (covered == nTerms) {
+        // shrink to the minimal window ending at r, then test its span
+        while (counts(tid(lo)) > 1) { counts(tid(lo)) -= 1; lo += 1 }
+        if (pos(r) - pos(lo) <= slop) return true
+      }
+      r += 1
+    }
+    false
+  }
+
+  /** Lucene BooleanQuery.TooManyClauses analog for [[prefixTopK]]:
+    * prefixes expanding to more dictionary terms than this REFUSE loudly
+    * instead of silently truncating (a truncated expansion would silently
+    * change scores). */
+  val MaxPrefixExpansions = 128
+
+  /** Prefix-term top-k (Lucene PrefixQuery with a scoring-BooleanQuery
+    * rewrite): expand the prefix against the snapshot's dictionary to
+    * every term starting with the folded pattern, then run the standard
+    * OR/BM25 top-k over the expansion. Lucene parity choices:
+    *  - the pattern is NORMALIZED (case/ё fold) but never STEMMED —
+    *    multi-term queries bypass analysis ([[Analyzer.foldPrefix]]);
+    *  - no stop cap: the pattern designates its terms explicitly, like a
+    *    phrase — nothing is silently dropped;
+    *  - more than [[MaxPrefixExpansions]] matches throws (TooManyClauses)
+    *    rather than running an unbounded disjunction.
+    * The expansion probe is one pushable StringStartsWith filter over the
+    * tiny term_stats table — O(matching terms) collected, never the
+    * dictionary; execution is the ordinary [[executePlan]] OR/WAND walk,
+    * so the whole query costs the same as an OR of the matched terms. */
+  def prefixTopK(spark: SparkSession, root: String, prefixRaw: String,
+                 k: Int = 10, pinned: Option[Manifest] = None): Vector[SearchHit] = {
+    import spark.implicits._
+    val m = pinned.getOrElse(pinnedManifest(root))
+    val pre = Analyzer.foldPrefix(prefixRaw)
+    if (pre.isEmpty) return Vector.empty
+    memoized(root, QueryKey(Vector(pre), "PREFIX", k, Nil, m.snapshotId)) {
+      val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
+      val found = termStatsFor(spark, root, m)
+        .filter($"term".startsWith(pre))
+        .select($"term", $"df", $"maxTf")
+        .collect().toVector
+        .map(r => TermStats(r.getString(0), r.getLong(1), r.getInt(2)))
+      if (found.size > MaxPrefixExpansions)
+        throw new IllegalArgumentException(
+          s"prefix '$pre*' expands to ${found.size} dictionary terms " +
+          s"(max $MaxPrefixExpansions) — refusing an unbounded " +
+          "disjunction; narrow the prefix")
+      if (found.isEmpty) Vector.empty
+      else {
+        val p = Plan(found.sortBy(t => (t.df, t.term)), Vector.empty, "OR", k)
+        executePlan(spark, root, p, stats, None, Some(m))
+      }
+    }
+  }
+
+  /** Shared verify-by-rescan executor for [[phraseTopK]]/[[nearTopK]]:
+    * complete AND candidates (steps 1-2 of the phrase scaladoc), then a
+    * shard-pruned docs join keeping rows whose re-analyzed token stream
+    * satisfies `verify`, then the global top-k. */
+  private def candidateVerifyTopK(spark: SparkSession, root: String,
+                                  m: Manifest, p: Plan, stats: CorpusStats,
+                                  k: Int,
+                                  verify: Vector[String] => Boolean): Vector[SearchHit] = {
     import spark.implicits._
     val cand = phraseCandidates(spark, root, m, p, stats)
       .localCheckpoint(true) // one evaluation feeds shards, count, join
@@ -628,7 +752,7 @@ object SearchEngine {
         .join(joinCand, "docId")
         .select($"docId", $"score", $"text").as[(Long, Double, String)]
         .mapPartitions(_.collect {
-          case (d, s, txt) if Analyzer.tokensFor(ver, txt).containsSlice(seq) =>
+          case (d, s, txt) if verify(Analyzer.tokensFor(ver, txt)) =>
             SearchHit(d, s)
         })
         .orderBy($"score".desc, $"docId".asc).limit(k) // TakeOrderedAndProject

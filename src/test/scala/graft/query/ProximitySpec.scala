@@ -1,0 +1,146 @@
+package graft.query
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.analysis.Analyzer
+import graft.fixtures.TranscriptGen
+import graft.index.IndexBuilder
+import graft.oracle.Oracle
+
+/** NEAR/slop proximity top-k and prefix-term top-k:
+  *
+  *  - nearTopK rank-identity (bit-equal scores) against the Oracle's
+  *    INDEPENDENT naive every-window scan (the engine uses a two-pointer
+  *    minimal-window walk — two different algorithms for one contract);
+  *  - the NEAR laws: monotone in slop, subset-of-AND, phrase ⊆ NEAR(1),
+  *    slop-large == AND-without-cap, no stop cap, unknown term ⇒ empty;
+  *  - prefixTopK rank-identity against the Oracle's brute-force
+  *    expansion, fold-not-stem normalization (incl. a stemmed index),
+  *    and the TooManyClauses refusal.
+  */
+class ProximitySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private lazy val corpus = TranscriptGen.corpus(seed = 42L, nConvs = 300)
+  private lazy val oracle = new Oracle(corpus)
+  private lazy val root = {
+    val dir = SparkTestBase.tmpDir("graft-proximity")
+    IndexBuilder.build(spark, spark.createDataset(corpus)(
+      org.apache.spark.sql.Encoders.product[graft.model.Turn]), dir,
+      shards = 8, waveSize = 4, maxChunkPostings = 64)
+    dir
+  }
+
+  private val nearCases: Seq[(String, Int, Int)] = Seq(
+    ("stopish needlemid", 0, 10),  // slop 0 over 2 terms: impossible
+    ("stopish needlemid", 1, 10),  // adjacency-equivalent window
+    ("stopish needlemid", 3, 10),
+    ("needlemid stopish", 5, 10),  // order must not matter
+    ("roleuser w0001", 2, 10),     // hot + common
+    ("w0000 w0003", 4, 10),
+    ("needlerare", 0, 10),         // single term: slop 0 still matches
+    ("stopish", 2, 10),            // >90%-df single term — NO stop cap
+    ("absentterm w0000", 3, 10),   // unknown term ⇒ empty, not dropped
+    ("", 2, 10),                   // blank
+    ("w0002 w0005 w0009", 8, 10)   // 3 terms: window must contain ALL
+  )
+
+  test("engine nearTopK: rank-identical (bit-equal scores) to the naive every-window oracle") {
+    nearCases.foreach { case (q, slop, k) =>
+      val expected = oracle.nearTopK(q, slop, k)
+      val got = SearchEngine.nearTopK(spark, root, q, slop, k)
+      assert(got == expected, s"near '$q'~$slop k=$k: got $got expected $expected")
+    }
+  }
+
+  test("NEAR laws: monotone in slop, subset of the uncapped AND set, phrase ⊆ NEAR(1)") {
+    val all = 100000
+    val andHits = oracle.topK("stopish needlemid", "AND", all,
+      applyStopCap = false).map(h => h.docId -> h.score).toMap
+    var prev = Set.empty[Long]
+    Seq(0, 1, 2, 4, 16, 4096).foreach { slop =>
+      val hits = SearchEngine.nearTopK(spark, root, "stopish needlemid", slop, all)
+      hits.foreach { h =>
+        assert(andHits.get(h.docId).contains(h.score),
+          s"NEAR hit ${h.docId} must be an AND hit with the same score")
+      }
+      val ids = hits.map(_.docId).toSet
+      assert(prev.subsetOf(ids), s"slop $slop must not lose smaller-slop hits")
+      prev = ids
+    }
+    // a window wider than any doc degenerates to AND-without-cap
+    assert(prev == andHits.keySet, "slop >= max dl must equal the AND set")
+    // every phrase hit (consecutive pair) is a NEAR slop=1 hit
+    val phrase = SearchEngine.phraseTopK(spark, root, "stopish needlemid", all)
+    val near1 = SearchEngine.nearTopK(spark, root, "stopish needlemid", 1, all)
+    assert(phrase.toSet.subsetOf(near1.toSet))
+  }
+
+  test("NEAR slop 0 of two distinct terms is empty; of one term matches that term") {
+    assert(SearchEngine.nearTopK(spark, root, "stopish needlemid", 0, 10).isEmpty)
+    val one = SearchEngine.nearTopK(spark, root, "needlerare", 0, 10)
+    assert(one == oracle.nearTopK("needlerare", 0, 10) && one.nonEmpty)
+  }
+
+  private val prefixCases: Seq[(String, Int)] = Seq(
+    ("needle", 10),   // needlerare + needlemid: rare + mid expansion
+    ("w000", 10),     // w0000..w0009: 10-term expansion
+    ("role", 10),     // roleuser/roleassistant/roletool — every doc
+    ("stopish", 10),  // exact-term prefix; >90% df — NO stop cap
+    ("NeEdLe", 10),   // case-folded pattern
+    ("zzznope", 10),  // no matching dictionary term ⇒ empty
+    ("", 10),         // blank pattern ⇒ empty
+    ("w00", 100)      // 100-term expansion, bigger k
+  )
+
+  test("engine prefixTopK: rank-identical (bit-equal scores) to the brute-force expansion oracle") {
+    prefixCases.foreach { case (pre, k) =>
+      val expected = oracle.prefixTopK(pre, k)
+      val got = SearchEngine.prefixTopK(spark, root, pre, k)
+      assert(got == expected, s"prefix '$pre*' k=$k: got $got expected $expected")
+    }
+  }
+
+  test("prefix TooManyClauses: an unbounded pattern refuses loudly instead of truncating") {
+    val e = intercept[IllegalArgumentException] {
+      SearchEngine.prefixTopK(spark, root, "w", 10)
+    }
+    assert(e.getMessage.contains("expands to") &&
+      e.getMessage.contains(SearchEngine.MaxPrefixExpansions.toString))
+  }
+
+  test("stemmed index: the prefix pattern is folded but NOT stemmed (Lucene multi-term parity)") {
+    val stemCorpus = TranscriptGen.corpus(seed = 7L, nConvs = 120)
+    val stemOracle = new Oracle(stemCorpus, Analyzer.StemVersion)
+    val dir = SparkTestBase.tmpDir("graft-proximity-stem")
+    IndexBuilder.build(spark, spark.createDataset(stemCorpus)(
+      org.apache.spark.sql.Encoders.product[graft.model.Turn]), dir,
+      shards = 4, waveSize = 4, maxChunkPostings = 64, stem = true)
+    Seq("needle", "role", "w001").foreach { pre =>
+      val got = SearchEngine.prefixTopK(spark, dir, pre, 10)
+      assert(got == stemOracle.prefixTopK(pre, 10), s"stem prefix '$pre*'")
+    }
+    // NEAR on the stemmed index follows the stemmed analyzer end-to-end
+    val gotNear = SearchEngine.nearTopK(spark, dir, "stopish needlemid", 2, 10)
+    assert(gotNear == stemOracle.nearTopK("stopish needlemid", 2, 10))
+  }
+
+  test("nearMatch two-pointer agrees with the naive window scan on random streams") {
+    val rng = new scala.util.Random(4242)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    (1 to 500).foreach { _ =>
+      val toks = Vector.fill(rng.nextInt(30))(vocab(rng.nextInt(vocab.size)))
+      val nTerms = 1 + rng.nextInt(3)
+      val terms = rng.shuffle(vocab).take(nTerms)
+      val idx = terms.zipWithIndex.toMap
+      val slop = rng.nextInt(6)
+      val naive = toks.indices.exists(i =>
+        terms.forall(t => toks.slice(i, i + slop + 1).contains(t)))
+      val fast = SearchEngine.nearMatch(toks, idx, nTerms, slop)
+      assert(fast == naive,
+        s"mismatch toks=$toks terms=$terms slop=$slop naive=$naive fast=$fast")
+    }
+  }
+}

@@ -122,17 +122,24 @@ object Query {
     val t0 = System.nanoTime()
     val slop = opt("--slop").map(_.toInt).getOrElse(2)
     require(!Set("PHRASE", "NEAR", "PREFIX").contains(mode) ||
-      (snapshot.isEmpty && conv.isEmpty && scopes.isEmpty && !a.contains("--naive")),
-      s"$mode mode does not combine with --naive/--conv/--scopes/--snapshot")
+      (conv.isEmpty && scopes.isEmpty && !a.contains("--naive")),
+      s"$mode mode does not combine with --naive/--conv/--scopes")
     require(mode == "NEAR" || opt("--slop").isEmpty,
       "--slop only applies to NEAR mode")
+    // time travel composes with every mode: the pre-pinned manifest rides
+    // into the query, and mid-query expiry overtakes surface the loud
+    // retention contract, exactly like queryAt
+    def diagnosed(body: => Vector[graft.model.SearchHit]) = pinned match {
+      case Some(m) => SearchEngine.withExpiryDiagnosis(root, m.snapshotId)(body)
+      case None => body
+    }
     val hits =
       if (mode == "PHRASE")
-        SearchEngine.phraseTopK(spark, root, q, k)
+        diagnosed(SearchEngine.phraseTopK(spark, root, q, k, pinned))
       else if (mode == "NEAR")
-        SearchEngine.nearTopK(spark, root, q, slop, k)
+        diagnosed(SearchEngine.nearTopK(spark, root, q, slop, k, pinned))
       else if (mode == "PREFIX")
-        SearchEngine.prefixTopK(spark, root, q, k)
+        diagnosed(SearchEngine.prefixTopK(spark, root, q, k, pinned))
       else if (a.contains("--naive"))
         SearchEngine.queryNaive(spark, root, q, mode, k).collect()
           .map(r => graft.model.SearchHit(r.getLong(0), r.getDouble(1))).toVector

@@ -127,6 +127,32 @@ class ProximitySpec extends AnyFunSuite {
     assert(gotNear == stemOracle.nearTopK("stopish needlemid", 2, 10))
   }
 
+  test("time travel: phrase/NEAR/prefix pinned to an old snapshot are unaffected by maintenance") {
+    val ttCorpus = TranscriptGen.corpus(seed = 11L, nConvs = 150)
+    val ttOracle = new Oracle(ttCorpus)
+    val dir = SparkTestBase.tmpDir("graft-proximity-tt")
+    IndexBuilder.build(spark, spark.createDataset(ttCorpus)(
+      org.apache.spark.sql.Encoders.product[graft.model.Turn]), dir,
+      shards = 4, waveSize = 4, maxChunkPostings = 64)
+    val m0 = graft.index.IndexManifest.readCached(dir).get
+    val ph0 = SearchEngine.phraseTopK(spark, dir, "stopish needlemid", 10, Some(m0))
+    val nr0 = SearchEngine.nearTopK(spark, dir, "stopish needlemid", 2, 10, Some(m0))
+    val pf0 = SearchEngine.prefixTopK(spark, dir, "w000", 10, Some(m0))
+    assert(nr0.nonEmpty && pf0.nonEmpty)
+    // delete the conversation hosting the top NEAR hit: the current
+    // snapshot's results must change, the pinned-old ones must not
+    val victim = ttOracle.docs(nr0.head.docId.toInt).conv_id
+    graft.index.IndexMaintenance.deleteConversations(spark, dir, Set(victim))
+    assert(SearchEngine.phraseTopK(spark, dir, "stopish needlemid", 10, Some(m0)) == ph0)
+    assert(SearchEngine.nearTopK(spark, dir, "stopish needlemid", 2, 10, Some(m0)) == nr0)
+    assert(SearchEngine.prefixTopK(spark, dir, "w000", 10, Some(m0)) == pf0)
+    val nrNow = SearchEngine.nearTopK(spark, dir, "stopish needlemid", 2, 10)
+    assert(nrNow != nr0, "current snapshot must reflect the delete")
+    assert(!nrNow.exists(h => m0.nDocs > h.docId &&
+      ttOracle.docs(h.docId.toInt).conv_id == victim),
+      "deleted conversation must not surface on the current snapshot")
+  }
+
   test("nearMatch two-pointer agrees with the naive window scan on random streams") {
     val rng = new scala.util.Random(4242)
     val vocab = Vector("aa", "bb", "cc", "dd", "ee")

@@ -58,7 +58,8 @@ object BuildIndex {
     }
     val t0 = System.nanoTime()
     val built = IndexBuilder.build(spark, turns, root, shards = shards,
-      waveSize = wave, stem = a.contains("--stem"), cancelCheck = cancelCheck)
+      waveSize = wave, stem = a.contains("--stem"),
+      positions = a.contains("--positions"), cancelCheck = cancelCheck)
     val secs = (System.nanoTime() - t0) / 1e9
     val m = built.manifest
     println(f"built index at $root: snapshot=${m.snapshotId} docs=${m.nDocs} " +
@@ -71,12 +72,16 @@ object BuildIndex {
 
 /** Query a built index.
   * Usage: Query <indexRoot> <queryText> [--mode AND|OR|PHRASE|NEAR|PREFIX]
-  *        [--k N] [--slop N] [--naive]
+  *        [--k N] [--slop N] [--naive] [--scopes p1,p2] [--snapshot N]
   * PHRASE mode treats <queryText> as an exact phrase over the analyzed
   * token stream (SearchEngine.phraseTopK); NEAR matches all terms within
   * a window of --slop+1 consecutive positions (default slop 2,
-  * SearchEngine.nearTopK); PREFIX treats <queryText> as a dictionary
+  * SearchEngine.nearTopK). NOTE the window is slop+1 WIDE: adjacency
+  * needs --slop 1, unlike Lucene's unordered SpanNearQuery where slop 0
+  * already matches adjacent terms (Lucene slop s ≈ our slop s+1 for two
+  * terms — ADVICE r05 item 3). PREFIX treats <queryText> as a dictionary
   * prefix pattern, e.g. `merg` for merge/merged (SearchEngine.prefixTopK).
+  * All three compose with --scopes (per-scope statistics) and --snapshot.
   */
 object Query {
   def main(args: Array[String]): Unit = {
@@ -89,10 +94,18 @@ object Query {
     val root = a(0)
     val q = a(1)
     val mode = opt("--mode").getOrElse("AND").toUpperCase
-    val k = opt("--k").map(_.toInt).getOrElse(10)
+    // numeric options die with the USAGE string, not a bare
+    // NumberFormatException (ADVICE r05 item 2)
+    def numOpt(name: String): Option[Long] = opt(name).map { s =>
+      s.toLongOption.getOrElse(sys.error(
+        s"$name expects an integer, got '$s' — " +
+        "usage: Query <indexRoot> <queryText> [--mode AND|OR|PHRASE|NEAR|PREFIX] " +
+        "[--k N] [--slop N] [--naive] [--conv <prefix>] [--snapshot N]"))
+    }
+    val k = numOpt("--k").map(_.toInt).getOrElse(10)
     val conv = opt("--conv")
     val scopes = opt("--scopes").map(_.split(",").toSeq.filter(_.nonEmpty))
-    val snapshot = opt("--snapshot").map(_.toLong) // time travel (retained only)
+    val snapshot = numOpt("--snapshot") // time travel (retained only)
     require(snapshot.isEmpty || !a.contains("--naive"),
       "--snapshot cannot be combined with --naive (the naive backstop " +
       "always answers from the current snapshot); drop one of them")
@@ -120,12 +133,17 @@ object Query {
       }
     }
     val t0 = System.nanoTime()
-    val slop = opt("--slop").map(_.toInt).getOrElse(2)
     require(!Set("PHRASE", "NEAR", "PREFIX").contains(mode) ||
-      (conv.isEmpty && scopes.isEmpty && !a.contains("--naive")),
-      s"$mode mode does not combine with --naive/--conv/--scopes")
+      (conv.isEmpty && !a.contains("--naive")),
+      s"$mode mode does not combine with --naive/--conv (use --scopes)")
+    // mode checks FIRST, then the slop parse/range (ADVICE r05 item 2:
+    // 'Query ... --mode AND --slop abc' must say --slop is NEAR-only, not
+    // die in toInt; NEAR with a bad/negative slop gets the usage message)
     require(mode == "NEAR" || opt("--slop").isEmpty,
       "--slop only applies to NEAR mode")
+    val slop = numOpt("--slop").map(_.toInt).getOrElse(2)
+    require(slop >= 0, s"--slop must be >= 0, got $slop (window width = slop+1)")
+    val proxScopes = scopes.getOrElse(Nil)
     // time travel composes with every mode: the pre-pinned manifest rides
     // into the query, and mid-query expiry overtakes surface the loud
     // retention contract, exactly like queryAt
@@ -135,11 +153,11 @@ object Query {
     }
     val hits =
       if (mode == "PHRASE")
-        diagnosed(SearchEngine.phraseTopK(spark, root, q, k, pinned))
+        diagnosed(SearchEngine.phraseTopK(spark, root, q, k, proxScopes, pinned))
       else if (mode == "NEAR")
-        diagnosed(SearchEngine.nearTopK(spark, root, q, slop, k, pinned))
+        diagnosed(SearchEngine.nearTopK(spark, root, q, slop, k, proxScopes, pinned))
       else if (mode == "PREFIX")
-        diagnosed(SearchEngine.prefixTopK(spark, root, q, k, pinned))
+        diagnosed(SearchEngine.prefixTopK(spark, root, q, k, proxScopes, pinned))
       else if (a.contains("--naive"))
         SearchEngine.queryNaive(spark, root, q, mode, k).collect()
           .map(r => graft.model.SearchHit(r.getLong(0), r.getDouble(1))).toVector

@@ -245,6 +245,7 @@ object IndexBuilder {
             shards: Int = DefaultShards, waveSize: Int = 16,
             maxChunkPostings: Int = MaxChunkPostings,
             stem: Boolean = false,
+            positions: Boolean = false,
             cancelCheck: () => Boolean = () => false): BuiltIndex = {
     import spark.implicits._
     val P = Paths(root)
@@ -323,16 +324,19 @@ object IndexBuilder {
     IndexManifest.read(root) match {
       case Some(m) if m.inputFingerprint == fingerprint &&
           m.analyzerVersion == analyzerVersion &&
+          m.positions == positions &&
           m.completedShards.size >= shards &&
           hasSuccess(spark, P.termStatsGen(0)) =>
         return BuiltIndex(root, m)
       case Some(m) if m.inputFingerprint != fingerprint ||
-          m.analyzerVersion != analyzerVersion =>
-        // input or analyzer changed → stale checkpoints are invalid
+          m.analyzerVersion != analyzerVersion ||
+          m.positions != positions =>
+        // input, analyzer or posting format changed → stale checkpoints
+        // are invalid (a resume must not mix formats across waves)
         throw new IllegalStateException(
-          s"index at $root was built from different input/analyzer " +
-          s"(${m.inputFingerprint}/${m.analyzerVersion} vs " +
-          s"$fingerprint/$analyzerVersion); use a fresh root")
+          s"index at $root was built from different input/analyzer/format " +
+          s"(${m.inputFingerprint}/${m.analyzerVersion}/pos=${m.positions} " +
+          s"vs $fingerprint/$analyzerVersion/pos=$positions); use a fresh root")
       case _ => ()
     }
 
@@ -347,7 +351,8 @@ object IndexBuilder {
     val done = IndexManifest.read(root).map(_.completedShards).getOrElse(Set.empty)
     val missing = (0 until shards).filterNot(done).toVector
     var manifest = IndexManifest.read(root).getOrElse(
-      Manifest(0L, analyzerVersion, fingerprint, nDocs, 0.0, Nil))
+      Manifest(0L, analyzerVersion, fingerprint, nDocs, 0.0, Nil,
+        positions = positions))
     // The FIRST wave of a fresh build can use the cheap static commit
     // (nothing to preserve); every later wave — and any resume — must use
     // dynamic partition overwrite so only the touched shard partitions
@@ -374,11 +379,13 @@ object IndexBuilder {
           val waveDocs = docsAll.filter($"shard".isin(wave: _*))
             .select($"docId", $"dl", $"shard", $"text")
           val doStem = stem
+          val withPos = positions
           val encoded = waveDocs.mapPartitions { rows =>
             invertDocsPartition(rows, doStem, maxChunkPostings,
-              MaxBufferedPostings).map { pl =>
+              MaxBufferedPostings, withPos).map { pl =>
               acc.add((pl.shard, if (pl.chunk == 0) 1L else 0L, pl.count,
-                pl.docIds.length.toLong + pl.tfs.length + pl.dls.length,
+                pl.docIds.length.toLong + pl.tfs.length + pl.dls.length +
+                  (if (pl.positions != null) pl.positions.length.toLong else 0L),
                 pl.sumTf))
               pl
             }
@@ -466,43 +473,76 @@ object IndexBuilder {
   def invertPartition(rows: Iterator[org.apache.spark.sql.Row],
                       maxChunk: Int, budget: Int): Iterator[PostingList] =
     invertTuples(rows.map(r =>
-      (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))),
-      maxChunk, budget)
+      (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        null: Array[Int])),
+      maxChunk, budget, withPos = false)
 
   /** As [[invertPartition]], but consuming DOC rows (docId, dl, shard,
     * text) directly: per-doc term counts are computed in-task (term-sorted
     * for determinism) — no materialized tf relation between docs and
     * postings. Input must be docId-ascending within each shard (docs file
-    * order). */
+    * order). `positions = true` additionally records each term's token
+    * ordinals in the ANALYZED stream (the r6 positional format rev; what
+    * a query-time re-tokenize of the doc would yield, ordinal-identical
+    * because stemming is 1:1 per token). */
   def invertDocsPartition(rows: Iterator[org.apache.spark.sql.Row],
                           stem: Boolean, maxChunk: Int,
-                          budget: Int): Iterator[PostingList] = {
+                          budget: Int,
+                          positions: Boolean = false): Iterator[PostingList] = {
     val expanded = rows.flatMap { r =>
       val docId = r.getLong(0)
       val dl = r.getInt(1)
       val shard = r.getInt(2)
       val toks0 = Analyzer.tokens(r.getString(3))
       val toks = if (stem) toks0.map(graft.analysis.Stemmer.stem) else toks0
-      val counts = new java.util.TreeMap[String, Integer]()
-      toks.foreach { t =>
-        val c = counts.get(t)
-        counts.put(t, if (c == null) 1 else c + 1)
+      if (!positions) {
+        val counts = new java.util.TreeMap[String, Integer]()
+        toks.foreach { t =>
+          val c = counts.get(t)
+          counts.put(t, if (c == null) 1 else c + 1)
+        }
+        val out = new Array[(Long, String, Int, Int, Int, Array[Int])](counts.size)
+        var i = 0
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          out(i) = (docId, e.getKey, e.getValue, dl, shard, null)
+          i += 1
+        }
+        out.iterator
+      } else {
+        // per-term ascending ordinals (unboxed builders; transient per doc)
+        val posByTerm =
+          new java.util.TreeMap[String, scala.collection.mutable.ArrayBuilder.ofInt]()
+        var ord = 0
+        toks.foreach { t =>
+          var b = posByTerm.get(t)
+          if (b == null) {
+            b = new scala.collection.mutable.ArrayBuilder.ofInt
+            posByTerm.put(t, b)
+          }
+          b += ord
+          ord += 1
+        }
+        val out =
+          new Array[(Long, String, Int, Int, Int, Array[Int])](posByTerm.size)
+        var i = 0
+        val it = posByTerm.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val ps = e.getValue.result()
+          out(i) = (docId, e.getKey, ps.length, dl, shard, ps)
+          i += 1
+        }
+        out.iterator
       }
-      val out = new Array[(Long, String, Int, Int, Int)](counts.size)
-      var i = 0
-      val it = counts.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        out(i) = (docId, e.getKey, e.getValue, dl, shard)
-        i += 1
-      }
-      out.iterator
     }
-    invertTuples(expanded, maxChunk, budget)
+    invertTuples(expanded, maxChunk, budget, withPos = positions)
   }
 
-  private def invertTuples(rows: Iterator[(Long, String, Int, Int, Int)],
-                           maxChunk: Int, budget: Int): Iterator[PostingList] = {
+  private def invertTuples(rows: Iterator[(Long, String, Int, Int, Int, Array[Int])],
+                           maxChunk: Int, budget: Int,
+                           withPos: Boolean): Iterator[PostingList] = {
     // PRIMITIVE growable buffers: a boxed ArrayBuffer[Long/Int] costs
     // ~20× the bytes (16 B object header + 8 B ref per element) and turns
     // the long-lived buffers into millions of GC-scanned objects — at 32
@@ -516,7 +556,12 @@ object IndexBuilder {
       var dls = new Array[Int](16)
       var n = 0
       var chunk = 0
-      def add(d: Long, t: Int, l: Int): Unit = {
+      // flat position buffer (posting i's ordinals are the tfs(i) values
+      // after posting i-1's — same primitive-array rationale as above; an
+      // Array[Array[Int]] would cost an object header per posting)
+      var pos: Array[Int] = if (withPos) new Array[Int](32) else null
+      var posN = 0
+      def add(d: Long, t: Int, l: Int, ps: Array[Int]): Unit = {
         if (n == docs.length) {
           val m = n << 1
           docs = java.util.Arrays.copyOf(docs, m)
@@ -524,6 +569,13 @@ object IndexBuilder {
           dls = java.util.Arrays.copyOf(dls, m)
         }
         docs(n) = d; tfs(n) = t; dls(n) = l; n += 1
+        if (withPos) {
+          if (posN + ps.length > pos.length)
+            pos = java.util.Arrays.copyOf(pos,
+              math.max(pos.length << 1, posN + ps.length))
+          System.arraycopy(ps, 0, pos, posN, ps.length)
+          posN += ps.length
+        }
       }
     }
     val bufs = scala.collection.mutable.HashMap.empty[(Int, String), Buf]
@@ -534,7 +586,22 @@ object IndexBuilder {
       val ds = java.util.Arrays.copyOf(b.docs, b.n)
       val ts = java.util.Arrays.copyOf(b.tfs, b.n)
       val dl = java.util.Arrays.copyOf(b.dls, b.n)
-      val enc = PostingCodec.encodeBlocked(ds, ts, dl)
+      // re-slice the flat position buffer into encodeBlocked's per-posting
+      // shape (transient — lives only for this flush)
+      val psArr: Array[Array[Int]] =
+        if (!withPos) null
+        else {
+          val a = new Array[Array[Int]](b.n)
+          var off = 0
+          var i = 0
+          while (i < b.n) {
+            a(i) = java.util.Arrays.copyOfRange(b.pos, off, off + ts(i))
+            off += ts(i)
+            i += 1
+          }
+          a
+        }
+      val enc = PostingCodec.encodeBlocked(ds, ts, dl, positions = psArr)
       var sumTf = 0L
       var si = 0
       while (si < ts.length) { sumTf += ts(si); si += 1 }
@@ -542,21 +609,24 @@ object IndexBuilder {
         if (ts.isEmpty) 0 else ts.max, sumTf,
         enc.docBytes, enc.tfBytes, enc.dlBytes,
         enc.blockFirst, enc.docOff, enc.tfOff, enc.dlOff,
-        enc.blockMaxTf, enc.blockMinDl)
+        enc.blockMaxTf, enc.blockMinDl,
+        enc.posBytes, enc.posOff)
       totalBuffered -= b.n
       b.n = 0
+      b.posN = 0
       // shrink so a one-off giant list doesn't pin its peak capacity
       if (b.docs.length > 1024) {
         b.docs = new Array[Long](16); b.tfs = new Array[Int](16)
         b.dls = new Array[Int](16)
+        if (withPos) b.pos = new Array[Int](32)
       }
       b.chunk += 1
     }
 
-    rows.foreach { case (docId, term, tf, dl, shard) =>
+    rows.foreach { case (docId, term, tf, dl, shard, ps) =>
       val key = (shard, term)
       val b = bufs.getOrElseUpdate(key, new Buf(shard))
-      b.add(docId, tf, dl)
+      b.add(docId, tf, dl, ps)
       totalBuffered += 1
       if (b.n >= maxChunk) flush(key, b)
       else if (totalBuffered > budget) {

@@ -365,6 +365,7 @@ object IndexMaintenance {
     // just written one-file-per-shard, and split sizing pins that
     // alignment so chunk ordinals stay per-shard.
     val stem = m0.analyzerVersion == Analyzer.StemVersion
+    val withPos = m0.positions // format is a build property: rewrites keep it
     val acc = new IndexBuilder.ShardMetricsAcc
     spark.sparkContext.register(acc, "maintShardMetrics")
     if (IndexSnapshot.hasParquetFiles(spark, P.docsGen(newGen))) {
@@ -374,7 +375,7 @@ object IndexMaintenance {
           .mapPartitions { rows =>
             IndexBuilder.invertDocsPartition(rows, stem,
               IndexBuilder.MaxChunkPostings,
-              IndexBuilder.MaxBufferedPostings).map { pl =>
+              IndexBuilder.MaxBufferedPostings, withPos).map { pl =>
               acc.add((pl.shard, if (pl.chunk == 0) 1L else 0L, pl.count,
                 pl.docIds.length.toLong + pl.tfs.length + pl.dls.length,
                 pl.sumTf))
@@ -524,6 +525,7 @@ object IndexMaintenance {
 
     // postings for the new shards only — the gen dir holds exactly them
     val stem = m0.analyzerVersion == Analyzer.StemVersion
+    val withPos = m0.positions // appends write the index's posting format
     val acc = new IndexBuilder.ShardMetricsAcc
     spark.sparkContext.register(acc, "appendShardMetrics")
     IndexBuilder.withOneFilePerTask(spark, P.docsGen(newGen)) { docsAll =>
@@ -532,7 +534,7 @@ object IndexMaintenance {
         .mapPartitions { rs =>
           IndexBuilder.invertDocsPartition(rs, stem,
             IndexBuilder.MaxChunkPostings,
-            IndexBuilder.MaxBufferedPostings).map { pl =>
+            IndexBuilder.MaxBufferedPostings, withPos).map { pl =>
             acc.add((pl.shard, if (pl.chunk == 0) 1L else 0L, pl.count,
               pl.docIds.length.toLong + pl.tfs.length + pl.dls.length,
               pl.sumTf))

@@ -68,7 +68,13 @@ final case class Manifest(
     /** exact Σ dl over the corpus (-1 = legacy/unstamped; avgdl is then
       * the only record). Carried exactly so maintenance can update avgdl
       * incrementally without re-aggregating anything corpus-sized. */
-    sumDl: Long = -1L) {
+    sumDl: Long = -1L,
+    /** r6 format rev: the index's posting lists carry per-posting token
+      * ordinals (Lucene .pos analog). A BUILD property like the analyzer
+      * version: maintenance reads it back so rewrites/appends keep every
+      * shard on the same format; phrase/NEAR pick the posting-offset
+      * verify when true and the rescan fallback when false. */
+    positions: Boolean = false) {
   def completedShards: Set[Int] = shards.map(_.shard).toSet
 }
 
@@ -252,7 +258,8 @@ object IndexManifest {
     Manifest(head("snapshotId").toLong, head("analyzerVersion"),
       head("inputFingerprint"), head("nDocs").toLong, head("avgdl").toDouble,
       shards, head.getOrElse("statsGen", "0").toLong,
-      head.getOrElse("sumDl", "-1").toLong)
+      head.getOrElse("sumDl", "-1").toLong,
+      head.getOrElse("positions", "false").toBoolean)
   }
 
   // ---- shard-entry sidecar (VERDICT r04 item 4) ----------------------
@@ -409,7 +416,8 @@ object IndexManifest {
       // Double round-trips exactly via toString/toDouble (Java guarantees).
       "avgdl" -> m.avgdl.toString,
       "statsGen" -> m.statsGen.toString,
-      "sumDl" -> m.sumDl.toString) ++
+      "sumDl" -> m.sumDl.toString,
+      "positions" -> m.positions.toString) ++
       entriesName.map("entriesFile" -> _) ++
       entriesName.map(_ => "entriesCount" -> sorted.size.toString): _*))
       .append('\n')

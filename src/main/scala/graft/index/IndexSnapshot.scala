@@ -67,6 +67,8 @@ object IndexSnapshot {
     StructField("dlOff", ArrayType(IntegerType)),
     StructField("blockMaxTf", ArrayType(IntegerType)),
     StructField("blockMinDl", ArrayType(IntegerType)),
+    StructField("positions", BinaryType),
+    StructField("posOff", ArrayType(IntegerType)),
     StructField("shard", IntegerType)))
 
   private val termStatsSchema: StructType = StructType(Seq(

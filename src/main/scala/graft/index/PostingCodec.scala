@@ -167,25 +167,45 @@ object PostingCodec extends Serializable {
     * `tfOff(b)` / `dlOff(b)` — so a cursor can jump straight to block b
     * without decoding anything before it (the skip-list analog; Ding &
     * Suel's block-max WAND format). blockMaxTf/blockMinDl carry the exact
-    * per-block BM25 upper-bound inputs. */
+    * per-block BM25 upper-bound inputs.
+    *
+    * OPTIONAL POSITIONS (r6 format rev — the Lucene .pos-file analog, one
+    * stream per chunk): `posBytes`/`posOff` are null on a positions-free
+    * index. When present, posting i carries its tf(i) token ordinals in
+    * the ANALYZED stream (Analyzer.tokensFor indices — identical to what
+    * a re-tokenize would yield), delta+varint with the first position
+    * absolute, restarting at `posOff(b)` per block so block jumps stay
+    * O(1). Phrase adjacency and NEAR windows then verify against posting
+    * offsets with NO docs join and NO re-analysis. Positions cost decode
+    * work only when a cursor is constructed WITH them — the WAND/AND scan
+    * never selects the columns, so plain queries pay nothing. */
   final case class BlockedList(
       count: Int,
       docBytes: Array[Byte], tfBytes: Array[Byte], dlBytes: Array[Byte],
       blockFirst: Array[Long],
       docOff: Array[Int], tfOff: Array[Int], dlOff: Array[Int],
-      blockMaxTf: Array[Int], blockMinDl: Array[Int])
+      blockMaxTf: Array[Int], blockMinDl: Array[Int],
+      posBytes: Array[Byte] = null, posOff: Array[Int] = null) {
+    def hasPositions: Boolean = posBytes != null && posOff != null
+  }
 
+  /** `positions(i)` = the strictly-ascending token ordinals of posting i
+    * (length MUST equal tfs(i)); null ⇒ no position streams (legacy /
+    * positions-free build). */
   def encodeBlocked(docIds: Array[Long], tfs: Array[Int], dls: Array[Int],
-                    blockSize: Int = BlockSize): BlockedList = {
+                    blockSize: Int = BlockSize,
+                    positions: Array[Array[Int]] = null): BlockedList = {
     val n = docIds.length
     val nb = (n + blockSize - 1) / blockSize
     val docB = new ByteArrayOutputStream(n * 2 + 8)
     val tfB = new ByteArrayOutputStream(n + 8)
     val dlB = new ByteArrayOutputStream(n + 8)
+    val posB = if (positions == null) null else new ByteArrayOutputStream(n * 2 + 8)
     val first = new Array[Long](nb)
     val dOff = new Array[Int](nb)
     val tOff = new Array[Int](nb)
     val lOff = new Array[Int](nb)
+    val pOff = if (positions == null) null else new Array[Int](nb)
     val bMax = new Array[Int](nb)
     val bMin = new Array[Int](nb)
     var b = 0
@@ -194,6 +214,7 @@ object PostingCodec extends Serializable {
       val end = math.min(start + blockSize, n)
       first(b) = docIds(start)
       dOff(b) = docB.size(); tOff(b) = tfB.size(); lOff(b) = dlB.size()
+      if (posB != null) pOff(b) = posB.size()
       var prev = docIds(start)
       var maxTf = 0
       var minDl = Int.MaxValue
@@ -205,6 +226,19 @@ object PostingCodec extends Serializable {
         prev = d
         writeVarLong(tfB, tfs(i).toLong)
         writeVarLong(dlB, dls(i).toLong)
+        if (posB != null) {
+          val ps = positions(i)
+          require(ps.length == tfs(i),
+            s"positions(i).length ${ps.length} != tf ${tfs(i)}")
+          var j = 0
+          var pPrev = 0
+          while (j < ps.length) {
+            // first position absolute, then strictly-ascending deltas
+            writeVarLong(posB, (if (j == 0) ps(0) else ps(j) - pPrev).toLong)
+            pPrev = ps(j)
+            j += 1
+          }
+        }
         if (tfs(i) > maxTf) maxTf = tfs(i)
         if (dls(i) < minDl) minDl = dls(i)
         i += 1
@@ -214,19 +248,30 @@ object PostingCodec extends Serializable {
       b += 1
     }
     BlockedList(n, docB.toByteArray, tfB.toByteArray, dlB.toByteArray,
-      first, dOff, tOff, lOff, bMax, bMin)
+      first, dOff, tOff, lOff, bMax, bMin,
+      if (posB == null) null else posB.toByteArray, pOff)
   }
 
   /** Streaming cursor over a [[BlockedList]] with block jumps: `advanceTo`
     * binary-searches the blockFirst skip array and lands directly on the
-    * right block, decoding only inside it. */
+    * right block, decoding only inside it.
+    *
+    * When the list carries position streams ([[BlockedList.hasPositions]])
+    * the cursor tracks them lazily: each advance records where the current
+    * posting's positions start and skips past them (tf varint reads — the
+    * standard Lucene-style interleaved skip); [[positions]] materializes
+    * the current posting's ordinals only when asked. Lists without
+    * positions pay nothing. */
   final class BlockedCursor(l: BlockedList, blockSize: Int = BlockSize) {
     private val nb = l.blockFirst.length
+    private val withPos = l.hasPositions
     private var block = 0
     private var idxInBlock = -1 // index of current posting within block
     private var docPos = 0
     private var tfPos = 0
     private var dlPos = 0
+    private var posPos = 0      // next unread byte of the position stream
+    private var posStart = 0    // current posting's positions start here
     private var curDoc = -1L
     private var curTf = 0
     private var curDl = 0
@@ -248,10 +293,29 @@ object PostingCodec extends Serializable {
     def nextBlockStart: Long =
       if (block + 1 < nb) l.blockFirst(block + 1) else Long.MaxValue
 
+    /** The current posting's token ordinals (ascending), decoded on
+      * demand; throws on a positions-free list. */
+    def positions: Array[Int] = {
+      require(withPos, "posting list carries no position streams")
+      val out = new Array[Int](curTf)
+      var p = posStart
+      var prev = 0
+      var j = 0
+      while (j < curTf) {
+        val (v, p2) = PostingCodec.readVarLong(l.posBytes, p)
+        prev = if (j == 0) v.toInt else prev + v.toInt
+        out(j) = prev
+        p = p2
+        j += 1
+      }
+      out
+    }
+
     private def openBlock(b: Int): Unit = {
       block = b
       idxInBlock = -1
       docPos = l.docOff(b); tfPos = l.tfOff(b); dlPos = l.dlOff(b)
+      if (withPos) posPos = l.posOff(b)
       curDoc = l.blockFirst(b) // delta base; first advance adds 0
     }
 
@@ -269,6 +333,18 @@ object PostingCodec extends Serializable {
       curTf = t.toInt; tfPos = p2
       val (dl0, p3) = PostingCodec.readVarLong(l.dlBytes, dlPos)
       curDl = dl0.toInt; dlPos = p3
+      if (withPos) {
+        // skip the posting's tf position varints (byte-scan, no decode)
+        posStart = posPos
+        var j = 0
+        var p = posPos
+        while (j < curTf) {
+          while ((l.posBytes(p) & 0x80) != 0) p += 1
+          p += 1
+          j += 1
+        }
+        posPos = p
+      }
     }
 
     def advanceTo(target: Long): Unit = {

@@ -54,7 +54,14 @@ final case class CorpusStats(nDocs: Long, avgdl: Double, analyzerVersion: String
   * lists); blockMaxTf/blockMinDl give the exact per-block BM25 upper
   * bound score(maxTf, df, minDl) for block-max WAND (BM25 is increasing
   * in tf, decreasing in dl). dls duplicates dl per posting — the
-  * Lucene-norms analog needed for shard-local scoring. */
+  * Lucene-norms analog needed for shard-local scoring.
+  *
+  * `positions`/`posOff` (r6 format rev; Lucene .pos analog): per-posting
+  * token-ordinal streams, null when the index was built without
+  * `positions = true`. The manifest records which; phrase/NEAR verify
+  * against posting offsets when present, re-analyzed doc text otherwise.
+  * Queries that don't ask for positions never read the columns (parquet
+  * column pruning), so the rev costs plain search nothing. */
 final case class PostingList(
     shard: Int,
     term: String,
@@ -70,7 +77,9 @@ final case class PostingList(
     tfOff: Array[Int],
     dlOff: Array[Int],
     blockMaxTf: Array[Int],
-    blockMinDl: Array[Int])
+    blockMinDl: Array[Int],
+    positions: Array[Byte] = null,
+    posOff: Array[Int] = null)
 
 /** A scored search result (reference: SearchData,
   * dto/search/SearchData.java:12-20 minus REST decoration). */

@@ -118,21 +118,57 @@ final class Oracle(corpus: Seq[Turn],
   def phraseTopK(phrase: String, k: Int = 10): Vector[SearchHit] = {
     val seq = Analyzer.tokensFor(analyzerVersion, phrase)
     if (seq.isEmpty) return Vector.empty
-    val distinct = seq.distinct
-    if (distinct.exists(t => df(t) == 0L)) return Vector.empty
-    val kept = distinct.sortBy(t => (df(t), t))
-    val postings = kept.map(t => index(t).toMap)
+    proximityBrute(seq.distinct, k, None,
+      toks => toks.containsSlice(seq))
+  }
+
+  /** Shared scoped/unscoped brute-force core for phrase/NEAR: per-scope
+    * statistics exactly like [[topK]]'s scoped mode (df/N/avgdl restricted
+    * to the conv-prefix), no stop cap, ANY term with scoped df 0 ⇒ empty,
+    * `verify` runs on the doc's analyzed token stream. */
+  private def proximityBrute(distinct: Vector[String], k: Int,
+                             convPrefix: Option[String],
+                             verify: Vector[String] => Boolean): Vector[SearchHit] = {
+    val inScope: Long => Boolean = convPrefix match {
+      case None => _ => true
+      case Some(pre) => d => docs(d.toInt).conv_id.startsWith(pre)
+    }
+    val (n, avg, dfOf): (Long, Double, String => Long) = convPrefix match {
+      case None => (nDocs, avgdl, df _)
+      case Some(_) =>
+        val ids = docs.indices.filter(d => inScope(d.toLong))
+        if (ids.isEmpty) return Vector.empty
+        val a = ids.map(d => docTokens(d).length.toLong).sum.toDouble / ids.size
+        val dfS = (t: String) => index.get(t)
+          .map(_.count { case (d, _) => inScope(d) }.toLong).getOrElse(0L)
+        (ids.size.toLong, a, dfS)
+    }
+    if (distinct.exists(t => dfOf(t) == 0L)) return Vector.empty
+    val kept = distinct.sortBy(t => (dfOf(t), t))
+    val postings = kept.map(t => index(t).filter { case (d, _) => inScope(d) }.toMap)
     val candidates = postings.map(_.keySet).reduce(_ intersect _)
     val hits = candidates.toVector
-      .filter(d => docTokens(d.toInt).containsSlice(seq))
+      .filter(d => verify(docTokens(d.toInt)))
       .map { d =>
         var s = 0.0
         kept.zipWithIndex.foreach { case (t, i) =>
-          s += Bm25.score(postings(i)(d), df(t), dl(d), nDocs, avgdl)
+          s += Bm25.score(postings(i)(d), dfOf(t), dl(d), n, avg)
         }
         SearchHit(d, s)
       }
     hits.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
+  /** Scoped phrase union (engine parity: SearchEngine.phraseTopK with
+    * scopes) — per-scope stats, best instance per doc. */
+  def phraseTopKScoped(phrase: String, k: Int,
+                       prefixes: Seq[String]): Vector[SearchHit] = {
+    val seq = Analyzer.tokensFor(analyzerVersion, phrase)
+    if (seq.isEmpty) return Vector.empty
+    prefixes.flatMap(p => proximityBrute(seq.distinct, k, Some(p),
+        toks => toks.containsSlice(seq)))
+      .groupBy(_.docId).values.map(_.maxBy(_.score)).toVector
+      .sortBy(h => (-h.score, h.docId)).take(k)
   }
 
   /** NEAR/slop brute force — a doc matches iff SOME window of `slop + 1`
@@ -147,24 +183,23 @@ final class Oracle(corpus: Seq[Turn],
     require(slop >= 0, s"slop must be >= 0, got $slop")
     val distinct = Analyzer.analyzeQueryFor(analyzerVersion, query)
     if (distinct.isEmpty) return Vector.empty
-    if (distinct.exists(t => df(t) == 0L)) return Vector.empty
-    val kept = distinct.sortBy(t => (df(t), t))
-    val postings = kept.map(t => index(t).toMap)
-    val candidates = postings.map(_.keySet).reduce(_ intersect _)
-    val hits = candidates.toVector
-      .filter { d =>
-        val toks = docTokens(d.toInt)
-        toks.indices.exists(i =>
-          distinct.forall(t => toks.slice(i, i + slop + 1).contains(t)))
-      }
-      .map { d =>
-        var s = 0.0
-        kept.zipWithIndex.foreach { case (t, i) =>
-          s += Bm25.score(postings(i)(d), df(t), dl(d), nDocs, avgdl)
-        }
-        SearchHit(d, s)
-      }
-    hits.sortBy(h => (-h.score, h.docId)).take(k)
+    proximityBrute(distinct, k, None,
+      toks => toks.indices.exists(i =>
+        distinct.forall(t => toks.slice(i, i + slop + 1).contains(t))))
+  }
+
+  /** Scoped NEAR union (engine parity: SearchEngine.nearTopK with
+    * scopes). */
+  def nearTopKScoped(query: String, slop: Int, k: Int,
+                     prefixes: Seq[String]): Vector[SearchHit] = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    val distinct = Analyzer.analyzeQueryFor(analyzerVersion, query)
+    if (distinct.isEmpty) return Vector.empty
+    prefixes.flatMap(p => proximityBrute(distinct, k, Some(p),
+        toks => toks.indices.exists(i =>
+          distinct.forall(t => toks.slice(i, i + slop + 1).contains(t)))))
+      .groupBy(_.docId).values.map(_.maxBy(_.score)).toVector
+      .sortBy(h => (-h.score, h.docId)).take(k)
   }
 
   /** Prefix-expansion brute force (Lucene PrefixQuery with a
@@ -192,6 +227,48 @@ final class Oracle(corpus: Seq[Turn],
       SearchHit(d, s)
     }
     hits.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
+  /** Scoped prefix union (engine parity: SearchEngine.prefixTopK with
+    * scopes): the expansion stays GLOBAL (and globally capped), each
+    * scope keeps the expansion terms with scoped df > 0 and scores with
+    * per-scope stats, best instance per doc. */
+  def prefixTopKScoped(prefix: String, k: Int, prefixes: Seq[String],
+                       maxExpansions: Int = 128): Vector[SearchHit] = {
+    val pre = Analyzer.foldPrefix(prefix)
+    if (pre.isEmpty) return Vector.empty
+    val expanded = index.keysIterator.filter(_.startsWith(pre)).toVector
+    require(expanded.size <= maxExpansions,
+      s"prefix '$pre*' expands to ${expanded.size} terms (max $maxExpansions)")
+    if (expanded.isEmpty) return Vector.empty
+    val all = prefixes.flatMap { p =>
+      val inScope: Long => Boolean = d => docs(d.toInt).conv_id.startsWith(p)
+      val ids = docs.indices.filter(d => inScope(d.toLong))
+      if (ids.isEmpty) Vector.empty
+      else {
+        val n = ids.size.toLong
+        val avg = ids.map(d => docTokens(d).length.toLong).sum.toDouble / n
+        val dfS = (t: String) => index.get(t)
+          .map(_.count { case (d, _) => inScope(d) }.toLong).getOrElse(0L)
+        val kept = expanded.filter(t => dfS(t) > 0).sortBy(t => (dfS(t), t))
+        if (kept.isEmpty) Vector.empty
+        else {
+          val postings = kept.map(t =>
+            index(t).filter { case (d, _) => inScope(d) }.toMap)
+          val candidates = postings.map(_.keySet).reduce(_ union _)
+          candidates.toVector.map { d =>
+            var s = 0.0
+            kept.zipWithIndex.foreach { case (t, i) =>
+              postings(i).get(d).foreach(tf =>
+                s += Bm25.score(tf, dfS(t), dl(d), n, avg))
+            }
+            SearchHit(d, s)
+          }.sortBy(h => (-h.score, h.docId)).take(k)
+        }
+      }
+    }
+    all.groupBy(_.docId).values.map(_.maxBy(_.score)).toVector
+      .sortBy(h => (-h.score, h.docId)).take(k)
   }
 
   /** Multi-scope union with per-scope stats (reference multi-site search,

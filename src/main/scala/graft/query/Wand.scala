@@ -63,6 +63,9 @@ object Wand {
     def tf: Int = cur.tf
     def dl: Int = cur.dl
     def score: Double = Bm25.score(tf, df, dl, nDocs, avgdl)
+    /** Current posting's token ordinals (positional index only — throws on
+      * a positions-free chunk); decoded on demand, see BlockedCursor. */
+    def positions: Array[Int] = cur.positions
 
     /** Exact upper bound of any score inside the CURRENT block. */
     def currentBlockUB: Double =
@@ -197,16 +200,30 @@ object Wand {
     * verification one at a time — materializing the intersection up
     * front would hold millions of hits per task for nothing. */
   def andAll(terms: Seq[TermCursor],
-             segments: Seq[(Long, Long)] = Vector((0L, Long.MaxValue))): Iterator[SearchHit] = {
+             segments: Seq[(Long, Long)] = Vector((0L, Long.MaxValue))): Iterator[SearchHit] =
+    andAllWith(terms, segments)((d, s, _) => SearchHit(d, s))
+
+  /** [[andAll]] generalized with a per-match extractor: `f` runs at the
+    * exact moment every cursor sits on the matched docId (BEFORE any
+    * cursor advances), so it can read per-cursor state the plain hit
+    * stream cannot carry — the positional phrase/NEAR verifiers pull each
+    * cursor's token ordinals here (format rev r6) and never touch the doc
+    * itself. The cursor array is the rarest-first internal order; use
+    * `TermCursor.term`/`.canonical` to identify entries. Lazy like
+    * [[andAll]]. */
+  def andAllWith[A](terms: Seq[TermCursor],
+                    segments: Seq[(Long, Long)] = Vector((0L, Long.MaxValue)))
+                   (f: (Long, Double, Array[TermCursor]) => A): Iterator[A] = {
     if (terms.isEmpty || segments.isEmpty) return Iterator.empty
     val byDf = terms.sortBy(c => (c.df, c.term)).toArray // rarest first drives
     val contribs = new Array[Double](terms.map(_.canonical).max + 1)
     val segs = segments.iterator
-    new scala.collection.AbstractIterator[SearchHit] {
+    new scala.collection.AbstractIterator[A] {
       private var maxDoc = -1L        // current segment's upper bound
       private var inSegment = false
       private var done = false
-      private var pending: SearchHit = null
+      private var hasPending = false
+      private var pending: A = null.asInstanceOf[A]
 
       // position cursors at the next segment's start; false (and done)
       // when a list runs dry (AND: ends everything) or segments end
@@ -220,7 +237,7 @@ object Wand {
         }
 
       private def computeNext(): Unit =
-        while (pending == null && !done) {
+        while (!hasPending && !done) {
           if (!inSegment) inSegment = enterNextSegment()
           else {
             val cand = byDf(0).docId
@@ -240,7 +257,9 @@ object Wand {
                   contribs(byDf(j).canonical) = byDf(j).score
                   j += 1
                 }
-                pending = SearchHit(cand, canonicalSum(contribs))
+                // every cursor sits on cand here — f may read them
+                pending = f(cand, canonicalSum(contribs), byDf)
+                hasPending = true
                 byDf(0).advance()
               } else {
                 // the failing cursor moved past cand: jump the driver there
@@ -251,11 +270,12 @@ object Wand {
           }
         }
 
-      override def hasNext: Boolean = { computeNext(); pending != null }
-      override def next(): SearchHit = {
+      override def hasNext: Boolean = { computeNext(); hasPending }
+      override def next(): A = {
         computeNext()
-        if (pending == null) throw new NoSuchElementException("andAll")
-        val h = pending; pending = null; h
+        if (!hasPending) throw new NoSuchElementException("andAll")
+        val h = pending; pending = null.asInstanceOf[A]; hasPending = false
+        h
       }
     }
   }

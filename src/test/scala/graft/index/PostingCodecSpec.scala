@@ -59,4 +59,89 @@ class PostingCodecSpec extends AnyFunSuite {
     c.advanceTo(Long.MaxValue)
     assert(c.exhausted)
   }
+
+  // ---- positional streams (r6 format rev) ---------------------------
+
+  /** Deterministic multi-block positional fixture: posting i carries
+    * tf(i) strictly-ascending ordinals derived from i. */
+  private def posFixture(n: Int): (Array[Long], Array[Int], Array[Int],
+                                   Array[Array[Int]]) = {
+    val ids = Array.tabulate(n)(i => i.toLong * 5 + 2)
+    val tfs = Array.tabulate(n)(i => (i % 7) + 1)
+    val dls = Array.tabulate(n)(i => (i % 40) + 8)
+    val pos = Array.tabulate(n) { i =>
+      var p = i % 11
+      Array.tabulate(tfs(i)) { j => p += (i + j) % 13 + 1; p }
+    }
+    (ids, tfs, dls, pos)
+  }
+
+  test("positions round-trip: every posting's ordinals survive encode + sequential walk") {
+    val (ids, tfs, dls, pos) = posFixture(1000) // ~8 blocks at size 128
+    val l = PostingCodec.encodeBlocked(ids, tfs, dls, positions = pos)
+    assert(l.hasPositions)
+    val c = new PostingCodec.BlockedCursor(l)
+    var i = 0
+    while (!c.exhausted) {
+      assert(c.docId == ids(i) && c.tf == tfs(i))
+      assert(c.positions.toSeq == pos(i).toSeq, s"posting $i")
+      i += 1
+      c.advance()
+    }
+    assert(i == ids.length)
+  }
+
+  test("positions after a block jump: advanceTo lands with the RIGHT ordinals (posOff restart)") {
+    val (ids, tfs, dls, pos) = posFixture(2000)
+    val l = PostingCodec.encodeBlocked(ids, tfs, dls, positions = pos)
+    // jump straight into late blocks from a fresh cursor, then spot-check
+    Seq(1999, 1500, 777, 130, 129, 128, 127, 0).foreach { i =>
+      val c = new PostingCodec.BlockedCursor(l)
+      c.advanceTo(ids(i))
+      assert(c.docId == ids(i))
+      assert(c.positions.toSeq == pos(i).toSeq, s"jump to posting $i")
+    }
+    // and a forward galloping walk on one cursor
+    val c = new PostingCodec.BlockedCursor(l)
+    Seq(3, 128, 500, 501, 1999).foreach { i =>
+      c.advanceTo(ids(i))
+      assert(c.positions.toSeq == pos(i).toSeq, s"gallop to posting $i")
+    }
+  }
+
+  test("positions-free list: hasPositions false, cursor.positions throws, decode unaffected") {
+    val (ids, tfs, dls, _) = posFixture(300)
+    val l = PostingCodec.encodeBlocked(ids, tfs, dls)
+    assert(!l.hasPositions)
+    val c = new PostingCodec.BlockedCursor(l)
+    c.advanceTo(ids(250))
+    assert(c.docId == ids(250) && c.tf == tfs(250))
+    intercept[IllegalArgumentException](c.positions)
+  }
+
+  test("encode rejects a positions row whose length disagrees with tf") {
+    val ids = Array(1L, 2L)
+    val tfs = Array(2, 1)
+    val dls = Array(5, 5)
+    intercept[IllegalArgumentException] {
+      PostingCodec.encodeBlocked(ids, tfs, dls,
+        positions = Array(Array(0, 3), Array(1, 2))) // second row: tf=1, 2 ordinals
+    }
+  }
+
+  test("property: positional round-trip at a tiny block size (many blocks)") {
+    val g = Gen.chooseNum(1, 400)
+    forAllSeeded(g) { n =>
+      val (ids, tfs, dls, pos) = posFixture(n)
+      val l = PostingCodec.encodeBlocked(ids, tfs, dls, blockSize = 16,
+        positions = pos)
+      val c = new PostingCodec.BlockedCursor(l, blockSize = 16)
+      var i = 0
+      while (!c.exhausted) {
+        assert(c.positions.toSeq == pos(i).toSeq)
+        i += 1; c.advance()
+      }
+      assert(i == n)
+    }
+  }
 }

@@ -135,17 +135,17 @@ class ProximitySpec extends AnyFunSuite {
       org.apache.spark.sql.Encoders.product[graft.model.Turn]), dir,
       shards = 4, waveSize = 4, maxChunkPostings = 64)
     val m0 = graft.index.IndexManifest.readCached(dir).get
-    val ph0 = SearchEngine.phraseTopK(spark, dir, "stopish needlemid", 10, Some(m0))
-    val nr0 = SearchEngine.nearTopK(spark, dir, "stopish needlemid", 2, 10, Some(m0))
-    val pf0 = SearchEngine.prefixTopK(spark, dir, "w000", 10, Some(m0))
+    val ph0 = SearchEngine.phraseTopK(spark, dir, "stopish needlemid", 10, pinned = Some(m0))
+    val nr0 = SearchEngine.nearTopK(spark, dir, "stopish needlemid", 2, 10, pinned = Some(m0))
+    val pf0 = SearchEngine.prefixTopK(spark, dir, "w000", 10, pinned = Some(m0))
     assert(nr0.nonEmpty && pf0.nonEmpty)
     // delete the conversation hosting the top NEAR hit: the current
     // snapshot's results must change, the pinned-old ones must not
     val victim = ttOracle.docs(nr0.head.docId.toInt).conv_id
     graft.index.IndexMaintenance.deleteConversations(spark, dir, Set(victim))
-    assert(SearchEngine.phraseTopK(spark, dir, "stopish needlemid", 10, Some(m0)) == ph0)
-    assert(SearchEngine.nearTopK(spark, dir, "stopish needlemid", 2, 10, Some(m0)) == nr0)
-    assert(SearchEngine.prefixTopK(spark, dir, "w000", 10, Some(m0)) == pf0)
+    assert(SearchEngine.phraseTopK(spark, dir, "stopish needlemid", 10, pinned = Some(m0)) == ph0)
+    assert(SearchEngine.nearTopK(spark, dir, "stopish needlemid", 2, 10, pinned = Some(m0)) == nr0)
+    assert(SearchEngine.prefixTopK(spark, dir, "w000", 10, pinned = Some(m0)) == pf0)
     val nrNow = SearchEngine.nearTopK(spark, dir, "stopish needlemid", 2, 10)
     assert(nrNow != nr0, "current snapshot must reflect the delete")
     assert(!nrNow.exists(h => m0.nDocs > h.docId &&

@@ -27,6 +27,7 @@ object SparkEntry {
     "u5_bm25_or_topk" -> (Q.u5Bm25OrTopK(_, _)),
     "phrase_topk" -> (Q.phraseTopK(_, _)),
     "near_topk" -> (Q.nearTopK(_, _)),
+    "near3_matches" -> (Q.near3Matches(_, _)),
     "prefix_term_topk" -> (Q.prefixTermTopK(_, _)),
     "w1_token_positions" -> (Q.w1TokenPositions(_, _)),
     // relational operators (§2.1-§2.7)
@@ -92,6 +93,7 @@ object SparkEntry {
     "u5_bm25_or_topk" -> Q.u5Bm25OrTopKSql,
     "phrase_topk" -> Q.phraseTopKSql,
     "near_topk" -> Q.nearTopKSql,
+    "near3_matches" -> Q.near3MatchesSql,
     "prefix_term_topk" -> Q.prefixTermTopKSql,
     "w1_token_positions" -> Q.w1TokenPositionsSql,
     "q1_agg" -> Q.q1AggSql,

@@ -261,24 +261,24 @@ object EntryQueries {
         case (Some(ph), _) =>
           val w = TextOps.tokensCol
           val m = ph.length
+          // CHEAP PREFILTER first (r6, VERDICT r05 item 5): array_contains
+          // per term is O(len·terms) and kills ~all rows before the
+          // O(len·m) adjacency scan — the scan shape that made phrase_topk
+          // the most expensive gate entry at sf0.1. Adjacency implies
+          // contains-all, so semantics are unchanged.
+          val hasAll = ph.distinct.map(tm => array_contains(w, lit(tm)))
+            .reduce(_ && _)
           // exists start offset i (0-based) with w[i+j] == ph(j) for all j;
           // CaseWhen guards the too-short rows (sequence(0, negative)
           // would generate a DESCENDING range, not an empty one)
           val adjacent = exists(sequence(lit(0), size(w) - lit(m)),
             i => ph.zipWithIndex.map { case (tm, j) =>
               element_at(w, i + lit(j + 1)) === lit(tm) }.reduce(_ && _))
-          docs.filter(when(size(w) >= m, adjacent).otherwise(lit(false)))
+          docs.filter(hasAll &&
+              when(size(w) >= m, adjacent).otherwise(lit(false)))
             .select(col("doc_id"))
         case (None, Some((nt, slop))) =>
-          val w = TextOps.tokensCol
-          // exists a window start i (1-based) whose slop+1-token slice
-          // contains EVERY near term; slice clips at the array end, and
-          // the CaseWhen guards empty docs (sequence(1, 0) descends)
-          val windowed = exists(sequence(lit(1), size(w)), i =>
-            nt.map(tm => exists(slice(w, i, lit(slop + 1)),
-              x => x === lit(tm))).reduce(_ && _))
-          docs.filter(when(size(w) >= 1, windowed).otherwise(lit(false)))
-            .select(col("doc_id"))
+          nearCandidates(docs, nt, slop)
         case _ if and =>
           terms.map(tm => qtf.filter(col("term") === tm).select(col("doc_id")))
             .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
@@ -340,6 +340,57 @@ object EntryQueries {
       |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) >= 2) AS w
       |          FROM documents))
       |)""".stripMargin
+
+  /** NEAR candidate predicate shared by `near_topk` and `near3_matches`
+    * (occurrence-pair formulation, ADVICE r05 item 4): a cheap
+    * array_contains prefilter (O(len·terms)) kills ~all rows, then
+    * per-term ordinal lists via one indexed filter each, and the window
+    * test runs over OCCURRENCES: exists one ordinal per term whose span
+    * <= slop (⇔ some slop+1-wide window contains every term). occ^arity
+    * per surviving doc with occ ≪ len — vs the old every-window
+    * O(len·slop·terms) scan over every doc. Map-only; no positional
+    * self-join, no shuffle. */
+  private def nearCandidates(docs: DataFrame, nt: Seq[String],
+                             slop: Int): DataFrame = {
+    val w = TextOps.tokensCol
+    val hasAll = nt.distinct.map(tm => array_contains(w, lit(tm)))
+      .reduce(_ && _)
+    val occ = nt.map(tm =>
+      filter(transform(w, (x, i) => when(x === lit(tm), i)
+        .otherwise(lit(null))), x => x.isNotNull))
+    val windowed = occ match {
+      case Seq(a, b) =>
+        exists(a, p1 => exists(b, p2 => abs(p1 - p2) <= lit(slop)))
+      case Seq(a, b, c) =>
+        exists(a, p1 => exists(b, p2 => exists(c, p3 =>
+          greatest(p1, p2, p3) - least(p1, p2, p3) <= lit(slop))))
+      case _ => // arbitrary arity: the engine operator handles it; the
+        // gate twins stay at 2-3 terms (commutative score sums)
+        throw new IllegalArgumentException(
+          s"near gate twin supports 2-3 terms, got ${nt.size}")
+    }
+    docs.filter(hasAll && windowed).select(col("doc_id"))
+  }
+
+  /** 3-term NEAR window membership (VERDICT r05 item 6: the 2-term
+    * `near_topk` oracle pins |Δpos| but not arity — this gate pins the
+    * span semantics at arity 3 against an independent DuckDB positional
+    * triple-join). Candidates only (ORDER BY doc_id): a 3-float BM25 sum
+    * would reintroduce the float-associativity hazard the 2-term gates
+    * avoid by design; scoring at arbitrary arity is pinned engine-side
+    * by ProximitySpec's canonical-order fold tests. */
+  def near3Matches(s: SparkSession, dir: String): DataFrame =
+    nearCandidates(t(s, dir, "documents"), Seq("spark", "merge", "join"),
+      slop = 4).orderBy(col("doc_id"))
+
+  val near3MatchesSql: String =
+    s"""WITH $posCte
+       |SELECT DISTINCT a.doc_id FROM pos a
+       |JOIN pos b ON b.doc_id = a.doc_id AND b.term = 'merge'
+       |JOIN pos c ON c.doc_id = a.doc_id AND c.term = 'join'
+       |WHERE a.term = 'spark'
+       |  AND greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos) <= 4
+       |ORDER BY a.doc_id""".stripMargin
 
   /** Phrase oracle: candidates via the w1 ordinality idiom + an
     * adjacency self-join chain (p1.pos + j), then the shared BM25 tail. */

@@ -261,10 +261,12 @@ object TextOps {
     val kept = sel.join(usable, Seq("fp")).localCheckpoint(true)
     // kept's eager checkpoint is its own block set — sel (the full
     // fingerprint frame, the job's largest intermediate) is dead from
-    // here; release it instead of pinning it until driver GC. kept's
-    // (smaller, boilerplate-pruned) blocks back the returned plan and
-    // live with it — the inherent lifetime of a checkpoint-backed result.
-    sel.unpersist(false)
+    // here. NOTE (ADVICE r05 item 1): there is no eager release for a
+    // localCheckpoint-backed Dataset — Dataset.unpersist routes through
+    // the CacheManager, which only tracks cache()/persist() plans, so a
+    // call here would be a silent no-op. The blocks are reclaimed by the
+    // ContextCleaner once the checkpointed RDD is unreachable (end of
+    // this method for sel; with the returned plan for kept).
     kept.as("a")
       .join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

@@ -922,7 +922,13 @@ object SearchEngine {
         })
         .orderBy($"score".desc, $"docId".asc).limit(k) // TakeOrderedAndProject
         .collect().toVector
-    } finally { cand.unpersist(); () }
+    } finally {
+      // ADVICE r05 item 1: unpersist on a localCheckpoint-backed frame is
+      // a CacheManager no-op; the blocks free via the ContextCleaner when
+      // cand drops out of scope here. Kept as documentation of intent —
+      // if the checkpoint is ever swapped for cache(), this is the spot.
+      cand.unpersist(); ()
+    }
   }
 
   /** Positional phrase/NEAR executor (r6 format rev): the same

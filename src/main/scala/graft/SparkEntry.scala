@@ -76,6 +76,7 @@ object SparkEntry {
     "u6_snippets" -> (Q.u6Snippets(_, _)),
     "multimodal_signals" -> (Q.multimodalSignals(_, _)),
     "lm_bigram_quality" -> (Q.lmBigramQuality(_, _)),
+    "lm_rank" -> (Q.lmRank(_, _)),
     "pack_sequences" -> (Q.packSequencesQ(_, _)),
     "substring_overlap" -> (Q.substringOverlap(_, _)),
     // batch twin of the streaming sessionizer (full SQL oracle)
@@ -132,6 +133,7 @@ object SparkEntry {
     "u6_snippets" -> Q.u6SnippetsSql,
     "multimodal_signals" -> Q.multimodalSignalsSql,
     "lm_bigram_quality" -> Q.lmBigramQualitySql,
+    "lm_rank" -> Q.lmRankSql,
     "pack_sequences" -> Q.packSequencesSql,
     "substring_overlap" -> Q.substringOverlapSql,
     "ann_ivf_topk" -> Q.annIvfTopKSql,

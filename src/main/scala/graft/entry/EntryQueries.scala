@@ -1192,6 +1192,54 @@ object EntryQueries {
       |FROM pairs p JOIN cnt c ON p.w1 = c.w1 AND p.w2 = c.w2
       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
 
+  /** LM RANK gate (r6, VERDICT r05 item 8): the true Laplace-smoothed
+    * bigram LM ([[graft.ops.TextOps.lmLogProb]]) gated END-TO-END by
+    * comparing the RANK ORDER (row_number by avg_logp desc, doc_id) plus
+    * the exact n_bigrams integer — never the float itself. Why this is
+    * deterministic where a float gate is not: cross-engine ulp noise on
+    * an avg of ~40 ln() terms is ~1e-14 relative, while the MINIMUM
+    * adjacent-rank score gap on this corpus is 3.5e-7 (measured at
+    * sf0.01; no exact ties) — seven orders of margin, so both engines
+    * produce the identical permutation. The 1e-12-tolerance OpsSpec twin
+    * keeps pinning the float values themselves. The global row_number
+    * window is gate-wrapper-only (≤ corpus-doc rows post-agg); the LM
+    * itself is the scalable shuffle-join op. */
+  def lmRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    TextOps.lmLogProb(t(s, dir, "documents"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("avg_logp").desc, col("doc_id"))))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        col("n_bigrams"))
+      .orderBy(col("rank"))
+  }
+
+  val lmRankSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) >= 2) AS toks
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+      |    SELECT doc_id,
+      |      unnest([{'w1': toks[i], 'w2': toks[i+1]} for i in range(1, len(toks))]) AS b
+      |    FROM w WHERE len(toks) >= 2
+      |  )
+      |), c2 AS (
+      |  SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2
+      |), uni AS (
+      |  SELECT w1, count(*) AS c1 FROM (SELECT doc_id, unnest(toks) AS w1 FROM w) GROUP BY 1
+      |), v AS (
+      |  SELECT count(*) AS v FROM uni
+      |), score AS (
+      |  SELECT p.doc_id, count(*) AS n_bigrams,
+      |         avg(ln((c2.c2 + 1.0) / (uni.c1 + v.v))) AS s
+      |  FROM pairs p JOIN c2 USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+      |  GROUP BY p.doc_id
+      |)
+      |SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+      |       doc_id, n_bigrams
+      |FROM score ORDER BY rank""".stripMargin
+
   /** Multimodal decode gate (r5): REAL JDK decode for ALL THREE kinds
     * over the deterministic synthetic media table — media is SYNTHESIZED
     * (real PNG bytes via javax.imageio, real RIFF/WAVE PCM, real

@@ -441,4 +441,58 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     }
     assert(ePass.getMessage == "unrelated")
   }
+
+  test("slow phrase verify racing expire: the pinned result or the LOUD retention error, never partial") {
+    // VERDICT r05 item 7: a verify-by-rescan phrase query over a large
+    // candidate set (stop cap off => frequent terms enumerate ~the
+    // corpus) holds its pinned snapshot LONGER than an AND query, so the
+    // K >= depth + commits + 1 retention contract binds tighter. Race a
+    // real maintenance-commit + aggressive expire against the pinned
+    // phrase verify: the only legal outcomes are (a) the exact pinned
+    // result (scan won) or (b) the loud expiry-contract error (expire
+    // won) - never a raw missing-path error, never a partial/mixed
+    // result (generation dirs are immutable and deleted whole).
+    val corpus = TranscriptGen.corpus(seed = 53L, nConvs = 250)
+    val root = SparkTestBase.tmpDir("graft-phrase-expiry-race")
+    IndexBuilder.build(spark, spark.createDataset(corpus), root,
+      shards = 4, waveSize = 4, maxChunkPostings = 64)
+    val oracle = new graft.oracle.Oracle(corpus)
+    val mOld = IndexManifest.read(root).get
+    val expected = oracle.phraseTopK("stopish needlemid", 50)
+    assert(expected.nonEmpty)
+    val victim = corpus.head.conv_id
+    val racer = new Thread(new Runnable {
+      def run(): Unit = {
+        IndexMaintenance.deleteConversations(spark, root, Set(victim))
+        IndexSnapshot.expireSnapshots(spark, root, keepLast = 1)
+      }
+    })
+    racer.start()
+    val outcome =
+      try Right(SearchEngine.withExpiryDiagnosis(root, mOld.snapshotId) {
+        SearchEngine.phraseTopK(spark, root, "stopish needlemid", 50,
+          pinned = Some(mOld))
+      })
+      catch { case e: IllegalStateException => Left(e) }
+    racer.join()
+    outcome match {
+      case Right(hits) => assert(hits == expected,
+        "a pinned phrase verify that completes must answer from mOld alone")
+      case Left(e) => assert(
+        e.getMessage.contains("expired by concurrent maintenance"),
+        s"raw error leaked through the diagnosis: ${e.getMessage}")
+    }
+    // deterministic tail: once expire has reclaimed mOld, a NEW pinned
+    // phrase verify must diagnose loudly (not FileNotFound, not empty)
+    assert(!IndexManifest.versions(root).contains(mOld.snapshotId))
+    val e2 = intercept[IllegalStateException] {
+      SearchEngine.withExpiryDiagnosis(root, mOld.snapshotId) {
+        SearchEngine.phraseTopK(spark, root, "stopish needlemid", 50,
+          pinned = Some(mOld))
+      }
+    }
+    assert(e2.getMessage.contains("expired by concurrent maintenance"))
+    assert(e2.getMessage.contains("GRAFT_KEEP_SNAPSHOTS"),
+      "the diagnosis must name the retention knob")
+  }
 }

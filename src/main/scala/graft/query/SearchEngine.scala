@@ -1010,12 +1010,20 @@ object SearchEngine {
             val heap = new Wand.TopK(k)
             val posBySlot = new Array[Array[Int]](nSlots) // reused per match
             val walk = Wand.andAllWith(cursors, segs) { (d, s, arr) =>
-              var i = 0
-              while (i < arr.length) {
-                posBySlot(slotOf(arr(i).term)) = arr(i).positions
-                i += 1
+              // threshold shortcut (Lucene impact-style): a candidate whose
+              // score cannot enter the heap is rejected by offer() no
+              // matter what the verify says — skip the ordinal decode and
+              // the predicate entirely. `>=` keeps threshold ties verified
+              // (offer admits a tie only on a smaller docId), so the
+              // result stays the exact top-k of verified hits.
+              if (s >= heap.threshold) {
+                var i = 0
+                while (i < arr.length) {
+                  posBySlot(slotOf(arr(i).term)) = arr(i).positions
+                  i += 1
+                }
+                if (pred(posBySlot)) heap.offer(d, s)
               }
-              if (pred(posBySlot)) heap.offer(d, s)
             }
             while (walk.hasNext) walk.next() // drain (lazy iterator)
             heap.results.iterator

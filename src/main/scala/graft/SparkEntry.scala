@@ -29,6 +29,8 @@ object SparkEntry {
     "near_topk" -> (Q.nearTopK(_, _)),
     "near3_matches" -> (Q.near3Matches(_, _)),
     "prefix_term_topk" -> (Q.prefixTermTopK(_, _)),
+    "fuzzy_term_topk" -> (Q.fuzzyTermTopK(_, _)),
+    "wildcard_topk" -> (Q.wildcardTopK(_, _)),
     "w1_token_positions" -> (Q.w1TokenPositions(_, _)),
     // relational operators (§2.1-§2.7)
     "q1_agg" -> (Q.q1Agg(_, _)),
@@ -96,6 +98,8 @@ object SparkEntry {
     "near_topk" -> Q.nearTopKSql,
     "near3_matches" -> Q.near3MatchesSql,
     "prefix_term_topk" -> Q.prefixTermTopKSql,
+    "fuzzy_term_topk" -> Q.fuzzyTermTopKSql,
+    "wildcard_topk" -> Q.wildcardTopKSql,
     "w1_token_positions" -> Q.w1TokenPositionsSql,
     "q1_agg" -> Q.q1AggSql,
     "j3_broadcast_join" -> Q.j3BroadcastJoinSql,

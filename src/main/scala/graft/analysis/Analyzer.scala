@@ -139,4 +139,11 @@ object Analyzer extends Serializable {
     * TOKENS are not. */
   def foldPrefix(raw: String): String =
     if (raw == null) "" else fold(raw.filter(isTokenChar))
+
+  /** Normalize a WILDCARD pattern (SearchEngine.wildcardTopK): keep token
+    * chars plus the `*`/`?` metacharacters, then case/ё fold — never
+    * stemmed, the same multi-term-query contract as [[foldPrefix]]. */
+  def foldWildcard(raw: String): String =
+    if (raw == null) ""
+    else fold(raw.filter(c => isTokenChar(c) || c == '*' || c == '?'))
 }

@@ -71,8 +71,9 @@ object BuildIndex {
 }
 
 /** Query a built index.
-  * Usage: Query <indexRoot> <queryText> [--mode AND|OR|PHRASE|NEAR|PREFIX]
-  *        [--k N] [--slop N] [--naive] [--scopes p1,p2] [--snapshot N]
+  * Usage: Query <indexRoot> <queryText> [--mode AND|OR|PHRASE|NEAR|PREFIX|FUZZY|WILDCARD]
+  *        [--k N] [--slop N] [--edits N] [--prefix-len N] [--naive]
+  *        [--scopes p1,p2] [--snapshot N]
   * PHRASE mode treats <queryText> as an exact phrase over the analyzed
   * token stream (SearchEngine.phraseTopK); NEAR matches all terms within
   * a window of --slop+1 consecutive positions (default slop 2,
@@ -81,7 +82,12 @@ object BuildIndex {
   * already matches adjacent terms (Lucene slop s ≈ our slop s+1 for two
   * terms — ADVICE r05 item 3). PREFIX treats <queryText> as a dictionary
   * prefix pattern, e.g. `merg` for merge/merged (SearchEngine.prefixTopK).
-  * All three compose with --scopes (per-scope statistics) and --snapshot.
+  * FUZZY expands <queryText> to every dictionary term within --edits
+  * Levenshtein edits (default 2, max 2 — Lucene FuzzyQuery limits;
+  * --prefix-len pins the first N chars exactly, Lucene prefixLength).
+  * WILDCARD treats <queryText> as a glob over the dictionary (`*` = any
+  * sequence, `?` = one char, e.g. `w00*3`). All five compose with
+  * --scopes (per-scope statistics) and --snapshot.
   */
 object Query {
   def main(args: Array[String]): Unit = {
@@ -89,8 +95,9 @@ object Query {
     def opt(name: String): Option[String] =
       a.indexOf(name) match { case -1 => None; case i => a.lift(i + 1) }
     if (a.size < 2) sys.error(
-      "usage: Query <indexRoot> <queryText> [--mode AND|OR|PHRASE|NEAR|PREFIX] " +
-      "[--k N] [--slop N] [--naive] [--conv <prefix>] [--snapshot N]")
+      "usage: Query <indexRoot> <queryText> [--mode AND|OR|PHRASE|NEAR|PREFIX|FUZZY|WILDCARD] " +
+      "[--k N] [--slop N] [--edits N] [--prefix-len N] [--naive] " +
+      "[--conv <prefix>] [--snapshot N]")
     val root = a(0)
     val q = a(1)
     val mode = opt("--mode").getOrElse("AND").toUpperCase
@@ -99,8 +106,9 @@ object Query {
     def numOpt(name: String): Option[Long] = opt(name).map { s =>
       s.toLongOption.getOrElse(sys.error(
         s"$name expects an integer, got '$s' — " +
-        "usage: Query <indexRoot> <queryText> [--mode AND|OR|PHRASE|NEAR|PREFIX] " +
-        "[--k N] [--slop N] [--naive] [--conv <prefix>] [--snapshot N]"))
+        "usage: Query <indexRoot> <queryText> [--mode AND|OR|PHRASE|NEAR|PREFIX|FUZZY|WILDCARD] " +
+        "[--k N] [--slop N] [--edits N] [--prefix-len N] [--naive] " +
+        "[--conv <prefix>] [--snapshot N]"))
     }
     val k = numOpt("--k").map(_.toInt).getOrElse(10)
     val conv = opt("--conv")
@@ -133,7 +141,7 @@ object Query {
       }
     }
     val t0 = System.nanoTime()
-    require(!Set("PHRASE", "NEAR", "PREFIX").contains(mode) ||
+    require(!Set("PHRASE", "NEAR", "PREFIX", "FUZZY", "WILDCARD").contains(mode) ||
       (conv.isEmpty && !a.contains("--naive")),
       s"$mode mode does not combine with --naive/--conv (use --scopes)")
     // mode checks FIRST, then the slop parse/range (ADVICE r05 item 2:
@@ -143,6 +151,15 @@ object Query {
       "--slop only applies to NEAR mode")
     val slop = numOpt("--slop").map(_.toInt).getOrElse(2)
     require(slop >= 0, s"--slop must be >= 0, got $slop (window width = slop+1)")
+    require(mode == "FUZZY" ||
+      (opt("--edits").isEmpty && opt("--prefix-len").isEmpty),
+      "--edits/--prefix-len only apply to FUZZY mode")
+    val edits = numOpt("--edits").map(_.toInt).getOrElse(2)
+    require(edits >= 0 && edits <= graft.query.SearchEngine.MaxFuzzyEdits,
+      s"--edits must be in [0, ${graft.query.SearchEngine.MaxFuzzyEdits}] " +
+      s"(Lucene FuzzyQuery limit), got $edits")
+    val prefixLen = numOpt("--prefix-len").map(_.toInt).getOrElse(0)
+    require(prefixLen >= 0, s"--prefix-len must be >= 0, got $prefixLen")
     val proxScopes = scopes.getOrElse(Nil)
     // time travel composes with every mode: the pre-pinned manifest rides
     // into the query, and mid-query expiry overtakes surface the loud
@@ -158,6 +175,11 @@ object Query {
         diagnosed(SearchEngine.nearTopK(spark, root, q, slop, k, proxScopes, pinned))
       else if (mode == "PREFIX")
         diagnosed(SearchEngine.prefixTopK(spark, root, q, k, proxScopes, pinned))
+      else if (mode == "FUZZY")
+        diagnosed(SearchEngine.fuzzyTopK(spark, root, q, edits, k, prefixLen,
+          proxScopes, pinned))
+      else if (mode == "WILDCARD")
+        diagnosed(SearchEngine.wildcardTopK(spark, root, q, k, proxScopes, pinned))
       else if (a.contains("--naive"))
         SearchEngine.queryNaive(spark, root, q, mode, k).collect()
           .map(r => graft.model.SearchHit(r.getLong(0), r.getDouble(1))).toVector
@@ -169,7 +191,9 @@ object Query {
         case _ => SearchEngine.query(spark, root, q, mode, k)
       }
     val ms = (System.nanoTime() - t0) / 1e6
-    val modeLabel = if (mode == "NEAR") s"NEAR~$slop" else mode
+    val modeLabel =
+      if (mode == "NEAR") s"NEAR~$slop"
+      else if (mode == "FUZZY") s"FUZZY~$edits" else mode
     println(f"query='$q' mode=$modeLabel k=$k → ${hits.size} hits in $ms%.0f ms")
     // hit previews must come from the SAME snapshot the hits did
     val docs = pinned match {

@@ -1,6 +1,6 @@
 package graft.entry
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -236,6 +236,34 @@ object EntryQueries {
 
   val prefixTermTopKSql: String = prefixSql("d", k = 10)
 
+  /** Fuzzy-term BM25 top-k (Lucene FuzzyQuery, scoring rewrite) — the
+    * relational twin of `SearchEngine.fuzzyTopK`: the expansion is every
+    * corpus term within Levenshtein distance 2 of the out-of-vocabulary
+    * pattern ('grup' → {group, dup} on this corpus: one hot term + one
+    * rare term, so the expansion actually changes the ranking), then the
+    * standard OR/BM25 tail with per-expanded-term df. ≤2 expansions keeps
+    * the score sum commutative like every bm25 gate; the engine-side
+    * operator handles arbitrary expansions (canonical-order fold) and is
+    * pinned by ProximitySpec instead. Spark's and DuckDB's `levenshtein`
+    * are both the classic unit-cost edit distance, so the oracle is
+    * exact. */
+  def fuzzyTermTopK(s: SparkSession, dir: String): DataFrame =
+    bm25Fuzzy(s, dir, "grup", maxEdits = 2, k = 10)
+
+  val fuzzyTermTopKSql: String = fuzzySql("grup", maxEdits = 2, k = 10)
+
+  /** Wildcard BM25 top-k (Lucene WildcardQuery, scoring rewrite) — the
+    * relational twin of `SearchEngine.wildcardTopK`: the glob `*up`
+    * (LIKE '%up' in both engines — identical semantics, `*`→`%`) expands
+    * to {group, dup} on this corpus — hot + rare again, and a LEADING
+    * wildcard so the no-prefix-cut path is the one gated. ≤2 expansions
+    * keeps the score sum commutative; arbitrary expansions are pinned by
+    * ProximitySpec engine-side. */
+  def wildcardTopK(s: SparkSession, dir: String): DataFrame =
+    bm25Like(s, dir, "%up", k = 10)
+
+  val wildcardTopKSql: String = likeSql("%up", k = 10)
+
   private def bm25(s: SparkSession, dir: String, terms: Seq[String],
                    and: Boolean, k: Int,
                    phrase: Option[Seq[String]] = None,
@@ -437,12 +465,36 @@ object EntryQueries {
        |)
        |${bm25ScoreTail(s"t.term LIKE '$pre%'", k)}""".stripMargin
 
-  /** Spark side of `prefix_term_topk` (see [[prefixTermTopK]]): the same
-    * bm25 pipeline with the term filter swapped from an IN list to a
-    * startsWith — df, candidates and the score join all range over the
-    * expansion. */
-  private def bm25Prefix(s: SparkSession, dir: String, pre: String,
-                         k: Int): DataFrame = {
+  /** Wildcard analog of [[prefixSql]]: an arbitrary LIKE pattern (the
+    * engine-side glob with `*`→`%`, `?`→`_`). */
+  private def likeSql(like: String, k: Int): String =
+    s"""$bm25SqlCte, qt AS (
+       |  SELECT term, count(*) AS df FROM tf WHERE term LIKE '$like' GROUP BY term
+       |), cand AS (
+       |  SELECT DISTINCT doc_id FROM tf WHERE term LIKE '$like'
+       |)
+       |${bm25ScoreTail(s"t.term LIKE '$like'", k)}""".stripMargin
+
+  /** Fuzzy analog of [[prefixSql]]: the term predicate is DuckDB's
+    * `levenshtein` (classic unit-cost edit distance — identical to
+    * Spark's builtin) against the pattern. */
+  private def fuzzySql(q: String, maxEdits: Int, k: Int): String =
+    s"""$bm25SqlCte, qt AS (
+       |  SELECT term, count(*) AS df FROM tf WHERE levenshtein(term, '$q') <= $maxEdits GROUP BY term
+       |), cand AS (
+       |  SELECT DISTINCT doc_id FROM tf WHERE levenshtein(term, '$q') <= $maxEdits
+       |)
+       |${bm25ScoreTail(s"levenshtein(t.term, '$q') <= $maxEdits", k)}""".stripMargin
+
+
+
+
+  /** The shared Spark side of the expansion gates (`prefix_term_topk`,
+    * `fuzzy_term_topk`, `wildcard_topk`): the bm25 pipeline with the term
+    * filter swapped from an IN list to an arbitrary expansion predicate —
+    * df, candidates and the score join all range over the expansion. */
+  private def bm25Expansion(s: SparkSession, dir: String,
+                            termPred: Column, k: Int): DataFrame = {
     val docs = t(s, dir, "documents")
     val tf = TextOps.termFrequencies(docs).cache()
     try {
@@ -450,7 +502,7 @@ object EntryQueries {
       val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head()
       val n = statsRow.getLong(0)
       val avgdl = statsRow.getLong(1).toDouble / n.toDouble
-      val qtf = tf.filter(col("term").startsWith(pre))
+      val qtf = tf.filter(termPred)
       val dfMap = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val cand = qtf.select(col("doc_id")).distinct()
@@ -460,12 +512,24 @@ object EntryQueries {
         .withColumn("s", Bm25.scoreCol(col("tf"), dfCol(col("term")),
           col("dl"), n, avgdl))
         .groupBy(col("doc_id"))
-        .agg(round(sum(col("s")), 6).as("score")) // ≤2 expansions: commutative
+        .agg(round(sum(col("s")), 6).as("score")) // <=2 expansions: commutative
         .orderBy(col("score").desc, col("doc_id"))
         .limit(k)
       s.createDataFrame(result.collectAsList(), result.schema)
     } finally tf.unpersist()
   }
+
+  private def bm25Prefix(s: SparkSession, dir: String, pre: String,
+                         k: Int): DataFrame =
+    bm25Expansion(s, dir, col("term").startsWith(pre), k)
+
+  private def bm25Fuzzy(s: SparkSession, dir: String, q: String,
+                        maxEdits: Int, k: Int): DataFrame =
+    bm25Expansion(s, dir, levenshtein(col("term"), lit(q)) <= maxEdits, k)
+
+  private def bm25Like(s: SparkSession, dir: String, like: String,
+                       k: Int): DataFrame =
+    bm25Expansion(s, dir, col("term").like(like), k)
 
   /** W1 (GenerateSnippetAction.java:40-66): token ordinals via posexplode. */
   def w1TokenPositions(s: SparkSession, dir: String): DataFrame =

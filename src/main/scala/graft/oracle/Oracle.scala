@@ -214,6 +214,116 @@ final class Oracle(corpus: Seq[Turn],
     val expanded = index.keysIterator.filter(_.startsWith(pre)).toVector
     require(expanded.size <= maxExpansions,
       s"prefix '$pre*' expands to ${expanded.size} terms (max $maxExpansions)")
+    expansionTopK(expanded, k)
+  }
+
+  /** Textbook Levenshtein DP over CODE POINTS (Spark's builtin edits
+    * whole code points, not UTF-16 units) — deliberately a DIFFERENT
+    * implementation from the engine's probe (the codegen levenshtein
+    * builtin), so the fuzzy rank-identity tests compare two independent
+    * algorithms. */
+  def levenshtein(aS: String, bS: String): Int = {
+    val a = aS.codePoints().toArray
+    val b = bS.codePoints().toArray
+    if (a.isEmpty) return b.length
+    if (b.isEmpty) return a.length
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      var j = 1
+      while (j <= b.length) {
+        val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(b.length)
+  }
+
+  /** Fuzzy-expansion brute force (Lucene FuzzyQuery with a
+    * scoring-BooleanQuery rewrite, engine parity:
+    * SearchEngine.fuzzyTopK): every dictionary term within Levenshtein
+    * distance `maxEdits` of the folded (never stemmed) pattern, sharing
+    * the first `prefixLength` chars exactly, then OR/BM25 over the
+    * expansion — plain BM25, no Lucene similarity boost. */
+  def fuzzyTopK(term: String, maxEdits: Int, k: Int = 10,
+                prefixLength: Int = 0,
+                maxExpansions: Int = 128): Vector[SearchHit] = {
+    val q = Analyzer.foldPrefix(term)
+    if (q.isEmpty) return Vector.empty
+    val expanded = index.keysIterator
+      .filter(t => t.startsWith(q.take(prefixLength)) &&
+        levenshtein(t, q) <= maxEdits)
+      .toVector
+    require(expanded.size <= maxExpansions,
+      s"fuzzy '$q'~$maxEdits expands to ${expanded.size} terms (max $maxExpansions)")
+    expansionTopK(expanded, k)
+  }
+
+  /** Recursive-DP glob matcher — deliberately a THIRD independent
+    * implementation vs Spark's LIKE and DuckDB's LIKE, so the wildcard
+    * rank-identity tests compare different algorithms. `*` = any
+    * sequence, `?` = one char. */
+  def globMatch(pat: String, s: String): Boolean = {
+    val dp = Array.ofDim[Boolean](pat.length + 1, s.length + 1)
+    dp(0)(0) = true
+    var i = 1
+    while (i <= pat.length) {
+      dp(i)(0) = dp(i - 1)(0) && pat(i - 1) == '*'
+      var j = 1
+      while (j <= s.length) {
+        dp(i)(j) = pat(i - 1) match {
+          case '*' => dp(i - 1)(j) || dp(i)(j - 1)
+          case '?' => dp(i - 1)(j - 1)
+          case c => dp(i - 1)(j - 1) && s(j - 1) == c
+        }
+        j += 1
+      }
+      i += 1
+    }
+    dp(pat.length)(s.length)
+  }
+
+  /** Wildcard-expansion brute force (Lucene WildcardQuery with a
+    * scoring-BooleanQuery rewrite, engine parity:
+    * SearchEngine.wildcardTopK): every dictionary term glob-matching the
+    * folded (never stemmed) pattern, then OR/BM25 over the expansion. */
+  def wildcardTopK(pattern: String, k: Int = 10,
+                   maxExpansions: Int = 128): Vector[SearchHit] = {
+    val pat = Analyzer.foldWildcard(pattern)
+    if (pat.isEmpty) return Vector.empty
+    val expanded = index.keysIterator.filter(t => globMatch(pat, t)).toVector
+    require(expanded.size <= maxExpansions,
+      s"wildcard '$pat' expands to ${expanded.size} terms (max $maxExpansions)")
+    expansionTopK(expanded, k)
+  }
+
+  def wildcardTopKScoped(pattern: String, k: Int,
+                         prefixes: Seq[String]): Vector[SearchHit] = {
+    val pat = Analyzer.foldWildcard(pattern)
+    if (pat.isEmpty) return Vector.empty
+    val expanded = index.keysIterator.filter(t => globMatch(pat, t)).toVector
+    expansionTopKScoped(expanded, k, prefixes)
+  }
+
+  def fuzzyTopKScoped(term: String, maxEdits: Int, k: Int,
+                      prefixes: Seq[String], prefixLength: Int = 0): Vector[SearchHit] = {
+    val q = Analyzer.foldPrefix(term)
+    if (q.isEmpty) return Vector.empty
+    val expanded = index.keysIterator
+      .filter(t => t.startsWith(q.take(prefixLength)) &&
+        levenshtein(t, q) <= maxEdits)
+      .toVector
+    expansionTopKScoped(expanded, k, prefixes)
+  }
+
+  /** OR/BM25 over an already-expanded term set, canonical (df asc, term
+    * asc) fold order — the shared tail of prefixTopK and fuzzyTopK. */
+  private def expansionTopK(expanded: Vector[String], k: Int): Vector[SearchHit] = {
     if (expanded.isEmpty) return Vector.empty
     val kept = expanded.sortBy(t => (df(t), t))
     val postings = kept.map(t => index(t).toMap)
@@ -240,6 +350,15 @@ final class Oracle(corpus: Seq[Turn],
     val expanded = index.keysIterator.filter(_.startsWith(pre)).toVector
     require(expanded.size <= maxExpansions,
       s"prefix '$pre*' expands to ${expanded.size} terms (max $maxExpansions)")
+    expansionTopKScoped(expanded, k, prefixes)
+  }
+
+  /** Scoped expansion union (engine parity: SearchEngine.expansionTopK
+    * with scopes): the expansion stays GLOBAL (and globally capped), each
+    * scope keeps the expansion terms with scoped df > 0 and scores with
+    * per-scope stats, best instance per doc. */
+  private def expansionTopKScoped(expanded: Vector[String], k: Int,
+                                  prefixes: Seq[String]): Vector[SearchHit] = {
     if (expanded.isEmpty) return Vector.empty
     val all = prefixes.flatMap { p =>
       val inScope: Long => Boolean = d => docs(d.toInt).conv_id.startsWith(p)

@@ -851,38 +851,156 @@ object SearchEngine {
           s"prefix '$pre*' expands to ${found.size} dictionary terms " +
           s"(max $MaxPrefixExpansions) — refusing an unbounded " +
           "disjunction; narrow the prefix")
-      if (found.isEmpty) Vector.empty
-      else if (scopes.isEmpty) {
-        val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
-        val p = Plan(found.sortBy(t => (t.df, t.term)), Vector.empty, "OR", k)
-        executePlan(spark, root, p, stats, None, Some(m))
-      } else {
-        // scoped prefix (r6): per scope, re-weigh the (globally capped)
-        // expansion with SCOPED dfs — terms absent from the scope drop
-        // out (a scope-local dictionary expansion by construction) — and
-        // run the ordinary scoped OR over the scope's segments. Same
-        // union/best-instance rule as queryScoped.
-        val expansion = found.map(_.term)
-        val all = scopes.flatMap { sc =>
-          val segs = scopeSegments(spark, root, m, sc)
-          if (segs.isEmpty) Vector.empty
-          else {
-            val n = segs.map(_.n).sum
-            val stats = CorpusStats(n, segs.map(_.sumDl).sum.toDouble / n,
-              m.analyzerVersion)
-            val ranges = segs.map(s0 => (s0.lo, s0.hi))
-            val dfs = scopedTermDf(spark, root, m, sc, expansion, ranges)
-            val kept = expansion
-              .flatMap(t => dfs.get(t).filter(_ > 0).map(df => TermStats(t, df, 0)))
-              .sortBy(t => (t.df, t.term))
-            if (kept.isEmpty) Vector.empty
-            else executePlan(spark, root,
-              Plan(kept, Vector.empty, "OR", k), stats, Some(ranges), Some(m))
-          }
+      expansionTopK(spark, root, m, found, k, scopes)
+    }
+  }
+
+  /** Lucene FuzzyQuery hard limit: edit distances above 2 are useless for
+    * typo tolerance and blow up the expansion, so Lucene refuses them —
+    * mirrored here (throws, like TooManyClauses). */
+  val MaxFuzzyEdits = 2
+
+  /** Fuzzy-term top-k (Lucene FuzzyQuery with a scoring-BooleanQuery
+    * rewrite): expand the folded — never stemmed, multi-term queries
+    * bypass analysis like [[prefixTopK]] — pattern against the snapshot's
+    * dictionary to every term within Levenshtein distance `maxEdits`,
+    * then the standard OR/BM25 top-k over the expansion.
+    *
+    * Parity and divergence, stated explicitly:
+    *  - `maxEdits` ∈ [0, [[MaxFuzzyEdits]]] like Lucene; 0 = exact term;
+    *  - `prefixLength` is Lucene's prefixLength (first N pattern chars
+    *    must match exactly). At sandbox scale it merely narrows the probe;
+    *    at a 10^9-term dictionary it is the SCALE PATH — the probe gains a
+    *    pushable StringStartsWith over term_stats (the [[prefixTopK]]
+    *    shape) instead of scanning the whole dictionary. Lucene walks a
+    *    Levenshtein automaton over its FST term dict; the columnar analog
+    *    of that automaton's prefix cut is the pushed startsWith plus the
+    *    |len(t) − len(q)| ≤ maxEdits length band below;
+    *  - scoring is plain BM25 over the expansion with true per-term dfs
+    *    (self-consistent with [[prefixTopK]] and oracle-expressible in
+    *    SQL); Lucene additionally boosts each expanded term by
+    *    (1 − edits/len) — this engine does NOT;
+    *  - more than [[MaxPrefixExpansions]] matches throws (TooManyClauses)
+    *    rather than silently truncating. */
+  def fuzzyTopK(spark: SparkSession, root: String, termRaw: String,
+                maxEdits: Int = 2, k: Int = 10, prefixLength: Int = 0,
+                scopes: Seq[String] = Nil,
+                pinned: Option[Manifest] = None): Vector[SearchHit] = {
+    import spark.implicits._
+    require(maxEdits >= 0 && maxEdits <= MaxFuzzyEdits,
+      s"maxEdits must be in [0, $MaxFuzzyEdits] (Lucene FuzzyQuery limit), " +
+      s"got $maxEdits")
+    require(prefixLength >= 0, s"prefixLength must be >= 0, got $prefixLength")
+    val m = pinned.getOrElse(pinnedManifest(root))
+    val q = Analyzer.foldPrefix(termRaw)
+    if (q.isEmpty) return Vector.empty
+    memoized(root,
+      QueryKey(Vector(q), s"FUZZY:$maxEdits:$prefixLength", k, scopes,
+        m.snapshotId)) {
+      // probe order: the cheap necessary conditions first (length band,
+      // optional exact-prefix cut), the codegen'd levenshtein builtin
+      // last — all over the tiny term_stats table, never the dictionary.
+      // CODE-POINT length on both sides: Spark's length()/levenshtein()
+      // count code points, so the band must too or an astral-plane char
+      // in the pattern would shift it by one
+      val qCp = q.codePointCount(0, q.length)
+      val banded = termStatsFor(spark, root, m)
+        .filter(length($"term").between(qCp - maxEdits, qCp + maxEdits))
+      val cut =
+        if (prefixLength > 0) banded.filter($"term".startsWith(q.take(prefixLength)))
+        else banded
+      val found = cut
+        .filter(levenshtein($"term", lit(q)) <= maxEdits)
+        .select($"term", $"df", $"maxTf")
+        .collect().toVector
+        .map(r => TermStats(r.getString(0), r.getLong(1), r.getInt(2)))
+      if (found.size > MaxPrefixExpansions)
+        throw new IllegalArgumentException(
+          s"fuzzy '$q'~$maxEdits expands to ${found.size} dictionary terms " +
+          s"(max $MaxPrefixExpansions) — refusing an unbounded " +
+          "disjunction; lower maxEdits or raise prefixLength")
+      expansionTopK(spark, root, m, found, k, scopes)
+    }
+  }
+
+  /** Wildcard top-k (Lucene WildcardQuery with a scoring-BooleanQuery
+    * rewrite): `*` matches any character sequence, `?` exactly one —
+    * metacharacters exist only in the pattern (dictionary tokens are
+    * letters/digits by construction, so nothing needs escaping). The
+    * folded — never stemmed — pattern expands against the snapshot's
+    * dictionary via Spark's codegen'd LIKE (`*`→`%`, `?`→`_`), behind a
+    * pushable StringStartsWith on the literal prefix before the first
+    * metacharacter — Lucene's own prefix cut on its FST walk. A
+    * LEADING-wildcard pattern has no such cut and scans the whole (tiny,
+    * dictionary-sized) term_stats table — the same caveat Lucene
+    * documents for leading wildcards. No stop cap; a pattern without
+    * metacharacters is an exact term lookup; more than
+    * [[MaxPrefixExpansions]] matches throws (TooManyClauses) — which also
+    * catches the all-metacharacter pattern `*`. */
+  def wildcardTopK(spark: SparkSession, root: String, patternRaw: String,
+                   k: Int = 10, scopes: Seq[String] = Nil,
+                   pinned: Option[Manifest] = None): Vector[SearchHit] = {
+    import spark.implicits._
+    val m = pinned.getOrElse(pinnedManifest(root))
+    val pat = Analyzer.foldWildcard(patternRaw)
+    if (pat.isEmpty) return Vector.empty
+    memoized(root, QueryKey(Vector(pat), "WILDCARD", k, scopes, m.snapshotId)) {
+      val litPrefix = pat.takeWhile(c => c != '*' && c != '?')
+      val like = pat.replace('*', '%').replace('?', '_')
+      val base = termStatsFor(spark, root, m)
+      val cut =
+        if (litPrefix.nonEmpty) base.filter($"term".startsWith(litPrefix))
+        else base
+      val found = cut.filter($"term".like(like))
+        .select($"term", $"df", $"maxTf")
+        .collect().toVector
+        .map(r => TermStats(r.getString(0), r.getLong(1), r.getInt(2)))
+      if (found.size > MaxPrefixExpansions)
+        throw new IllegalArgumentException(
+          s"wildcard '$pat' expands to ${found.size} dictionary terms " +
+          s"(max $MaxPrefixExpansions) — refusing an unbounded " +
+          "disjunction; narrow the pattern")
+      expansionTopK(spark, root, m, found, k, scopes)
+    }
+  }
+
+  /** Shared scoring-BooleanQuery rewrite tail for the multi-term query
+    * family ([[prefixTopK]], [[fuzzyTopK]], [[wildcardTopK]]): the standard OR/BM25 top-k
+    * over an already-expanded (and already size-capped) term set.
+    * Unscoped: one OR plan with global stats. Scoped: per scope, re-weigh
+    * the globally capped expansion with SCOPED dfs — terms absent from a
+    * scope drop out (a scope-local dictionary expansion by construction) —
+    * run the ordinary scoped OR over the scope's segments, then union with
+    * each doc's best-scoring instance, the queryScoped rule. */
+  private def expansionTopK(spark: SparkSession, root: String, m: Manifest,
+                            found: Vector[TermStats], k: Int,
+                            scopes: Seq[String]): Vector[SearchHit] = {
+    if (found.isEmpty) Vector.empty
+    else if (scopes.isEmpty) {
+      val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
+      val p = Plan(found.sortBy(t => (t.df, t.term)), Vector.empty, "OR", k)
+      executePlan(spark, root, p, stats, None, Some(m))
+    } else {
+      val expansion = found.map(_.term)
+      val all = scopes.flatMap { sc =>
+        val segs = scopeSegments(spark, root, m, sc)
+        if (segs.isEmpty) Vector.empty
+        else {
+          val n = segs.map(_.n).sum
+          val stats = CorpusStats(n, segs.map(_.sumDl).sum.toDouble / n,
+            m.analyzerVersion)
+          val ranges = segs.map(s0 => (s0.lo, s0.hi))
+          val dfs = scopedTermDf(spark, root, m, sc, expansion, ranges)
+          val kept = expansion
+            .flatMap(t => dfs.get(t).filter(_ > 0).map(df => TermStats(t, df, 0)))
+            .sortBy(t => (t.df, t.term))
+          if (kept.isEmpty) Vector.empty
+          else executePlan(spark, root,
+            Plan(kept, Vector.empty, "OR", k), stats, Some(ranges), Some(m))
         }
-        all.groupBy(_.docId).values.map(_.maxBy(_.score)).toVector
-          .sortBy(h => (-h.score, h.docId)).take(k)
       }
+      all.groupBy(_.docId).values.map(_.maxBy(_.score)).toVector
+        .sortBy(h => (-h.score, h.docId)).take(k)
     }
   }
 

@@ -188,6 +188,27 @@ class PositionalSpec extends AnyFunSuite {
       assert(oracle.docs(h.docId.toInt).conv_id.startsWith("conv-0000001")))
   }
 
+  test("scoped fuzzyTopK: global expansion, per-scope dfs and stats") {
+    scopeSets.foreach { scopes =>
+      Seq(("needlerarx", 1, 10), ("w0003", 1, 5)).foreach { case (q, edits, k) =>
+        val expected = oracle.fuzzyTopKScoped(q, edits, k, scopes)
+        val got = SearchEngine.fuzzyTopK(spark, flatRoot, q, edits, k,
+          scopes = scopes)
+        assert(got == expected, s"scoped fuzzy '$q'~$edits $scopes")
+      }
+    }
+  }
+
+  test("scoped wildcardTopK: global expansion, per-scope dfs and stats") {
+    scopeSets.foreach { scopes =>
+      Seq(("role*", 10), ("w00?3", 5), ("*rare", 10)).foreach { case (pat, k) =>
+        val expected = oracle.wildcardTopKScoped(pat, k, scopes)
+        val got = SearchEngine.wildcardTopK(spark, flatRoot, pat, k, scopes)
+        assert(got == expected, s"scoped wildcard '$pat' $scopes")
+      }
+    }
+  }
+
   // ---- maintenance preserves the format -------------------------------
 
   test("maintenance on a positional index: format preserved through delete + append, paths stay identical") {

@@ -111,6 +111,83 @@ class ProximitySpec extends AnyFunSuite {
       e.getMessage.contains(SearchEngine.MaxPrefixExpansions.toString))
   }
 
+  // ---- wildcard search (r6: Lucene WildcardQuery) ----------------------
+
+  private val wildcardCases: Seq[(String, Int)] = Seq(
+    ("needle*", 10),  // trailing glob: rare + mid expansion
+    ("*rare", 10),    // LEADING wildcard: no prefix cut, full-dict scan
+    ("w00*", 10),     // 100-term expansion under the cap
+    ("w00?3", 10),    // single-char metachar: w0003, w0013, … w0093
+    ("w?003", 10),    // ? in the middle, literal prefix 'w' only
+    ("role*r", 10),   // glob with a literal tail: roleuser
+    ("RoLe*R", 10),   // case-folded pattern
+    ("stopish", 10),  // no metachar = exact term lookup; NO stop cap
+    ("zzz*", 10),     // no matching dictionary term ⇒ empty
+    ("", 10))         // blank ⇒ empty
+
+  test("engine wildcardTopK: rank-identical (bit-equal scores) to the brute-force glob oracle") {
+    wildcardCases.foreach { case (pat, k) =>
+      val expected = oracle.wildcardTopK(pat, k)
+      val got = SearchEngine.wildcardTopK(spark, root, pat, k)
+      assert(got == expected, s"wildcard '$pat' k=$k: got $got expected $expected")
+    }
+    // the leading-wildcard case has real hits (the no-prefix-cut path)
+    assert(oracle.wildcardTopK("*rare", 10).nonEmpty)
+  }
+
+  test("wildcard TooManyClauses: 'w*' and the bare '*' refuse loudly instead of truncating") {
+    Seq("w*", "*").foreach { pat =>
+      val e = intercept[IllegalArgumentException] {
+        SearchEngine.wildcardTopK(spark, root, pat, 10)
+      }
+      assert(e.getMessage.contains("expands to") &&
+        e.getMessage.contains(SearchEngine.MaxPrefixExpansions.toString), pat)
+    }
+  }
+
+  // ---- fuzzy-term search (r6: Lucene FuzzyQuery) -----------------------
+
+  private val fuzzyCases: Seq[(String, Int, Int, Int)] = Seq(
+    // (pattern, maxEdits, prefixLength, k)
+    ("needlerare", 0, 0, 10),   // maxEdits 0 = exact term lookup
+    ("needlerarx", 1, 0, 10),   // one substitution off a rare term
+    ("needlemd", 1, 0, 10),     // one deletion off needlemid
+    ("stopishh", 1, 0, 10),     // insertion; >90%-df term — NO stop cap
+    ("w0003", 1, 0, 10),        // dense digit neighborhood, many matches
+    ("w0003", 1, 1, 10),        // same with prefixLength pinning 'w'
+    ("roleuse", 2, 4, 10),      // 2 edits under an exact 'role' prefix
+    ("NeEdLeRaRx", 1, 0, 10),   // case-folded pattern
+    ("zzzzzzzzzz", 2, 0, 10),   // nothing within 2 edits ⇒ empty
+    ("", 2, 0, 10))             // blank ⇒ empty
+
+  test("engine fuzzyTopK: rank-identical (bit-equal scores) to the brute-force DP oracle") {
+    fuzzyCases.foreach { case (q, edits, preLen, k) =>
+      val expected = oracle.fuzzyTopK(q, edits, k, preLen)
+      val got = SearchEngine.fuzzyTopK(spark, root, q, edits, k, preLen)
+      assert(got == expected, s"fuzzy '$q'~$edits pre=$preLen k=$k: " +
+        s"got $got expected $expected")
+    }
+    // the dense case genuinely expands (>1 term) — the test has teeth
+    assert(oracle.fuzzyTopK("w0003", 1, 1000).map(_.docId).toSet !=
+      oracle.fuzzyTopK("w0003", 0, 1000).map(_.docId).toSet)
+  }
+
+  test("fuzzy TooManyClauses + the Lucene maxEdits limit refuse loudly") {
+    val e = intercept[IllegalArgumentException] {
+      SearchEngine.fuzzyTopK(spark, root, "w0000", 2, 10)
+    }
+    assert(e.getMessage.contains("expands to") &&
+      e.getMessage.contains(SearchEngine.MaxPrefixExpansions.toString))
+    // prefixLength is the documented escape hatch for exactly this case:
+    // pinning 'w000' exactly cuts the same query to <= 128 expansions
+    assert(SearchEngine.fuzzyTopK(spark, root, "w0000", 2, 10, prefixLength = 4)
+      == oracle.fuzzyTopK("w0000", 2, 10, prefixLength = 4))
+    val e2 = intercept[IllegalArgumentException] {
+      SearchEngine.fuzzyTopK(spark, root, "w0000", 3, 10)
+    }
+    assert(e2.getMessage.contains("maxEdits"))
+  }
+
   test("stemmed index: the prefix pattern is folded but NOT stemmed (Lucene multi-term parity)") {
     val stemCorpus = TranscriptGen.corpus(seed = 7L, nConvs = 120)
     val stemOracle = new Oracle(stemCorpus, Analyzer.StemVersion)
@@ -121,6 +198,17 @@ class ProximitySpec extends AnyFunSuite {
     Seq("needle", "role", "w001").foreach { pre =>
       val got = SearchEngine.prefixTopK(spark, dir, pre, 10)
       assert(got == stemOracle.prefixTopK(pre, 10), s"stem prefix '$pre*'")
+    }
+    // fuzzy and wildcard follow the same contract: the pattern is folded,
+    // never stemmed — it matches against the STEMMED dictionary as-is
+    Seq(("needlerarx", 1), ("stopishh", 1), ("w0003", 1)).foreach {
+      case (q, edits) =>
+        val got = SearchEngine.fuzzyTopK(spark, dir, q, edits, 10)
+        assert(got == stemOracle.fuzzyTopK(q, edits, 10), s"stem fuzzy '$q'~$edits")
+    }
+    Seq("needle*", "*rare", "w00?3").foreach { pat =>
+      val got = SearchEngine.wildcardTopK(spark, dir, pat, 10)
+      assert(got == stemOracle.wildcardTopK(pat, 10), s"stem wildcard '$pat'")
     }
     // NEAR on the stemmed index follows the stemmed analyzer end-to-end
     val gotNear = SearchEngine.nearTopK(spark, dir, "stopish needlemid", 2, 10)

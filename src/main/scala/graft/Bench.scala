@@ -66,6 +66,39 @@ object Bench {
 
   private def fmt(d: Double): String = "%.4f".formatLocal(Locale.ROOT, d)
 
+  /** One forked-JVM index build (graft.cli.BenchBuild child): fresh JVM
+    * per measured run (successive SparkContexts in one JVM degrade
+    * throughput — leaked threads/GC debt — and a fork mirrors the real
+    * spark-submit-per-job deployment), tmpfs scratch for shuffle + index
+    * output (measures the ENGINE, not the sandbox's shared virtual
+    * disk), child stderr INHERITED (VERDICT r05 item 3: an un-drained
+    * pipe deadlocked once Spark startup INFO filled the ~64 KiB buffer).
+    * Shared by the bench sections and [[graft.cli.BenchPair]], the
+    * quiet-window re-measure tool. Returns turns/sec. */
+  private[graft] def forkBuild(cores: Int, input: String, convs: Long,
+                               scratch: String): Double = {
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments
+    val cp = System.getProperty("java.class.path")
+    val cmd = new java.util.ArrayList[String]()
+    cmd.add(System.getProperty("java.home") + "/bin/java")
+    jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) cmd.add(a))
+    cmd.add("-cp"); cmd.add(cp)
+    cmd.add("graft.cli.BenchBuild"); cmd.add(cores.toString)
+    cmd.add(convs.toString)
+    val pb = new ProcessBuilder(cmd)
+    pb.environment().put("GRAFT_BENCH_INPUT", input)
+    pb.environment().put("GRAFT_LOCAL_DIR", scratch)
+    pb.environment().put("GRAFT_CLEANUP", "1")
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    proc.waitFor()
+    out.linesIterator.find(_.startsWith("BENCHBUILD"))
+      .map(_.split("tput=")(1).toDouble)
+      .getOrElse(sys.error(s"BenchBuild failed at $cores cores:\n$out"))
+  }
+
   /** Everything the report needs, with inert defaults so a skipped
     * section leaves parseable zeros rather than an unprintable artifact. */
   private final class Results {
@@ -179,34 +212,8 @@ object Bench {
     // (leaked threads/GC debt), and a fork per run also mirrors the real
     // spark-submit-per-job deployment. Best-of-N per level filters the
     // shared-host I/O noise (noise only ever slows a run down).
-    def buildOnce(cores: Int, input: String, convs: Long): Double = {
-      val jvmArgs = java.lang.management.ManagementFactory
-        .getRuntimeMXBean.getInputArguments
-      val cp = System.getProperty("java.class.path")
-      val cmd = new java.util.ArrayList[String]()
-      cmd.add(System.getProperty("java.home") + "/bin/java")
-      jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) cmd.add(a))
-      cmd.add("-cp"); cmd.add(cp)
-      cmd.add("graft.cli.BenchBuild"); cmd.add(cores.toString)
-      cmd.add(convs.toString)
-      val pb = new ProcessBuilder(cmd)
-      pb.environment().put("GRAFT_BENCH_INPUT", input)
-      // tmpfs for shuffle + index output: measures the ENGINE, not the
-      // sandbox's shared (and noisy) virtual disk
-      pb.environment().put("GRAFT_LOCAL_DIR", ensureScratch())
-      pb.environment().put("GRAFT_CLEANUP", "1")
-      // stderr INHERITs the parent's (VERDICT r05 item 3): the old
-      // un-drained pipe deadlocked the build once the child's Spark
-      // startup INFO/GC chatter filled the ~64 KiB buffer — parent blocked
-      // on stdout, child blocked writing stderr, symptom = silent hang
-      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes())
-      proc.waitFor()
-      out.linesIterator.find(_.startsWith("BENCHBUILD"))
-        .map(_.split("tput=")(1).toDouble)
-        .getOrElse(sys.error(s"BenchBuild failed at $cores cores:\n$out"))
-    }
+    def buildOnce(cores: Int, input: String, convs: Long): Double =
+      forkBuild(cores, input, convs, ensureScratch())
     val levels = Seq(1, 2, 4, 8, 32)
     section("build_scaling") {
       val inputPath = {
@@ -642,8 +649,26 @@ object Bench {
          || query | sec |
          ||---|---|
          |${r.queryTimes.map { case (k, v) => s"| $k | ${fmt(v)} |" }.mkString("\n")}
+         |
+         |Everything ABOVE the marker below is regenerated by `graft.Bench`
+         |on every run; the builder's quiet-window addendum BELOW it (the
+         |interleaved re-measure protocol, `graft.cli.BenchPair`) survives
+         |regeneration.
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+    // a contended driver-run must not erase the builder's quiet-window
+    // protocol record: everything from the marker on is carried over
+    val target = Paths.get("BENCH/BASELINE.md")
+    val addendum =
+      if (Files.exists(target)) {
+        val old = Files.readString(target)
+        val i = old.indexOf(AddendumMarker)
+        if (i >= 0) old.substring(i) else s"$AddendumMarker\n"
+      } else s"$AddendumMarker\n"
+    Files.writeString(target, md + "\n" + addendum)
   }
+
+  /** Marker separating the auto-generated report from the builder's
+    * quiet-window addendum in BENCH/BASELINE.md. */
+  private[graft] val AddendumMarker = "<!-- BUILDER-ADDENDUM -->"
 }

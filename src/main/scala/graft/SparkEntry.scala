@@ -28,6 +28,7 @@ object SparkEntry {
     "phrase_topk" -> (Q.phraseTopK(_, _)),
     "near_topk" -> (Q.nearTopK(_, _)),
     "near3_matches" -> (Q.near3Matches(_, _)),
+    "near_ordered_topk" -> (Q.nearOrderedTopK(_, _)),
     "prefix_term_topk" -> (Q.prefixTermTopK(_, _)),
     "fuzzy_term_topk" -> (Q.fuzzyTermTopK(_, _)),
     "wildcard_topk" -> (Q.wildcardTopK(_, _)),
@@ -97,6 +98,7 @@ object SparkEntry {
     "phrase_topk" -> Q.phraseTopKSql,
     "near_topk" -> Q.nearTopKSql,
     "near3_matches" -> Q.near3MatchesSql,
+    "near_ordered_topk" -> Q.nearOrderedTopKSql,
     "prefix_term_topk" -> Q.prefixTermTopKSql,
     "fuzzy_term_topk" -> Q.fuzzyTermTopKSql,
     "wildcard_topk" -> Q.wildcardTopKSql,

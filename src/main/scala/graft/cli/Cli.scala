@@ -77,7 +77,9 @@ object BuildIndex {
   * PHRASE mode treats <queryText> as an exact phrase over the analyzed
   * token stream (SearchEngine.phraseTopK); NEAR matches all terms within
   * a window of --slop+1 consecutive positions (default slop 2,
-  * SearchEngine.nearTopK). NOTE the window is slop+1 WIDE: adjacency
+  * SearchEngine.nearTopK); add --ordered for Lucene inOrder semantics
+  * (the window must contain the query tokens as a SUBSEQUENCE — order
+  * and duplicates kept). NOTE the window is slop+1 WIDE: adjacency
   * needs --slop 1, unlike Lucene's unordered SpanNearQuery where slop 0
   * already matches adjacent terms (Lucene slop s ≈ our slop s+1 for two
   * terms — ADVICE r05 item 3). PREFIX treats <queryText> as a dictionary
@@ -149,6 +151,8 @@ object Query {
     // die in toInt; NEAR with a bad/negative slop gets the usage message)
     require(mode == "NEAR" || opt("--slop").isEmpty,
       "--slop only applies to NEAR mode")
+    require(mode == "NEAR" || !a.contains("--ordered"),
+      "--ordered only applies to NEAR mode")
     val slop = numOpt("--slop").map(_.toInt).getOrElse(2)
     require(slop >= 0, s"--slop must be >= 0, got $slop (window width = slop+1)")
     require(mode == "FUZZY" ||
@@ -172,7 +176,8 @@ object Query {
       if (mode == "PHRASE")
         diagnosed(SearchEngine.phraseTopK(spark, root, q, k, proxScopes, pinned))
       else if (mode == "NEAR")
-        diagnosed(SearchEngine.nearTopK(spark, root, q, slop, k, proxScopes, pinned))
+        diagnosed(SearchEngine.nearTopK(spark, root, q, slop, k, proxScopes,
+          pinned, ordered = a.contains("--ordered")))
       else if (mode == "PREFIX")
         diagnosed(SearchEngine.prefixTopK(spark, root, q, k, proxScopes, pinned))
       else if (mode == "FUZZY")
@@ -192,7 +197,8 @@ object Query {
       }
     val ms = (System.nanoTime() - t0) / 1e6
     val modeLabel =
-      if (mode == "NEAR") s"NEAR~$slop"
+      if (mode == "NEAR" && a.contains("--ordered")) s"ONEAR~$slop"
+      else if (mode == "NEAR") s"NEAR~$slop"
       else if (mode == "FUZZY") s"FUZZY~$edits" else mode
     println(f"query='$q' mode=$modeLabel k=$k → ${hits.size} hits in $ms%.0f ms")
     // hit previews must come from the SAME snapshot the hits did

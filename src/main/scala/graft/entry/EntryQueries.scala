@@ -222,6 +222,20 @@ object EntryQueries {
 
   val nearTopKSql: String = nearSql("spark", "merge", slop = 3, k = 10)
 
+  /** Ordered NEAR BM25 top-k — the relational twin of
+    * `SearchEngine.nearTopK(ordered = true)` (Lucene SpanNearQuery
+    * inOrder class): the SAME pair, slop and scoring as `near_topk`, but
+    * the occurrence-pair test requires p2 − p1 ∈ [1, slop] — strictly
+    * increasing and span-bounded — instead of |Δpos| <= slop, the 2-term
+    * case where ordered and unordered genuinely diverge (the gate pair
+    * appears in both orders across the corpus). */
+  def nearOrderedTopK(s: SparkSession, dir: String): DataFrame =
+    bm25(s, dir, Seq("spark", "merge"), and = true, k = 10,
+      near = Some((Seq("spark", "merge"), 3)), orderedNear = true)
+
+  val nearOrderedTopKSql: String =
+    nearOrderedSql("spark", "merge", slop = 3, k = 10)
+
   /** Prefix-term BM25 top-k (Lucene PrefixQuery, scoring rewrite) — the
     * relational twin of `SearchEngine.prefixTopK`: the expansion is every
     * dictionary term starting with the prefix ('d' → {data, dup} on this
@@ -267,7 +281,8 @@ object EntryQueries {
   private def bm25(s: SparkSession, dir: String, terms: Seq[String],
                    and: Boolean, k: Int,
                    phrase: Option[Seq[String]] = None,
-                   near: Option[(Seq[String], Int)] = None): DataFrame = {
+                   near: Option[(Seq[String], Int)] = None,
+                   orderedNear: Boolean = false): DataFrame = {
     val docs = t(s, dir, "documents")
     // the cache is scoped to THIS call: the ≤k-row result is materialized
     // while it is hot and the cache unpersisted before returning (the r01
@@ -306,7 +321,7 @@ object EntryQueries {
               when(size(w) >= m, adjacent).otherwise(lit(false)))
             .select(col("doc_id"))
         case (None, Some((nt, slop))) =>
-          nearCandidates(docs, nt, slop)
+          nearCandidates(docs, nt, slop, orderedNear)
         case _ if and =>
           terms.map(tm => qtf.filter(col("term") === tm).select(col("doc_id")))
             .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
@@ -379,23 +394,26 @@ object EntryQueries {
     * O(len·slop·terms) scan over every doc. Map-only; no positional
     * self-join, no shuffle. */
   private def nearCandidates(docs: DataFrame, nt: Seq[String],
-                             slop: Int): DataFrame = {
+                             slop: Int, ordered: Boolean = false): DataFrame = {
     val w = TextOps.tokensCol
     val hasAll = nt.distinct.map(tm => array_contains(w, lit(tm)))
       .reduce(_ && _)
     val occ = nt.map(tm =>
       filter(transform(w, (x, i) => when(x === lit(tm), i)
         .otherwise(lit(null))), x => x.isNotNull))
-    val windowed = occ match {
-      case Seq(a, b) =>
+    val windowed = (occ, ordered) match {
+      case (Seq(a, b), false) =>
         exists(a, p1 => exists(b, p2 => abs(p1 - p2) <= lit(slop)))
-      case Seq(a, b, c) =>
+      case (Seq(a, b), true) => // ordered: strictly increasing, span-bound
+        exists(a, p1 => exists(b, p2 =>
+          p2 - p1 >= lit(1) && p2 - p1 <= lit(slop)))
+      case (Seq(a, b, c), false) =>
         exists(a, p1 => exists(b, p2 => exists(c, p3 =>
           greatest(p1, p2, p3) - least(p1, p2, p3) <= lit(slop))))
-      case _ => // arbitrary arity: the engine operator handles it; the
-        // gate twins stay at 2-3 terms (commutative score sums)
+      case _ => // arbitrary arity/order: the engine operator handles it;
+        // the gate twins stay at 2-3 terms (commutative score sums)
         throw new IllegalArgumentException(
-          s"near gate twin supports 2-3 terms, got ${nt.size}")
+          s"near gate twin supports 2-3 terms (ordered: 2), got ${nt.size}")
     }
     docs.filter(hasAll && windowed).select(col("doc_id"))
   }
@@ -449,6 +467,22 @@ object EntryQueries {
        |  SELECT DISTINCT a.doc_id FROM pos a
        |  JOIN pos b ON b.doc_id = a.doc_id AND b.term = '$t2'
        |            AND abs(b.pos - a.pos) <= $slop
+       |  WHERE a.term = '$t1'
+       |)
+       |${bm25ScoreTail(s"t.term IN ($inList)", k)}""".stripMargin
+  }
+
+  /** Ordered-NEAR oracle (2 terms): the [[nearSql]] positional
+    * self-join with the directed predicate b.pos − a.pos ∈ [1, slop]. */
+  private def nearOrderedSql(t1: String, t2: String, slop: Int,
+                             k: Int): String = {
+    val inList = s"'$t1', '$t2'"
+    s"""$bm25SqlCte, $posCte, qt AS (
+       |  SELECT term, count(*) AS df FROM tf WHERE term IN ($inList) GROUP BY term
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id FROM pos a
+       |  JOIN pos b ON b.doc_id = a.doc_id AND b.term = '$t2'
+       |            AND b.pos - a.pos BETWEEN 1 AND $slop
        |  WHERE a.term = '$t1'
        |)
        |${bm25ScoreTail(s"t.term IN ($inList)", k)}""".stripMargin

@@ -188,6 +188,42 @@ final class Oracle(corpus: Seq[Turn],
         distinct.forall(t => toks.slice(i, i + slop + 1).contains(t))))
   }
 
+  /** Ordered NEAR brute force (Lucene SpanNearQuery inOrder class,
+    * engine parity: SearchEngine.nearTopK(ordered = true)): a doc
+    * matches iff SOME window of `slop + 1` consecutive token positions
+    * contains the analyzed query SEQUENCE (duplicates kept, query order)
+    * as a SUBSEQUENCE — the independent formulation of "strictly
+    * increasing occurrence positions with span <= slop" that the engine
+    * verifies by greedy chaining. Scoring identical to [[nearTopK]]:
+    * BM25 over distinct terms, no stop cap, unknown term ⇒ empty. */
+  def nearOrderedTopK(query: String, slop: Int, k: Int = 10): Vector[SearchHit] = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    val seq = Analyzer.tokensFor(analyzerVersion, query)
+    if (seq.isEmpty) return Vector.empty
+    proximityBrute(seq.distinct, k, None,
+      toks => toks.indices.exists(i =>
+        isSubsequence(seq, toks.slice(i, i + slop + 1))))
+  }
+
+  def nearOrderedTopKScoped(query: String, slop: Int, k: Int,
+                            prefixes: Seq[String]): Vector[SearchHit] = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    val seq = Analyzer.tokensFor(analyzerVersion, query)
+    if (seq.isEmpty) return Vector.empty
+    prefixes.flatMap(p => proximityBrute(seq.distinct, k, Some(p),
+        toks => toks.indices.exists(i =>
+          isSubsequence(seq, toks.slice(i, i + slop + 1)))))
+      .groupBy(_.docId).values.map(_.maxBy(_.score)).toVector
+      .sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
+  private def isSubsequence(needle: Vector[String],
+                            hay: Vector[String]): Boolean = {
+    var i = 0
+    hay.foreach(t => if (i < needle.length && needle(i) == t) i += 1)
+    i == needle.length
+  }
+
   /** Scoped NEAR union (engine parity: SearchEngine.nearTopK with
     * scopes). */
   def nearTopKScoped(query: String, slop: Int, k: Int,

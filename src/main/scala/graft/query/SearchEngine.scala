@@ -640,21 +640,46 @@ object SearchEngine {
     * minimal-window check in place of adjacency: [[nearMatch]] on the
     * re-analyzed stream, [[nearMatchPositions]] on posting ordinals.
     * Same dictionary gate (missing term ⇒ empty), same no-stop-cap rule,
-    * same `scopes` semantics. */
+    * same `scopes` semantics.
+    *
+    * `ordered = true` (Lucene SpanNearQuery inOrder class, r6): the
+    * query is analyzed as a SEQUENCE — duplicates kept, order kept, like
+    * a phrase — and a doc matches iff some window of `slop + 1`
+    * consecutive positions contains that sequence as a SUBSEQUENCE
+    * (equivalently: strictly increasing occurrence positions p₁<…<pₙ
+    * with pₙ−p₁ <= slop). Laws (spec-pinned): ordered ⊆ unordered at the
+    * same slop; a phrase hit of n tokens is an ordered-NEAR(n−1) hit;
+    * direction matters ("a b" ≠ "b a"). Scoring stays the BM25 sum over
+    * DISTINCT terms, identical to the doc's AND/unordered score. */
   def nearTopK(spark: SparkSession, root: String, queryText: String,
                slop: Int, k: Int = 10, scopes: Seq[String] = Nil,
-               pinned: Option[Manifest] = None): Vector[SearchHit] = {
+               pinned: Option[Manifest] = None,
+               ordered: Boolean = false): Vector[SearchHit] = {
     require(slop >= 0, s"slop must be >= 0, got $slop")
     val m = pinned.getOrElse(pinnedManifest(root))
-    val terms = Analyzer.analyzeQueryFor(m.analyzerVersion, queryText)
-    if (terms.isEmpty) return Vector.empty
-    val slots = terms.distinct.sorted
-    val idx = terms.zipWithIndex.toMap
-    val n = terms.size
-    memoized(root, QueryKey(terms, s"NEAR:$slop", k, scopes, m.snapshotId)) {
-      proximityTopK(spark, root, m, slots, k, scopes,
-        verify = toks => nearMatch(toks, idx, n, slop),
-        posPred = pos => nearMatchPositions(pos, slop))
+    if (ordered) {
+      val seq = Analyzer.tokensFor(m.analyzerVersion, queryText)
+      if (seq.isEmpty) return Vector.empty
+      val slots = seq.distinct.sorted
+      val slotOfTerm = slots.zipWithIndex.toMap
+      val seqSlots = seq.map(slotOfTerm).toArray
+      memoized(root, QueryKey(seq, s"ONEAR:$slop", k, scopes, m.snapshotId)) {
+        proximityTopK(spark, root, m, slots, k, scopes,
+          verify = toks =>
+            orderedNearMatchPositions(occurrencesBySlot(toks, slots), seqSlots, slop),
+          posPred = pos => orderedNearMatchPositions(pos, seqSlots, slop))
+      }
+    } else {
+      val terms = Analyzer.analyzeQueryFor(m.analyzerVersion, queryText)
+      if (terms.isEmpty) return Vector.empty
+      val slots = terms.distinct.sorted
+      val idx = terms.zipWithIndex.toMap
+      val n = terms.size
+      memoized(root, QueryKey(terms, s"NEAR:$slop", k, scopes, m.snapshotId)) {
+        proximityTopK(spark, root, m, slots, k, scopes,
+          verify = toks => nearMatch(toks, idx, n, slop),
+          posPred = pos => nearMatchPositions(pos, slop))
+      }
     }
   }
 
@@ -774,6 +799,61 @@ object SearchEngine {
       r += 1
     }
     false
+  }
+
+  /** Ordered-NEAR matcher for [[nearTopK]]`(ordered = true)` (Lucene
+    * SpanNearQuery inOrder class): true iff there exist STRICTLY
+    * increasing positions p₁ < … < pₙ, pᵢ an occurrence of the i-th
+    * query token (`seqSlots` keeps duplicates in query order), with
+    * span pₙ − p₁ <= slop. Greedy chaining: for a fixed start p₁,
+    * taking the SMALLEST valid successor at every hop minimizes pₙ
+    * (induction over hops), so a match exists iff some greedy chain
+    * spans <= slop; and when a chain dies of list exhaustion, every
+    * LATER start's chain — positionwise >= this one — dies too, so the
+    * scan terminates early. Binary search per hop:
+    * O(|first list| · n · log |lists|). The Oracle cross-checks with an
+    * independent subsequence-in-window scan. */
+  private[query] def orderedNearMatchPositions(posBySlot: Array[Array[Int]],
+                                               seqSlots: Array[Int],
+                                               slop: Int): Boolean = {
+    val n = seqSlots.length
+    val firsts = posBySlot(seqSlots(0))
+    var f = 0
+    while (f < firsts.length) {
+      val p1 = firsts(f)
+      var cur = p1
+      var i = 1
+      while (i < n) {
+        val lst = posBySlot(seqSlots(i))
+        var lo = 0
+        var hi = lst.length
+        while (lo < hi) { // smallest occurrence strictly after cur
+          val mid = (lo + hi) >>> 1
+          if (lst(mid) <= cur) lo = mid + 1 else hi = mid
+        }
+        if (lo == lst.length) return false // exhausted: later starts too
+        cur = lst(lo)
+        i += 1
+      }
+      if (cur - p1 <= slop) return true
+      f += 1
+    }
+    false
+  }
+
+  /** Occurrence lists per slot from a re-analyzed token stream — the
+    * rescan-path twin of the positional walk's posBySlot capture. */
+  private[query] def occurrencesBySlot(toks: Vector[String],
+                                       slots: Vector[String]): Array[Array[Int]] = {
+    val slotOf = slots.zipWithIndex.toMap
+    val bs = Array.fill(slots.size)(
+      new scala.collection.mutable.ArrayBuilder.ofInt)
+    var i = 0
+    toks.foreach { t =>
+      slotOf.get(t) match { case Some(s) => bs(s) += i; case None => }
+      i += 1
+    }
+    bs.map(_.result())
   }
 
   /** Window containment for [[nearTopK]]: true iff some window of

@@ -199,6 +199,32 @@ class PositionalSpec extends AnyFunSuite {
     }
   }
 
+  test("ordered nearTopK: bit-equal to the oracle AND between positional/rescan paths") {
+    Seq(("stopish needlemid", 1, 10), ("needlemid stopish", 4, 10),
+        ("w0000 w0000", 3, 10), ("w0002 w0005 w0009", 8, 10)).foreach {
+      case (q, slop, k) =>
+        val expected = oracle.nearOrderedTopK(q, slop, k)
+        val gotPos = SearchEngine.nearTopK(spark, posRoot, q, slop, k, ordered = true)
+        val gotFlat = SearchEngine.nearTopK(spark, flatRoot, q, slop, k, ordered = true)
+        assert(gotPos == expected, s"positional onear '$q'~$slop")
+        assert(gotPos == gotFlat, s"path divergence on onear '$q'~$slop")
+    }
+  }
+
+  test("scoped ordered nearTopK: per-scope stats, rank-identical on both variants") {
+    scopeSets.foreach { scopes =>
+      Seq(("stopish needlemid", 2, 10)).foreach { case (q, slop, k) =>
+        val expected = oracle.nearOrderedTopKScoped(q, slop, k, scopes)
+        val gotPos = SearchEngine.nearTopK(spark, posRoot, q, slop, k, scopes,
+          ordered = true)
+        val gotFlat = SearchEngine.nearTopK(spark, flatRoot, q, slop, k, scopes,
+          ordered = true)
+        assert(gotPos == expected, s"scoped onear '$q'~$slop $scopes")
+        assert(gotFlat == expected, s"scoped rescan onear '$q'~$slop $scopes")
+      }
+    }
+  }
+
   test("scoped wildcardTopK: global expansion, per-scope dfs and stats") {
     scopeSets.foreach { scopes =>
       Seq(("role*", 10), ("w00?3", 5), ("*rare", 10)).foreach { case (pat, k) =>

@@ -111,6 +111,69 @@ class ProximitySpec extends AnyFunSuite {
       e.getMessage.contains(SearchEngine.MaxPrefixExpansions.toString))
   }
 
+  // ---- ordered NEAR (r6: Lucene SpanNearQuery inOrder) ------------------
+
+  private def isSubseq(needle: Vector[String], hay: Vector[String]): Boolean = {
+    var i = 0
+    hay.foreach(t => if (i < needle.length && needle(i) == t) i += 1)
+    i == needle.length
+  }
+
+  private val orderedCases: Seq[(String, Int, Int)] = Seq(
+    ("stopish needlemid", 1, 10),  // the planted adjacent pair, in order
+    ("stopish needlemid", 3, 10),
+    ("needlemid stopish", 3, 10),  // reverse direction
+    ("roleuser w0001", 4, 10),
+    ("w0000 w0000", 3, 10),        // duplicate token: needs TWO positions
+    ("needlerare", 0, 10),         // single term
+    ("absentterm w0000", 3, 10),   // unknown term ⇒ empty
+    ("", 2, 10),                   // blank
+    ("w0002 w0005 w0009", 8, 10))  // arity 3, ordered
+
+  test("engine ordered nearTopK: rank-identical to the subsequence-in-window oracle") {
+    orderedCases.foreach { case (q, slop, k) =>
+      val expected = oracle.nearOrderedTopK(q, slop, k)
+      val got = SearchEngine.nearTopK(spark, root, q, slop, k, ordered = true)
+      assert(got == expected, s"onear '$q'~$slop k=$k: got $got expected $expected")
+    }
+  }
+
+  test("ordered NEAR laws: ordered ⊆ unordered, phrase ⊆ ordered(n−1), direction matters") {
+    val all = 100000
+    Seq(1, 2, 4).foreach { slop =>
+      val ord = SearchEngine.nearTopK(spark, root, "stopish needlemid", slop,
+        all, ordered = true).toSet
+      val un = SearchEngine.nearTopK(spark, root, "stopish needlemid", slop, all).toSet
+      assert(ord.subsetOf(un), s"ordered must be a subset of unordered at slop $slop")
+    }
+    val phrase = SearchEngine.phraseTopK(spark, root, "stopish needlemid", all).toSet
+    val ord1 = SearchEngine.nearTopK(spark, root, "stopish needlemid", 1, all,
+      ordered = true).toSet
+    assert(phrase.subsetOf(ord1), "a 2-token phrase hit is an ordered-NEAR(1) hit")
+    val fwd = SearchEngine.nearTopK(spark, root, "stopish needlemid", 1, all,
+      ordered = true).map(_.docId).toSet
+    val rev = SearchEngine.nearTopK(spark, root, "needlemid stopish", 1, all,
+      ordered = true).map(_.docId).toSet
+    assert(fwd.nonEmpty && fwd != rev,
+      "ordered NEAR must be direction-sensitive on this corpus")
+  }
+
+  test("orderedNearMatchPositions == subsequence-in-window scan on random streams") {
+    val rng = new scala.util.Random(5151)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    (1 to 500).foreach { _ =>
+      val toks = Vector.fill(rng.nextInt(28))(vocab(rng.nextInt(vocab.size)))
+      val seq = Vector.fill(1 + rng.nextInt(3))(vocab(rng.nextInt(vocab.size)))
+      val slop = rng.nextInt(6)
+      val slots = seq.distinct.sorted
+      val slotOf = slots.zipWithIndex.toMap
+      val pos = SearchEngine.occurrencesBySlot(toks, slots)
+      val naive = toks.indices.exists(i => isSubseq(seq, toks.slice(i, i + slop + 1)))
+      val fast = SearchEngine.orderedNearMatchPositions(pos, seq.map(slotOf).toArray, slop)
+      assert(fast == naive, s"toks=$toks seq=$seq slop=$slop naive=$naive fast=$fast")
+    }
+  }
+
   // ---- wildcard search (r6: Lucene WildcardQuery) ----------------------
 
   private val wildcardCases: Seq[(String, Int)] = Seq(

@@ -536,7 +536,13 @@ object EntryQueries {
       val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head()
       val n = statsRow.getLong(0)
       val avgdl = statsRow.getLong(1).toDouble / n.toDouble
-      val qtf = tf.filter(termPred)
+      // resolve the expansion over DISTINCT terms (vocabulary-sized), not
+      // per tf row: levenshtein/LIKE on every (doc, term) pair was the
+      // single most expensive gate entry in the r6 bench (3.75 s); the
+      // downstream filters become a plain IN list
+      val matched = tf.select(col("term")).distinct().filter(termPred)
+        .collect().map(_.getString(0)).toSeq
+      val qtf = tf.filter(col("term").isin(matched: _*))
       val dfMap = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val cand = qtf.select(col("doc_id")).distinct()

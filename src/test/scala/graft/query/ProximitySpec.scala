@@ -289,7 +289,11 @@ class ProximitySpec extends AnyFunSuite {
     val ph0 = SearchEngine.phraseTopK(spark, dir, "stopish needlemid", 10, pinned = Some(m0))
     val nr0 = SearchEngine.nearTopK(spark, dir, "stopish needlemid", 2, 10, pinned = Some(m0))
     val pf0 = SearchEngine.prefixTopK(spark, dir, "w000", 10, pinned = Some(m0))
-    assert(nr0.nonEmpty && pf0.nonEmpty)
+    val fz0 = SearchEngine.fuzzyTopK(spark, dir, "needlemd", 1, 10, pinned = Some(m0))
+    val wc0 = SearchEngine.wildcardTopK(spark, dir, "*rare", 10, pinned = Some(m0))
+    val on0 = SearchEngine.nearTopK(spark, dir, "stopish needlemid", 1, 10,
+      pinned = Some(m0), ordered = true)
+    assert(nr0.nonEmpty && pf0.nonEmpty && fz0.nonEmpty && wc0.nonEmpty && on0.nonEmpty)
     // delete the conversation hosting the top NEAR hit: the current
     // snapshot's results must change, the pinned-old ones must not
     val victim = ttOracle.docs(nr0.head.docId.toInt).conv_id
@@ -297,6 +301,10 @@ class ProximitySpec extends AnyFunSuite {
     assert(SearchEngine.phraseTopK(spark, dir, "stopish needlemid", 10, pinned = Some(m0)) == ph0)
     assert(SearchEngine.nearTopK(spark, dir, "stopish needlemid", 2, 10, pinned = Some(m0)) == nr0)
     assert(SearchEngine.prefixTopK(spark, dir, "w000", 10, pinned = Some(m0)) == pf0)
+    assert(SearchEngine.fuzzyTopK(spark, dir, "needlemd", 1, 10, pinned = Some(m0)) == fz0)
+    assert(SearchEngine.wildcardTopK(spark, dir, "*rare", 10, pinned = Some(m0)) == wc0)
+    assert(SearchEngine.nearTopK(spark, dir, "stopish needlemid", 1, 10,
+      pinned = Some(m0), ordered = true) == on0)
     val nrNow = SearchEngine.nearTopK(spark, dir, "stopish needlemid", 2, 10)
     assert(nrNow != nr0, "current snapshot must reflect the delete")
     assert(!nrNow.exists(h => m0.nDocs > h.docId &&

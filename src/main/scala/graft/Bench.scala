@@ -99,6 +99,15 @@ object Bench {
       .getOrElse(sys.error(s"BenchBuild failed at $cores cores:\n$out"))
   }
 
+  /** Recursive delete closing the walk stream (Files.walk holds directory
+    * handles until closed). Shared with [[graft.cli.BenchPair]]. */
+  private[graft] def deleteRecursively(dir: String): Unit = {
+    val st = Files.walk(Paths.get(dir))
+    try st.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.deleteIfExists(f))
+    finally st.close()
+  }
+
   /** Everything the report needs, with inert defaults so a skipped
     * section leaves parseable zeros rather than an unprintable artifact. */
   private final class Results {
@@ -295,10 +304,17 @@ object Bench {
       r.byLevelL = byLevelL.toMap.withDefaultValue(Vector.empty)
     }
 
-    // free the tmpfs scratch (whether or not later sections run)
+    // free the tmpfs scratch (whether or not later sections run).
+    // EXCEPTION-GUARDED (r6 review): this runs OUTSIDE any section, so an
+    // IOException here (straggler temp file appearing mid-walk) would
+    // otherwise kill the whole artifact — the exact failure mode the
+    // un-killable rework exists to prevent. Leaked scratch on failure is
+    // tmpfs: the OS reclaims it.
     if (scratch != null) {
-      Files.walk(Paths.get(scratch)).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
+      try deleteRecursively(scratch)
+      catch { case e: Exception =>
+        System.err.println(s"[bench] scratch cleanup failed (ignored): ${e.getMessage}")
+      }
       scratch = null
     }
 

@@ -61,8 +61,10 @@ object BenchPair {
       }
       probes += probeSecs()
     } finally {
-      Files.walk(Paths.get(scratch)).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
+      try Bench.deleteRecursively(scratch)
+      catch { case e: Exception =>
+        System.err.println(s"[benchpair] scratch cleanup failed (ignored): ${e.getMessage}")
+      }
     }
     def best(c: Int): Double = if (byLevel(c).isEmpty) 0.0 else byLevel(c).max
     def spread(xs: Vector[Double]): Double =

@@ -45,13 +45,19 @@ object BuildIndex {
       "usage: BuildIndex <indexRoot> (--transcripts <parquet> | --gen <nConvs>) [--shards N] [--wave N] [--cancel-file <path>]"))
     val spark = CliSession.session("graft-build-index")
     import spark.implicits._
+    // bounded int parses with the usage string, not a bare
+    // NumberFormatException / silent Long truncation (r6 review)
+    def intOpt(name: String): Option[Int] = opt(name).map { v =>
+      v.toIntOption.getOrElse(sys.error(s"$name expects a 32-bit integer, got '$v'"))
+    }
     val turns = (opt("--transcripts"), opt("--gen")) match {
       case (Some(path), _) => spark.read.parquet(path).as[graft.model.Turn]
-      case (_, Some(n)) => TranscriptGen.dataset(spark, seed = 42L, nConvs = n.toLong)
+      case (_, Some(n)) => TranscriptGen.dataset(spark, seed = 42L,
+        nConvs = n.toLongOption.getOrElse(sys.error(s"--gen expects an integer, got '$n'")))
       case _ => sys.error("one of --transcripts <parquet> or --gen <nConvs> is required")
     }
-    val shards = opt("--shards").map(_.toInt).getOrElse(IndexBuilder.DefaultShards)
-    val wave = opt("--wave").map(_.toInt).getOrElse(16)
+    val shards = intOpt("--shards").getOrElse(IndexBuilder.DefaultShards)
+    val wave = intOpt("--wave").getOrElse(16)
     val cancelCheck: () => Boolean = opt("--cancel-file") match {
       case Some(p) => () => new java.io.File(p).exists() // operator flag, driver-local
       case None => () => false
@@ -104,15 +110,23 @@ object Query {
     val q = a(1)
     val mode = opt("--mode").getOrElse("AND").toUpperCase
     // numeric options die with the USAGE string, not a bare
-    // NumberFormatException (ADVICE r05 item 2)
+    // NumberFormatException (ADVICE r05 item 2); Int options parse with
+    // toIntOption DIRECTLY — a Long-then-toInt chain would silently
+    // truncate 2^32 to 0 and pass the >= 0 checks (r6 review)
+    val usage =
+      "usage: Query <indexRoot> <queryText> [--mode AND|OR|PHRASE|NEAR|PREFIX|FUZZY|WILDCARD] " +
+      "[--k N] [--slop N] [--edits N] [--prefix-len N] [--naive] " +
+      "[--conv <prefix>] [--snapshot N]"
     def numOpt(name: String): Option[Long] = opt(name).map { s =>
       s.toLongOption.getOrElse(sys.error(
-        s"$name expects an integer, got '$s' — " +
-        "usage: Query <indexRoot> <queryText> [--mode AND|OR|PHRASE|NEAR|PREFIX|FUZZY|WILDCARD] " +
-        "[--k N] [--slop N] [--edits N] [--prefix-len N] [--naive] " +
-        "[--conv <prefix>] [--snapshot N]"))
+        s"$name expects an integer, got '$s' — " + usage))
     }
-    val k = numOpt("--k").map(_.toInt).getOrElse(10)
+    def intOpt(name: String): Option[Int] = opt(name).map { s =>
+      s.toIntOption.getOrElse(sys.error(
+        s"$name expects a 32-bit integer, got '$s' — " + usage))
+    }
+    val k = intOpt("--k").getOrElse(10)
+    require(k > 0, s"--k must be > 0, got $k")
     val conv = opt("--conv")
     val scopes = opt("--scopes").map(_.split(",").toSeq.filter(_.nonEmpty))
     val snapshot = numOpt("--snapshot") // time travel (retained only)
@@ -153,16 +167,16 @@ object Query {
       "--slop only applies to NEAR mode")
     require(mode == "NEAR" || !a.contains("--ordered"),
       "--ordered only applies to NEAR mode")
-    val slop = numOpt("--slop").map(_.toInt).getOrElse(2)
+    val slop = intOpt("--slop").getOrElse(2)
     require(slop >= 0, s"--slop must be >= 0, got $slop (window width = slop+1)")
     require(mode == "FUZZY" ||
       (opt("--edits").isEmpty && opt("--prefix-len").isEmpty),
       "--edits/--prefix-len only apply to FUZZY mode")
-    val edits = numOpt("--edits").map(_.toInt).getOrElse(2)
+    val edits = intOpt("--edits").getOrElse(2)
     require(edits >= 0 && edits <= graft.query.SearchEngine.MaxFuzzyEdits,
       s"--edits must be in [0, ${graft.query.SearchEngine.MaxFuzzyEdits}] " +
       s"(Lucene FuzzyQuery limit), got $edits")
-    val prefixLen = numOpt("--prefix-len").map(_.toInt).getOrElse(0)
+    val prefixLen = intOpt("--prefix-len").getOrElse(0)
     require(prefixLen >= 0, s"--prefix-len must be >= 0, got $prefixLen")
     val proxScopes = scopes.getOrElse(Nil)
     // time travel composes with every mode: the pre-pinned manifest rides
@@ -255,10 +269,12 @@ object Maintain {
       case "compact" =>
         // merge micro-batch shards (Lucene-merge / rewrite_data_files analog)
         graft.index.IndexMaintenance.compactShards(spark, root,
-          opt("--max-docs").map(_.toLong).getOrElse(4000000L))
+          opt("--max-docs").map(v => v.toLongOption.getOrElse(
+            sys.error(s"--max-docs expects an integer, got '$v'"))).getOrElse(4000000L))
       case "expire" =>
         graft.index.IndexSnapshot.expireSnapshots(spark, root,
-          opt("--keep").map(_.toInt).getOrElse(2))
+          opt("--keep").map(v => v.toIntOption.getOrElse(
+            sys.error(s"--keep expects a 32-bit integer, got '$v'"))).getOrElse(2))
         Nil
       case "fsck" =>
         // full recompute of every incrementally-rolled total/stamp,
@@ -277,7 +293,8 @@ object Maintain {
         // Dataset-native: a 100M-turn backfill never touches the driver
         graft.index.IndexMaintenance.appendConversationsDs(spark, root,
           spark.read.parquet(p).as[graft.model.Turn],
-          newShards = opt("--shards").map(_.toInt).getOrElse(1))
+          newShards = opt("--shards").map(v => v.toIntOption.getOrElse(
+            sys.error(s"--shards expects a 32-bit integer, got '$v'"))).getOrElse(1))
       case "replace" =>
         val p = opt("--transcripts").getOrElse(sys.error("--transcripts required"))
         graft.index.IndexMaintenance.replaceTurnsDs(spark, root,

@@ -561,6 +561,15 @@ object IndexBuilder {
       // Array[Array[Int]] would cost an object header per posting)
       var pos: Array[Int] = if (withPos) new Array[Int](32) else null
       var posN = 0
+      // budget units charged for this buf's live contents (r6 review: a
+      // posting with tf=10000 buffers ~40 KB of position ints — charging
+      // it 1 unit like a positions-free posting would let a positional
+      // build blow past the memory bound MaxBufferedPostings exists to
+      // enforce). One unit ≈ one posting's fixed 16 B; a position int is
+      // 4 B, so positions charge length/4 (floor — the fixed +1 per
+      // posting covers the remainder). flush() credits back exactly
+      // what was charged, so the global counter cannot drift.
+      var charged = 0L
       def add(d: Long, t: Int, l: Int, ps: Array[Int]): Unit = {
         if (n == docs.length) {
           val m = n << 1
@@ -611,7 +620,8 @@ object IndexBuilder {
         enc.blockFirst, enc.docOff, enc.tfOff, enc.dlOff,
         enc.blockMaxTf, enc.blockMinDl,
         enc.posBytes, enc.posOff)
-      totalBuffered -= b.n
+      totalBuffered -= b.charged
+      b.charged = 0L
       b.n = 0
       b.posN = 0
       // shrink so a one-off giant list doesn't pin its peak capacity
@@ -627,7 +637,9 @@ object IndexBuilder {
       val key = (shard, term)
       val b = bufs.getOrElseUpdate(key, new Buf(shard))
       b.add(docId, tf, dl, ps)
-      totalBuffered += 1
+      val units = 1L + (if (withPos) (ps.length >> 2).toLong else 0L)
+      b.charged += units
+      totalBuffered += units
       if (b.n >= maxChunk) flush(key, b)
       else if (totalBuffered > budget) {
         // Amortized overflow policy: one O(V log V) pass flushes the
@@ -635,7 +647,7 @@ object IndexBuilder {
         // is paid once per budget/2 insertions — not per row (the old
         // maxBy-per-row policy was O(V) on EVERY row once the budget was
         // reached, quadratic at production shard sizes).
-        val bySize = bufs.toArray.sortBy(-_._2.n)
+        val bySize = bufs.toArray.sortBy(-_._2.charged) // largest MEMORY first
         var i = 0
         while (totalBuffered > budget / 2 && i < bySize.length) {
           val (k, big) = bySize(i)

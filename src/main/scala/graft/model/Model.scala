@@ -61,7 +61,10 @@ final case class CorpusStats(nDocs: Long, avgdl: Double, analyzerVersion: String
   * `positions = true`. The manifest records which; phrase/NEAR verify
   * against posting offsets when present, re-analyzed doc text otherwise.
   * Queries that don't ask for positions never read the columns (parquet
-  * column pruning), so the rev costs plain search nothing. */
+  * column pruning), so the rev costs plain search nothing — including
+  * under the serving cache, which pins a positions-PRUNED frame by
+  * default (SearchEngine.enableServingCache(positions = true) opts a
+  * phrase-heavy serving workload into pinning them too). */
 final case class PostingList(
     shard: Int,
     term: String,

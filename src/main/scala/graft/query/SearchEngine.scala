@@ -424,6 +424,91 @@ object SearchEngine {
     * from the bench artifact alone. */
   private val telemetry = sys.env.get("GRAFT_QUERY_TELEMETRY").contains("1")
 
+  /** Ascending disjoint docId segments scoping a query (one = the common
+    * case; several = a scope fragmented by out-of-order appends) + the
+    * manifest-range shard-prune transform for the posting scan
+    * (partition-column pruning — the scan never lists the other shard
+    * dirs). ONE definition shared by executePlan / positionalVerifyTopK /
+    * phraseCandidates (r6 review: three drifting copies). Empty segs =
+    * empty scope. */
+  private def segsAndPrune(m: Manifest, ranges: Option[Seq[(Long, Long)]])
+      : (Vector[(Long, Long)], DataFrame => DataFrame) = {
+    val segs: Vector[(Long, Long)] = ranges match {
+      case None => Vector((0L, Long.MaxValue))
+      case Some(rs) => rs.filter { case (lo, hi) => lo <= hi }.sorted.toVector
+    }
+    val shardPrune: DataFrame => DataFrame =
+      if (ranges.isEmpty) identity
+      else {
+        val pruned = segs.map { case (lo, hi) => shardsIntersecting(m, lo, hi) }
+        if (pruned.exists(_.isEmpty)) identity // legacy manifest: no ranges
+        else {
+          val sh = pruned.flatMap(_.get).distinct
+          df => df.filter(col("shard").isin(sh: _*))
+        }
+      }
+    (segs, shardPrune)
+  }
+
+  /** The posting-scan projection [[decodeByTerm]] consumes — one
+    * definition so the select list and the decode's positional getSeq
+    * indices cannot drift apart (r6 review: three hand-written copies
+    * had already diverged into 13- vs 15-column index lists). */
+  private def postingScanColumns(withPos: Boolean): Seq[org.apache.spark.sql.Column] = {
+    val base = Seq("shard", "term", "chunk", "count", "docIds", "tfs",
+      "dls", "blockFirst", "docOff", "tfOff", "dlOff",
+      "blockMaxTf", "blockMinDl")
+    (if (withPos) base ++ Seq("positions", "posOff") else base).map(col)
+  }
+
+  /** ONE streaming pass over a task's posting rows (VERDICT r03 item 2):
+    * each row decodes to its compressed BlockedList immediately and the
+    * Row object drops, so task memory is exactly the selected terms'
+    * compressed posting bytes. Key space is O(shards-in-task × query
+    * terms) — tiny — while values hold the compressed bytes. */
+  private def decodeByTerm(rows: Iterator[org.apache.spark.sql.Row],
+                           withPos: Boolean)
+      : scala.collection.mutable.LinkedHashMap[(Int, String),
+          scala.collection.mutable.ArrayBuffer[graft.index.PostingCodec.BlockedList]] = {
+    val byTerm = scala.collection.mutable.LinkedHashMap
+      .empty[(Int, String),
+             scala.collection.mutable.ArrayBuffer[graft.index.PostingCodec.BlockedList]]
+    rows.foreach { r =>
+      val key = (r.getInt(0), r.getString(1))
+      byTerm.getOrElseUpdate(key,
+        scala.collection.mutable.ArrayBuffer
+          .empty[graft.index.PostingCodec.BlockedList]) +=
+        graft.index.PostingCodec.BlockedList(
+          r.getLong(3).toInt, r.getAs[Array[Byte]](4),
+          r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6),
+          r.getSeq[Long](7).toArray, r.getSeq[Int](8).toArray,
+          r.getSeq[Int](9).toArray, r.getSeq[Int](10).toArray,
+          r.getSeq[Int](11).toArray, r.getSeq[Int](12).toArray,
+          if (withPos) r.getAs[Array[Byte]](13) else null,
+          if (withPos) r.getSeq[Int](14).toArray else null)
+    }
+    byTerm
+  }
+
+  /** Chunk lists → one [[Wand.TermCursor]] per term present in the shard.
+    * Chunks concatenate in ascending-docId order; blockFirst(0) is the
+    * chunk's first docId — robust even if a shard's rows were encoded by
+    * several tasks. */
+  private def buildCursors(
+      termChunks: scala.collection.Map[(Int, String),
+        scala.collection.mutable.ArrayBuffer[graft.index.PostingCodec.BlockedList]],
+      dfByTerm: Map[String, Long], canonical: Map[String, Int],
+      nDocs: Long, avgdl: Double): Seq[Wand.TermCursor] =
+    termChunks.map { case ((_, term), chunks) =>
+      val sorted = chunks
+        .sortBy(c => if (c.blockFirst.isEmpty) Long.MaxValue
+                     else c.blockFirst(0))
+        .toIndexedSeq
+      new Wand.TermCursor(
+        Wand.TermPostings(term, dfByTerm(term), canonical(term), sorted),
+        nDocs, avgdl)
+    }.toSeq
+
   def executePlan(spark: SparkSession, root: String, p: Plan,
                   stats: CorpusStats,
                   ranges: Option[Seq[(Long, Long)]] = None,
@@ -440,27 +525,8 @@ object SearchEngine {
     val mode = p.mode
     val k = p.k
     val nTerms = termList.size
-    // ascending disjoint docId segments scoping the query (one = the
-    // common case; several = a scope fragmented by out-of-order appends)
-    val segs: Vector[(Long, Long)] = ranges match {
-      case None => Vector((0L, Long.MaxValue))
-      case Some(rs) => rs.filter { case (lo, hi) => lo <= hi }.sorted.toVector
-    }
+    val (segs, shardPrune) = segsAndPrune(m, ranges)
     if (segs.isEmpty) return Vector.empty // empty scope
-
-    // scoped queries prune the posting scan to shards whose manifest
-    // docId range intersects ANY segment (partition-column pruning — the
-    // scan never lists the other shard dirs)
-    val shardPrune: DataFrame => DataFrame =
-      if (ranges.isEmpty) identity
-      else {
-        val pruned = segs.map { case (lo, hi) => shardsIntersecting(m, lo, hi) }
-        if (pruned.exists(_.isEmpty)) identity // legacy manifest: no ranges
-        else {
-          val sh = pruned.flatMap(_.get).distinct
-          df => df.filter($"shard".isin(sh: _*))
-        }
-      }
 
     val wandNanos =
       if (telemetry) Some(spark.sparkContext.longAccumulator("graft.wandNanos"))
@@ -480,44 +546,16 @@ object SearchEngine {
     // whole selection (the r03 rows.toVector held both at once).
     def shardLocalTopK(selected: DataFrame): Array[SearchHit] =
       selected
-        .select($"shard", $"term", $"chunk", $"count", $"docIds", $"tfs",
-          $"dls", $"blockFirst", $"docOff", $"tfOff", $"dlOff",
-          $"blockMaxTf", $"blockMinDl")
+        .select(postingScanColumns(withPos = false): _*)
         .mapPartitions { rows =>
           val t0 = System.nanoTime()
-          // (shard, term) → chunk lists; key space is O(shards-in-task ×
-          // query terms) — tiny — while values hold the compressed bytes
-          val byTerm = scala.collection.mutable.LinkedHashMap
-            .empty[(Int, String),
-                   scala.collection.mutable.ArrayBuffer[graft.index.PostingCodec.BlockedList]]
-          rows.foreach { r =>
-            val key = (r.getInt(0), r.getString(1))
-            byTerm.getOrElseUpdate(key,
-              scala.collection.mutable.ArrayBuffer
-                .empty[graft.index.PostingCodec.BlockedList]) +=
-              graft.index.PostingCodec.BlockedList(
-                r.getLong(3).toInt, r.getAs[Array[Byte]](4),
-                r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6),
-                r.getSeq[Long](7).toArray, r.getSeq[Int](8).toArray,
-                r.getSeq[Int](9).toArray, r.getSeq[Int](10).toArray,
-                r.getSeq[Int](11).toArray, r.getSeq[Int](12).toArray)
-          }
+          val byTerm = decodeByTerm(rows, withPos = false)
           // one partition may pack several whole shards: group the (few)
           // keys, never the rows
           val byShard = byTerm.groupBy(_._1._1)
           val out = byShard.iterator.flatMap { case (_, termChunks) =>
-            val cursors = termChunks.map { case ((_, term), chunks) =>
-              // chunks concatenate in ascending-docId order; blockFirst(0)
-              // is the chunk's first docId — robust even if a shard's rows
-              // were encoded by several tasks
-              val sorted = chunks
-                .sortBy(c => if (c.blockFirst.isEmpty) Long.MaxValue
-                             else c.blockFirst(0))
-                .toIndexedSeq
-              new Wand.TermCursor(
-                Wand.TermPostings(term, dfByTerm(term), canonical(term), sorted),
-                nDocs, avgdl)
-            }.toSeq
+            val cursors = buildCursors(termChunks, dfByTerm, canonical,
+              nDocs, avgdl)
             val hits =
               if (mode == "AND") {
                 // a term absent from this shard ⇒ empty local intersection
@@ -665,8 +703,10 @@ object SearchEngine {
       val seqSlots = seq.map(slotOfTerm).toArray
       memoized(root, QueryKey(seq, s"ONEAR:$slop", k, scopes, m.snapshotId)) {
         proximityTopK(spark, root, m, slots, k, scopes,
+          // slotOfTerm hoisted OUT of the per-doc verify closure (r6
+          // review): the rescan path runs this per candidate row
           verify = toks =>
-            orderedNearMatchPositions(occurrencesBySlot(toks, slots), seqSlots, slop),
+            orderedNearMatchPositions(occurrencesBySlot(toks, slotOfTerm), seqSlots, slop),
           posPred = pos => orderedNearMatchPositions(pos, seqSlots, slop))
       }
     } else {
@@ -842,11 +882,11 @@ object SearchEngine {
   }
 
   /** Occurrence lists per slot from a re-analyzed token stream — the
-    * rescan-path twin of the positional walk's posBySlot capture. */
+    * rescan-path twin of the positional walk's posBySlot capture.
+    * Takes the prebuilt slot map: callers run this per candidate doc. */
   private[query] def occurrencesBySlot(toks: Vector[String],
-                                       slots: Vector[String]): Array[Array[Int]] = {
-    val slotOf = slots.zipWithIndex.toMap
-    val bs = Array.fill(slots.size)(
+                                       slotOf: Map[String, Int]): Array[Array[Int]] = {
+    val bs = Array.fill(slotOf.size)(
       new scala.collection.mutable.ArrayBuilder.ofInt)
     var i = 0
     toks.foreach { t =>
@@ -1153,55 +1193,19 @@ object SearchEngine {
     val nDocs = stats.nDocs
     val avgdl = stats.avgdl
     val nTerms = termList.size
-    val segs: Vector[(Long, Long)] = ranges match {
-      case None => Vector((0L, Long.MaxValue))
-      case Some(rs) => rs.filter { case (lo, hi) => lo <= hi }.sorted.toVector
-    }
+    val (segs, shardPrune) = segsAndPrune(m, ranges)
     if (segs.isEmpty) return Vector.empty
-    val shardPrune: DataFrame => DataFrame =
-      if (ranges.isEmpty) identity
-      else {
-        val pruned = segs.map { case (lo, hi) => shardsIntersecting(m, lo, hi) }
-        if (pruned.exists(_.isEmpty)) identity
-        else {
-          val sh = pruned.flatMap(_.get).distinct
-          df => df.filter($"shard".isin(sh: _*))
-        }
-      }
-    val (scanFrame, _, needShuffle) = resolvedPostingsScan(spark, root, m)
+    val (scanFrame, _, needShuffle) =
+      resolvedPostingsScan(spark, root, m, needPositions = true)
     val selected0 = shardPrune(scanFrame).filter($"term".isin(termList: _*))
     val selected = if (needShuffle) selected0.repartition($"shard") else selected0
     val perShard = selected
-      .select($"shard", $"term", $"chunk", $"count", $"docIds", $"tfs",
-        $"dls", $"blockFirst", $"docOff", $"tfOff", $"dlOff",
-        $"blockMaxTf", $"blockMinDl", $"positions", $"posOff")
+      .select(postingScanColumns(withPos = true): _*)
       .mapPartitions { rows =>
-        val byTerm = scala.collection.mutable.LinkedHashMap
-          .empty[(Int, String),
-                 scala.collection.mutable.ArrayBuffer[graft.index.PostingCodec.BlockedList]]
-        rows.foreach { r =>
-          val key = (r.getInt(0), r.getString(1))
-          byTerm.getOrElseUpdate(key,
-            scala.collection.mutable.ArrayBuffer
-              .empty[graft.index.PostingCodec.BlockedList]) +=
-            graft.index.PostingCodec.BlockedList(
-              r.getLong(3).toInt, r.getAs[Array[Byte]](4),
-              r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6),
-              r.getSeq[Long](7).toArray, r.getSeq[Int](8).toArray,
-              r.getSeq[Int](9).toArray, r.getSeq[Int](10).toArray,
-              r.getSeq[Int](11).toArray, r.getSeq[Int](12).toArray,
-              r.getAs[Array[Byte]](13), r.getSeq[Int](14).toArray)
-        }
+        val byTerm = decodeByTerm(rows, withPos = true)
         byTerm.groupBy(_._1._1).iterator.flatMap { case (_, termChunks) =>
-          val cursors = termChunks.map { case ((_, term), chunks) =>
-            val sorted = chunks
-              .sortBy(c => if (c.blockFirst.isEmpty) Long.MaxValue
-                           else c.blockFirst(0))
-              .toIndexedSeq
-            new Wand.TermCursor(
-              Wand.TermPostings(term, dfByTerm(term), canonical(term), sorted),
-              nDocs, avgdl)
-          }.toSeq
+          val cursors = buildCursors(termChunks, dfByTerm, canonical,
+            nDocs, avgdl)
           // a term absent from this shard ⇒ empty local intersection
           if (cursors.size < nTerms) Iterator.empty
           else {
@@ -1248,53 +1252,20 @@ object SearchEngine {
     val nDocs = stats.nDocs
     val avgdl = stats.avgdl
     val nTerms = termList.size
-    val segs: Vector[(Long, Long)] = ranges match {
-      case None => Vector((0L, Long.MaxValue))
-      case Some(rs) => rs.filter { case (lo, hi) => lo <= hi }.sorted.toVector
-    }
-    val shardPrune: DataFrame => DataFrame =
-      if (ranges.isEmpty) identity
-      else {
-        val pruned = segs.map { case (lo, hi) => shardsIntersecting(m, lo, hi) }
-        if (pruned.exists(_.isEmpty)) identity
-        else {
-          val sh = pruned.flatMap(_.get).distinct
-          df => df.filter($"shard".isin(sh: _*))
-        }
-      }
+    val (segs, shardPrune) = segsAndPrune(m, ranges)
+    if (segs.isEmpty)
+      return spark.emptyDataset[(Int, Long, Double)]
+        .toDF("shard", "docId", "score")
     val (scanFrame, _, needShuffle) = resolvedPostingsScan(spark, root, m)
     val selected0 = shardPrune(scanFrame).filter($"term".isin(termList: _*))
     val selected = if (needShuffle) selected0.repartition($"shard") else selected0
     selected
-      .select($"shard", $"term", $"chunk", $"count", $"docIds", $"tfs",
-        $"dls", $"blockFirst", $"docOff", $"tfOff", $"dlOff",
-        $"blockMaxTf", $"blockMinDl")
+      .select(postingScanColumns(withPos = false): _*)
       .mapPartitions { rows =>
-        val byTerm = scala.collection.mutable.LinkedHashMap
-          .empty[(Int, String),
-                 scala.collection.mutable.ArrayBuffer[graft.index.PostingCodec.BlockedList]]
-        rows.foreach { r =>
-          val key = (r.getInt(0), r.getString(1))
-          byTerm.getOrElseUpdate(key,
-            scala.collection.mutable.ArrayBuffer
-              .empty[graft.index.PostingCodec.BlockedList]) +=
-            graft.index.PostingCodec.BlockedList(
-              r.getLong(3).toInt, r.getAs[Array[Byte]](4),
-              r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6),
-              r.getSeq[Long](7).toArray, r.getSeq[Int](8).toArray,
-              r.getSeq[Int](9).toArray, r.getSeq[Int](10).toArray,
-              r.getSeq[Int](11).toArray, r.getSeq[Int](12).toArray)
-        }
+        val byTerm = decodeByTerm(rows, withPos = false)
         byTerm.groupBy(_._1._1).iterator.flatMap { case (shard, termChunks) =>
-          val cursors = termChunks.map { case ((_, term), chunks) =>
-            val sorted = chunks
-              .sortBy(c => if (c.blockFirst.isEmpty) Long.MaxValue
-                           else c.blockFirst(0))
-              .toIndexedSeq
-            new Wand.TermCursor(
-              Wand.TermPostings(term, dfByTerm(term), canonical(term), sorted),
-              nDocs, avgdl)
-          }.toSeq
+          val cursors = buildCursors(termChunks, dfByTerm, canonical,
+            nDocs, avgdl)
           // a term absent from this shard ⇒ empty local intersection
           if (cursors.size < nTerms) Iterator.empty
           else Wand.andAll(cursors, segs).map(h => (shard, h.docId, h.score))
@@ -1522,8 +1493,13 @@ object SearchEngine {
     * needs a per-query `repartition($"shard")` for in-task completeness.
     * Returns (frame, telemetry label, needs-shuffle). */
   private def resolvedPostingsScan(spark: SparkSession, root: String,
-                                   m: Manifest): (DataFrame, String, Boolean) =
-    cachedPostings.get(root).filter(_ => cacheMatches(root, m)) match {
+                                   m: Manifest,
+                                   needPositions: Boolean = false): (DataFrame, String, Boolean) =
+    cachedPostings.get(root).filter(_ => cacheMatches(root, m))
+        // a positions-pruned pinned frame cannot serve a positional walk
+        // — fall through to the (uncached) aligned scan, which reads the
+        // position columns straight off parquet
+        .filter(df => !needPositions || df.columns.contains("positions")) match {
       case Some(df) =>
         val aligned = cachedPostingsAligned.getOrElse(root, false)
         (df, if (aligned) "cached-aligned" else "cached", !aligned)
@@ -1584,18 +1560,35 @@ object SearchEngine {
     * snapshot stamp is written only after BOTH frames are built from the
     * same pinned manifest, so an interleaved disable can never leave one
     * stale frame passing cacheMatches under a newer stamp. */
-  def enableServingCache(spark: SparkSession, root: String): Unit = {
+  /** Pin the snapshot's postings + term stats in executor memory.
+    *
+    * `positions = false` (default) PRUNES the position streams from the
+    * pinned frame on a positional index (r6 review): the `positions`/
+    * `posOff` columns are roughly sum-of-tf varints — often the largest
+    * columns in the file — and a serving deployment running plain
+    * AND/OR queries never reads them. Phrase/NEAR/ordered queries stay
+    * CORRECT against a pruned cache: [[resolvedPostingsScan]] detects
+    * the missing columns and routes positional walks to the uncached
+    * aligned scan instead. Pass `positions = true` to pin them too
+    * (a phrase-heavy serving workload). */
+  def enableServingCache(spark: SparkSession, root: String,
+                         positions: Boolean = false): Unit = {
     val m = pinnedManifest(root)
-    if (cacheMatches(root, m) && cachedPostings.contains(root) &&
-        cachedTermStats.contains(root)) return // already pinned at m
+    if (cacheMatches(root, m) && cachedTermStats.contains(root) &&
+        cachedPostings.get(root).exists(df =>
+          !m.positions || positions == df.columns.contains("positions")))
+      return // already pinned at m in the requested shape
     cachedPostings.remove(root).foreach(_.unpersist())
     cachedTermStats.remove(root).foreach(_.unpersist())
     cachedPostingsAligned.remove(root)
     cachedSnapshot.remove(root)
-    val (base, aligned) = alignedPostingsFor(spark, root, m) match {
+    val (base0, aligned) = alignedPostingsFor(spark, root, m) match {
       case Some(a) => (a, true) // newSession shares the table cache
       case None => (IndexSnapshot.postings(spark, root, m), false)
     }
+    val base =
+      if (m.positions && !positions) base0.drop("positions", "posOff")
+      else base0
     val p = base.cache()
     p.count() // materialize
     val ts = IndexSnapshot.termStats(spark, root, m).cache()

@@ -235,6 +235,23 @@ class PositionalSpec extends AnyFunSuite {
     }
   }
 
+  test("serving cache pins a positions-PRUNED frame by default; positional queries stay exact via the aligned fallback") {
+    // fresh (query, k) pairs so the result memo cannot mask the path
+    val q = "roleuser w0001"
+    val e7 = oracle.phraseTopK(q, 7)
+    val e9 = oracle.phraseTopK(q, 9)
+    SearchEngine.enableServingCache(spark, posRoot)
+    try {
+      // without the needPositions fallback this would die on the missing
+      // `positions` column in the pinned frame
+      assert(SearchEngine.phraseTopK(spark, posRoot, q, 7) == e7,
+        "phrase against the default (pruned) serving cache")
+      SearchEngine.enableServingCache(spark, posRoot, positions = true)
+      assert(SearchEngine.phraseTopK(spark, posRoot, q, 9) == e9,
+        "phrase against the positions-pinned serving cache")
+    } finally SearchEngine.disableServingCache(posRoot)
+  }
+
   // ---- maintenance preserves the format -------------------------------
 
   test("maintenance on a positional index: format preserved through delete + append, paths stay identical") {

@@ -167,7 +167,7 @@ class ProximitySpec extends AnyFunSuite {
       val slop = rng.nextInt(6)
       val slots = seq.distinct.sorted
       val slotOf = slots.zipWithIndex.toMap
-      val pos = SearchEngine.occurrencesBySlot(toks, slots)
+      val pos = SearchEngine.occurrencesBySlot(toks, slotOf)
       val naive = toks.indices.exists(i => isSubseq(seq, toks.slice(i, i + slop + 1)))
       val fast = SearchEngine.orderedNearMatchPositions(pos, seq.map(slotOf).toArray, slop)
       assert(fast == naive, s"toks=$toks seq=$seq slop=$slop naive=$naive fast=$fast")

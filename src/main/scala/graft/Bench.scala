@@ -476,10 +476,15 @@ object Bench {
       xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"index-build throughput (turns/sec) + operator suite","value":${fmt(totalSecs)},"unit":"sec","queries":$qJson,"sf":"$sfDir","deadline_sec":$deadlineSec,"elapsed_sec":${fmt(elapsed)},"sections_completed":${strList(r.completed.toSeq)},"sections_skipped":${strList(r.skipped.toSeq)},"build":{"convs":${r.nConvs},"reps_per_level":$reps,"samples":$samplesJson,"throughput_local1":${fmt(th1)},"throughput_local4":${fmt(th4)},"throughput_N_local2":${fmt(thN)},"throughput_4N_local8":${fmt(th4N)},"throughput_local32":${fmt(thMax)},"scaling_efficiency_1_to_4":${fmt(efficiency1to4)},"scaling_efficiency_2_to_8":${fmt(efficiency)},"scaling_efficiency_8_to_32":${fmt(efficiency8to32)},"convs_large":${r.nConvsLarge},"large_pair_ran":$runLarge,"reps_large":${r.repsLarge},"samples_large":{"local8":[${r.byLevelL(8).map(fmt).mkString(",")}],"local32":[${r.byLevelL(32).map(fmt).mkString(",")}]},"spread_large_local8":${fmt(spreadL8)},"spread_large_local32":${fmt(spreadL32)},"throughput_large_local8":${fmt(thL8)},"throughput_large_local32":${fmt(thL32)},"scaling_efficiency_8_to_32_large":${fmt(efficiency8to32Large)},"hw_busyloop_ceiling_2_to_8":${fmt(hwCeiling2to8)},"hw_busyloop_ceiling_8_to_32":${fmt(hwCeiling8to32)},"hw_memstream_probe_8_to_32":${fmt(streamCeiling8to32)},"note":"same reps at every level (best-of-$reps). busyloop = the hardware CEILING (pure register arithmetic; no software can scale better than the VM's clocks allow). memstream = a fully-bandwidth-bound REFERENCE probe (1GB array streams/task), NOT a ceiling: its value swings with the shared host's contention windows round to round (observed 0.09-0.47 at 8->32), so it calibrates VM volatility rather than bounding a mixed compute/stream engine."},"query_latency":{"p50_sec":${fmt(r.p50)},"p95_sec":${fmt(r.p95)},"p50_cold_first_pass_sec":${fmt(r.p50cold)},"p95_cold_first_pass_sec":${fmt(r.p95cold)},"p50_cached_sec":${fmt(r.p50c)},"p95_cached_sec":${fmt(r.p95c)},"note":"p50_sec/p95_sec = warm-uncached (hot JVM, parquet scan per query; keys kept for cross-round comparability); cold_first_pass = the true first pass"},"phrase_vs_and":{"and_topk_sec":${fmt(r.phraseAndSec)},"phrase_positional_sec":${fmt(r.phrasePosSec)},"near_positional_sec":${fmt(r.nearPosSec)},"phrase_rescan_sec":${fmt(r.phraseRescanSec)},"near_rescan_sec":${fmt(r.nearRescanSec)},"note":"best-of-3 warm on a 20k-conv index; positional = posting-offset verify (r6 format rev), rescan = positions-free fallback"}}"""
 
-    if (writeMd) writeBaselineMd(r, sfDir, reps, deadlineSec, levels,
+    // md write failure must never cost the JSON artifact (the artifact IS
+    // the deliverable; the md is the human-facing copy)
+    if (writeMd) try writeBaselineMd(r, sfDir, reps, deadlineSec, levels,
       th1, thN, th4, th4N, thMax, efficiency1to4, efficiency, efficiency8to32,
       thL8, thL32, efficiency8to32Large, spreadL8, spreadL32, largeQuiet,
       runLarge, hwCeiling2to8, hwCeiling8to32, streamCeiling8to32, totalSecs)
+    catch { case e: Exception =>
+      System.err.println(s"[bench] BASELINE.md write failed (ignored): ${e.getMessage}")
+    }
     json
   }
 
@@ -672,19 +677,27 @@ object Bench {
          |regeneration.
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
-    // a contended driver-run must not erase the builder's quiet-window
-    // protocol record: everything from the marker on is carried over
     val target = Paths.get("BENCH/BASELINE.md")
-    val addendum =
-      if (Files.exists(target)) {
-        val old = Files.readString(target)
-        val i = old.indexOf(AddendumMarker)
-        if (i >= 0) old.substring(i) else s"$AddendumMarker\n"
-      } else s"$AddendumMarker\n"
-    Files.writeString(target, md + "\n" + addendum)
+    val existing =
+      if (Files.exists(target)) Some(Files.readString(target)) else None
+    Files.writeString(target, withAddendum(md, existing))
   }
 
   /** Marker separating the auto-generated report from the builder's
     * quiet-window addendum in BENCH/BASELINE.md. */
   private[graft] val AddendumMarker = "<!-- BUILDER-ADDENDUM -->"
+
+  /** A contended driver run must not erase the builder's quiet-window
+    * protocol record: everything from [[AddendumMarker]] onward in the
+    * existing file is carried over verbatim below the fresh report
+    * (BenchSpec pins the carry/no-marker/fresh-file cases). */
+  private[graft] def withAddendum(md: String, existing: Option[String]): String = {
+    val addendum = existing match {
+      case Some(old) =>
+        val i = old.indexOf(AddendumMarker)
+        if (i >= 0) old.substring(i) else s"$AddendumMarker\n"
+      case None => s"$AddendumMarker\n"
+    }
+    md + "\n" + addendum
+  }
 }

@@ -38,6 +38,26 @@ class BenchSpec extends AnyFunSuite {
     assert(json.count(_ == '[') == json.count(_ == ']'))
   }
 
+  test("withAddendum carries the builder's quiet-window record across regenerations") {
+    val mk = Bench.AddendumMarker
+    val fresh = Bench.withAddendum("NEW REPORT", None)
+    assert(fresh.startsWith("NEW REPORT") && fresh.contains(mk))
+    // a pre-marker file (old format) gains the marker, loses nothing new
+    val noMarker = Bench.withAddendum("NEW REPORT", Some("OLD AUTO TEXT"))
+    assert(noMarker.startsWith("NEW REPORT") && noMarker.contains(mk) &&
+      !noMarker.contains("OLD AUTO TEXT"))
+    // the addendum BELOW the marker survives; the auto text above it dies
+    val old = s"OLD AUTO TEXT\n$mk\n## builder addendum\nquiet numbers"
+    val carried = Bench.withAddendum("NEW REPORT", Some(old))
+    assert(carried.startsWith("NEW REPORT"))
+    assert(carried.contains("## builder addendum\nquiet numbers"))
+    assert(!carried.contains("OLD AUTO TEXT"))
+    // idempotent: regenerating again keeps exactly one marker + addendum
+    val twice = Bench.withAddendum("NEWER", Some(carried))
+    assert(twice.sliding(mk.length).count(_ == mk) == 1)
+    assert(twice.contains("quiet numbers"))
+  }
+
   test("the deadline env default leaves headroom inside a plausible harness timeout") {
     // guard against someone fat-fingering the default far above the
     // driver's observed kill window (r5 died somewhere <= 2h; 1500 s

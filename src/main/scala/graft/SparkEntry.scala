@@ -29,6 +29,7 @@ object SparkEntry {
     "near_topk" -> (Q.nearTopK(_, _)),
     "near3_matches" -> (Q.near3Matches(_, _)),
     "near_ordered_topk" -> (Q.nearOrderedTopK(_, _)),
+    "bool_not_topk" -> (Q.boolNotTopK(_, _)),
     "prefix_term_topk" -> (Q.prefixTermTopK(_, _)),
     "fuzzy_term_topk" -> (Q.fuzzyTermTopK(_, _)),
     "wildcard_topk" -> (Q.wildcardTopK(_, _)),
@@ -99,6 +100,7 @@ object SparkEntry {
     "near_topk" -> Q.nearTopKSql,
     "near3_matches" -> Q.near3MatchesSql,
     "near_ordered_topk" -> Q.nearOrderedTopKSql,
+    "bool_not_topk" -> Q.boolNotTopKSql,
     "prefix_term_topk" -> Q.prefixTermTopKSql,
     "fuzzy_term_topk" -> Q.fuzzyTermTopKSql,
     "wildcard_topk" -> Q.wildcardTopKSql,

@@ -94,8 +94,11 @@ object BuildIndex {
   * Levenshtein edits (default 2, max 2 — Lucene FuzzyQuery limits;
   * --prefix-len pins the first N chars exactly, Lucene prefixLength).
   * WILDCARD treats <queryText> as a glob over the dictionary (`*` = any
-  * sequence, `?` = one char, e.g. `w00*3`). All five compose with
-  * --scopes (per-scope statistics) and --snapshot.
+  * sequence, `?` = one char, e.g. `w00*3`). `--not "<terms>"` (AND mode
+  * only) excludes every document containing ANY of the given terms —
+  * Lucene BooleanQuery MUST + MUST_NOT; scores stay the positives-only
+  * BM25 sums. All surfaces compose with --scopes (per-scope statistics)
+  * and --snapshot.
   */
 object Query {
   def main(args: Array[String]): Unit = {
@@ -167,6 +170,11 @@ object Query {
       "--slop only applies to NEAR mode")
     require(mode == "NEAR" || !a.contains("--ordered"),
       "--ordered only applies to NEAR mode")
+    val notText = opt("--not")
+    require(notText.isEmpty || mode == "AND",
+      "--not requires --mode AND (Lucene BooleanQuery MUST + MUST_NOT)")
+    require(notText.isEmpty || (conv.isEmpty && !a.contains("--naive")),
+      "--not does not combine with --naive/--conv (use --scopes)")
     val slop = intOpt("--slop").getOrElse(2)
     require(slop >= 0, s"--slop must be >= 0, got $slop (window width = slop+1)")
     require(mode == "FUZZY" ||
@@ -199,6 +207,9 @@ object Query {
           proxScopes, pinned))
       else if (mode == "WILDCARD")
         diagnosed(SearchEngine.wildcardTopK(spark, root, q, k, proxScopes, pinned))
+      else if (notText.isDefined)
+        diagnosed(SearchEngine.queryNot(spark, root, q, notText.get, k,
+          proxScopes, pinned))
       else if (a.contains("--naive"))
         SearchEngine.queryNaive(spark, root, q, mode, k).collect()
           .map(r => graft.model.SearchHit(r.getLong(0), r.getDouble(1))).toVector
@@ -213,7 +224,8 @@ object Query {
     val modeLabel =
       if (mode == "NEAR" && a.contains("--ordered")) s"ONEAR~$slop"
       else if (mode == "NEAR") s"NEAR~$slop"
-      else if (mode == "FUZZY") s"FUZZY~$edits" else mode
+      else if (mode == "FUZZY") s"FUZZY~$edits"
+      else if (notText.isDefined) s"AND NOT(${notText.get})" else mode
     println(f"query='$q' mode=$modeLabel k=$k → ${hits.size} hits in $ms%.0f ms")
     // hit previews must come from the SAME snapshot the hits did
     val docs = pinned match {

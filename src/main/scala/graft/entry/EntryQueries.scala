@@ -236,6 +236,19 @@ object EntryQueries {
   val nearOrderedTopKSql: String =
     nearOrderedSql("spark", "merge", slop = 3, k = 10)
 
+  /** Boolean MUST + MUST_NOT BM25 top-k — the relational twin of
+    * `SearchEngine.queryNot` (Lucene BooleanQuery): the same AND pair and
+    * scoring as `j1_and_intersect`'s bm25 family, minus every doc
+    * containing the prohibited term ('join' — the corpus's hottest term,
+    * so the exclusion genuinely changes the result set); scores stay the
+    * positives-only sums (prohibited clauses contribute no score). */
+  def boolNotTopK(s: SparkSession, dir: String): DataFrame =
+    bm25(s, dir, Seq("spark", "merge"), and = true, k = 10,
+      not = Seq("join"))
+
+  val boolNotTopKSql: String =
+    boolNotSql(Seq("spark", "merge"), Seq("join"), k = 10)
+
   /** Prefix-term BM25 top-k (Lucene PrefixQuery, scoring rewrite) — the
     * relational twin of `SearchEngine.prefixTopK`: the expansion is every
     * dictionary term starting with the prefix ('d' → {data, dup} on this
@@ -282,7 +295,8 @@ object EntryQueries {
                    and: Boolean, k: Int,
                    phrase: Option[Seq[String]] = None,
                    near: Option[(Seq[String], Int)] = None,
-                   orderedNear: Boolean = false): DataFrame = {
+                   orderedNear: Boolean = false,
+                   not: Seq[String] = Nil): DataFrame = {
     val docs = t(s, dir, "documents")
     // the cache is scoped to THIS call: the ≤k-row result is materialized
     // while it is hot and the cache unpersisted before returning (the r01
@@ -327,8 +341,15 @@ object EntryQueries {
             .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
         case _ => qtf.select(col("doc_id")).distinct()
       }
+      // MUST_NOT: anti-join the prohibited terms' docs out of the
+      // candidate set — scores (over `terms` only) are untouched
+      val cand2 =
+        if (not.isEmpty) cand
+        else cand.join(tf.filter(col("term").isin(not: _*))
+            .select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
       val dfCol = typedLit(dfMap)
-      val result = qtf.join(cand, Seq("doc_id"), "left_semi")
+      val result = qtf.join(cand2, Seq("doc_id"), "left_semi")
         .join(dl, Seq("doc_id"))
         .withColumn("s", Bm25.scoreCol(col("tf"), dfCol(col("term")),
           col("dl"), n, avgdl))
@@ -350,6 +371,24 @@ object EntryQueries {
        |  SELECT term, count(*) AS df FROM tf WHERE term IN ($inList) GROUP BY term
        |), cand AS (
        |  $cand
+       |)
+       |${bm25ScoreTail(s"t.term IN ($inList)", k)}""".stripMargin
+  }
+
+  /** MUST_NOT oracle: the AND-intersection candidates EXCEPT any doc
+    * holding a prohibited term; the scoring tail ranges over the
+    * positives only. */
+  private def boolNotSql(terms: Seq[String], not: Seq[String], k: Int): String = {
+    val inList = terms.map(x => s"'$x'").mkString(", ")
+    val notList = not.map(x => s"'$x'").mkString(", ")
+    val intersect = terms.map(x => s"SELECT doc_id FROM tf WHERE term = '$x'")
+      .mkString("\nINTERSECT ")
+    s"""$bm25SqlCte, qt AS (
+       |  SELECT term, count(*) AS df FROM tf WHERE term IN ($inList) GROUP BY term
+       |), cand AS (
+       |  SELECT * FROM (
+       |  $intersect
+       |  ) EXCEPT SELECT doc_id FROM tf WHERE term IN ($notList)
        |)
        |${bm25ScoreTail(s"t.term IN ($inList)", k)}""".stripMargin
   }

@@ -435,6 +435,27 @@ final class Oracle(corpus: Seq[Turn],
       .groupBy(_.docId).values.map(_.maxBy(_.score)).toVector
       .sortBy(h => (-h.score, h.docId)).take(k)
 
+  /** Boolean MUST + MUST_NOT brute force (engine parity:
+    * SearchEngine.queryNot): the COMPLETE AND result (positives with the
+    * standard stop cap / drop-unknown), minus every doc whose token
+    * stream contains ANY analyzed negative term, then top-k. Scores are
+    * untouched by the exclusion — a NOT hit scores exactly like its AND
+    * hit (prohibited clauses contribute no score, Lucene parity). */
+  def andNotTopK(query: String, notQuery: String, k: Int = 10): Vector[SearchHit] = {
+    val negs = Analyzer.analyzeQueryFor(analyzerVersion, notQuery).toSet
+    topK(query, "AND", Int.MaxValue)
+      .filterNot(h => docTokens(h.docId.toInt).exists(negs))
+      .take(k)
+  }
+
+  def andNotTopKScoped(query: String, notQuery: String, k: Int,
+                       prefixes: Seq[String]): Vector[SearchHit] = {
+    val negs = Analyzer.analyzeQueryFor(analyzerVersion, notQuery).toSet
+    topKScoped(query, "AND", Int.MaxValue, prefixes)
+      .filterNot(h => docTokens(h.docId.toInt).exists(negs))
+      .take(k)
+  }
+
   /** Reference-compat relevance: Σ tf max-normalized (AND only) —
     * SearchServiceImpl.java:202-245 semantics with our docId tie-break. */
   def topKRefCompat(query: String, k: Int = 10): Vector[SearchHit] = {

@@ -1084,6 +1084,147 @@ object SearchEngine {
     }
   }
 
+  /** Boolean MUST + MUST_NOT top-k (Lucene BooleanQuery with MUST and
+    * MUST_NOT clauses, r6): documents matching EVERY positive term and
+    * NO negative term, scored by the BM25 sum over the POSITIVES only —
+    * Lucene parity: prohibited clauses contribute no score, so a NOT hit
+    * scores identically to its AND hit (spec-pinned law). Semantics,
+    * stated explicitly:
+    *  - positives analyze, drop-unknown and stop-cap exactly like
+    *    `query(mode = "AND")` / [[queryScoped]] — `queryNot(q, "")` IS
+    *    the AND query;
+    *  - negatives analyze with the same analyzer but are NEVER
+    *    stop-capped or dropped-when-unknown: the user named them
+    *    explicitly (dropping one would silently BROADEN the result);
+    *    an unknown negative simply excludes nothing;
+    *  - a term both required and prohibited matches nothing — falls out
+    *    naturally (every candidate contains it ⇒ excluded); short-cut
+    *    to empty before planning.
+    *
+    * Execution: the positive intersection must be enumerated COMPLETELY
+    * before exclusion — a WAND k-cut on positives could keep only
+    * excluded docs and drop includable hits (the phrase/NEAR lesson) —
+    * so the lazy [[Wand.andAll]] stream drives a per-shard heap, with a
+    * forward [[Wand.TermCursor.advanceTo]] probe per negative term per
+    * candidate (candidates ascend, so the probes are one monotone merge
+    * per negative list, never a restart). A NOT query costs its AND query
+    * plus one posting merge per negative term; the heap-threshold
+    * shortcut skips the probes for candidates that cannot enter the
+    * top-k anyway (`>=` keeps threshold ties probed — exactness). */
+  def queryNot(spark: SparkSession, root: String, queryText: String,
+               notText: String, k: Int = 10, scopes: Seq[String] = Nil,
+               pinned: Option[Manifest] = None): Vector[SearchHit] = {
+    val m = pinned.getOrElse(pinnedManifest(root))
+    val pos = Analyzer.analyzeQueryFor(m.analyzerVersion, queryText)
+    val neg = Analyzer.analyzeQueryFor(m.analyzerVersion, notText)
+    if (pos.isEmpty) return Vector.empty
+    if (neg.isEmpty)
+      return if (scopes.isEmpty) queryResolved(spark, root, m, queryText, "AND", k)
+      else memoized(root, QueryKey(pos, "AND", k, scopes, m.snapshotId)) {
+        queryScopedUncached(spark, root, m, pos, "AND", k, scopes)
+      }
+    if (pos.exists(neg.toSet)) return Vector.empty
+    memoized(root,
+      QueryKey(pos ++ (" " +: neg), "ANDNOT", k, scopes, m.snapshotId)) {
+      if (scopes.isEmpty) {
+        val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
+        val p = plan(spark, root, QuerySpec(pos, "AND", k), stats,
+          pinned = Some(m))
+        if (p.terms.isEmpty) Vector.empty
+        else andNotTopK(spark, root, m, p, neg, stats, k, None)
+      } else {
+        val all = scopes.flatMap { sc =>
+          val segs = scopeSegments(spark, root, m, sc)
+          if (segs.isEmpty) Vector.empty
+          else {
+            val n = segs.map(_.n).sum
+            val stats = CorpusStats(n, segs.map(_.sumDl).sum.toDouble / n,
+              m.analyzerVersion)
+            val ranges = segs.map(s0 => (s0.lo, s0.hi))
+            val dfs = scopedTermDf(spark, root, m, sc, pos, ranges)
+            // positives mirror queryScopedUncached exactly: scoped df > 0,
+            // per-scope stop cap, canonical (df, term) order
+            val kept = pos
+              .flatMap(t => dfs.get(t).filter(_ > 0).map(df => (t, df)))
+              .filter { case (_, df) => df <= StopTermCap * n }
+              .sortBy { case (t, df) => (df, t) }
+              .map { case (t, df) => TermStats(t, df, 0) }
+            if (kept.isEmpty) Vector.empty
+            else andNotTopK(spark, root, m,
+              Plan(kept.toVector, Vector.empty, "AND", k), neg, stats, k,
+              Some(ranges))
+          }
+        }
+        all.groupBy(_.docId).values.map(_.maxBy(_.score)).toVector
+          .sortBy(h => (-h.score, h.docId)).take(k)
+      }
+    }
+  }
+
+  /** Shard-local executor for [[queryNot]]: complete positive AND via the
+    * lazy [[Wand.andAllWith]] walk, ascending-candidate exclusion probes
+    * against the negative cursors, per-shard heap, driver merge. */
+  private def andNotTopK(spark: SparkSession, root: String, m: Manifest,
+                         p: Plan, negTerms: Vector[String],
+                         stats: CorpusStats, k: Int,
+                         ranges: Option[Seq[(Long, Long)]]): Vector[SearchHit] = {
+    import spark.implicits._
+    val posTerms = p.terms.map(_.term)
+    val posSet = posTerms.toSet
+    val nPos = posTerms.size
+    // negatives ride the same scan and cursor machinery; df/canonical for
+    // them are placeholders (never scored, never passed to the AND walk)
+    val dfByTerm = p.terms.map(t => t.term -> t.df).toMap ++
+      negTerms.map(_ -> 0L)
+    val canonical = p.terms.sortBy(t => (t.df, t.term)).map(_.term)
+      .zipWithIndex.toMap ++ negTerms.zipWithIndex.map { case (t, i) => t -> (nPos + i) }
+    val nDocs = stats.nDocs
+    val avgdl = stats.avgdl
+    val (segs, shardPrune) = segsAndPrune(m, ranges)
+    if (segs.isEmpty) return Vector.empty
+    val allTerms = posTerms ++ negTerms
+    val (scanFrame, _, needShuffle) = resolvedPostingsScan(spark, root, m)
+    val selected0 = shardPrune(scanFrame).filter($"term".isin(allTerms: _*))
+    val selected = if (needShuffle) selected0.repartition($"shard") else selected0
+    val perShard = selected
+      .select(postingScanColumns(withPos = false): _*)
+      .mapPartitions { rows =>
+        val byTerm = decodeByTerm(rows, withPos = false)
+        byTerm.groupBy(_._1._1).iterator.flatMap { case (_, termChunks) =>
+          val (posChunks, negChunks) = termChunks.partition {
+            case ((_, t), _) => posSet(t)
+          }
+          val posCursors = buildCursors(posChunks, dfByTerm, canonical,
+            nDocs, avgdl)
+          // a positive absent from this shard ⇒ empty local intersection;
+          // a negative absent from this shard just excludes nothing here
+          if (posCursors.size < nPos) Iterator.empty
+          else {
+            val negArr = buildCursors(negChunks, dfByTerm, canonical,
+              nDocs, avgdl).toArray
+            val heap = new Wand.TopK(k)
+            val walk = Wand.andAllWith(posCursors, segs) { (d, s, _) =>
+              if (s >= heap.threshold) {
+                var excluded = false
+                var i = 0
+                while (i < negArr.length && !excluded) {
+                  negArr(i).advanceTo(d)
+                  if (!negArr(i).exhausted && negArr(i).docId == d)
+                    excluded = true
+                  i += 1
+                }
+                if (!excluded) heap.offer(d, s)
+              }
+            }
+            while (walk.hasNext) walk.next() // drain (lazy iterator)
+            heap.results.iterator
+          }
+        }
+      }
+      .collect()
+    perShard.toVector.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
   /** Shared scoring-BooleanQuery rewrite tail for the multi-term query
     * family ([[prefixTopK]], [[fuzzyTopK]], [[wildcardTopK]]): the standard OR/BM25 top-k
     * over an already-expanded (and already size-capped) term set.

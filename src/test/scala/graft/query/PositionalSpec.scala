@@ -225,6 +225,17 @@ class PositionalSpec extends AnyFunSuite {
     }
   }
 
+  test("scoped queryNot: per-scope stats and cap, exclusion inside the scope") {
+    scopeSets.foreach { scopes =>
+      Seq(("stopish needlemid", "roleuser", 10), ("w0000 w0001", "w0002", 5))
+        .foreach { case (q, nq, k) =>
+          val expected = oracle.andNotTopKScoped(q, nq, k, scopes)
+          val got = SearchEngine.queryNot(spark, flatRoot, q, nq, k, scopes)
+          assert(got == expected, s"scoped NOT '$q' ∖ '$nq' $scopes")
+        }
+    }
+  }
+
   test("scoped wildcardTopK: global expansion, per-scope dfs and stats") {
     scopeSets.foreach { scopes =>
       Seq(("role*", 10), ("w00?3", 5), ("*rare", 10)).foreach { case (pat, k) =>

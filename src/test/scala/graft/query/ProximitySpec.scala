@@ -111,6 +111,47 @@ class ProximitySpec extends AnyFunSuite {
       e.getMessage.contains(SearchEngine.MaxPrefixExpansions.toString))
   }
 
+  // ---- boolean MUST_NOT (r6: Lucene BooleanQuery) -----------------------
+
+  private val notCases: Seq[(String, String, Int)] = Seq(
+    ("stopish needlemid", "roleuser", 10),   // excludes a hot role term
+    ("w0000 w0001", "w0002", 10),
+    ("stopish needlemid", "", 10),           // empty NOT = plain AND
+    ("stopish needlemid", "absentterm", 10), // unknown negative: no-op
+    ("stopish needlemid", "needlemid", 10),  // required AND prohibited = ∅
+    ("w0000", "stopish", 10),                // negative ABOVE the cap still excludes
+    ("", "w0000", 10))                       // blank positives = empty
+
+  test("engine queryNot: rank-identical to the filtered-AND oracle") {
+    notCases.foreach { case (q, nq, k) =>
+      val expected = oracle.andNotTopK(q, nq, k)
+      val got = SearchEngine.queryNot(spark, root, q, nq, k)
+      assert(got == expected,
+        s"NOT '$q' ∖ '$nq' k=$k: got $got expected $expected")
+    }
+  }
+
+  test("NOT laws: hits = AND minus excluded with scores untouched; empty NOT = AND") {
+    val all = 100000
+    val andHits = SearchEngine.query(spark, root, "stopish needlemid", "AND", all)
+    val notHits = SearchEngine.queryNot(spark, root, "stopish needlemid",
+      "roleuser", all)
+    val andMap = andHits.map(h => h.docId -> h.score).toMap
+    notHits.foreach(h => assert(andMap.get(h.docId).contains(h.score),
+      s"NOT hit ${h.docId} must be an AND hit with the SAME score"))
+    val notIds = notHits.map(_.docId).toSet
+    val excluded = andHits.map(_.docId).filterNot(notIds)
+    assert(notHits.nonEmpty && excluded.nonEmpty, "the exclusion has teeth")
+    excluded.foreach(d => assert(
+      Analyzer.tokensFor(Analyzer.Version, oracle.text(d)).contains("roleuser"),
+      s"excluded doc $d must actually contain the prohibited term"))
+    notHits.foreach(h => assert(
+      !Analyzer.tokensFor(Analyzer.Version, oracle.text(h.docId)).contains("roleuser"),
+      s"NOT hit ${h.docId} must not contain the prohibited term"))
+    assert(SearchEngine.queryNot(spark, root, "stopish needlemid", "", all) == andHits,
+      "an empty MUST_NOT clause IS the AND query")
+  }
+
   // ---- ordered NEAR (r6: Lucene SpanNearQuery inOrder) ------------------
 
   private def isSubseq(needle: Vector[String], hay: Vector[String]): Boolean = {

@@ -107,8 +107,8 @@ object Query {
       a.indexOf(name) match { case -1 => None; case i => a.lift(i + 1) }
     if (a.size < 2) sys.error(
       "usage: Query <indexRoot> <queryText> [--mode AND|OR|PHRASE|NEAR|PREFIX|FUZZY|WILDCARD] " +
-      "[--k N] [--slop N] [--edits N] [--prefix-len N] [--naive] " +
-      "[--conv <prefix>] [--snapshot N]")
+      "[--k N] [--slop N] [--ordered] [--edits N] [--prefix-len N] " +
+      "[--not <terms>] [--naive] [--conv <prefix>] [--snapshot N]")
     val root = a(0)
     val q = a(1)
     val mode = opt("--mode").getOrElse("AND").toUpperCase
@@ -118,8 +118,8 @@ object Query {
     // truncate 2^32 to 0 and pass the >= 0 checks (r6 review)
     val usage =
       "usage: Query <indexRoot> <queryText> [--mode AND|OR|PHRASE|NEAR|PREFIX|FUZZY|WILDCARD] " +
-      "[--k N] [--slop N] [--edits N] [--prefix-len N] [--naive] " +
-      "[--conv <prefix>] [--snapshot N]"
+      "[--k N] [--slop N] [--ordered] [--edits N] [--prefix-len N] " +
+      "[--not <terms>] [--naive] [--conv <prefix>] [--snapshot N]"
     def numOpt(name: String): Option[Long] = opt(name).map { s =>
       s.toLongOption.getOrElse(sys.error(
         s"$name expects an integer, got '$s' — " + usage))
@@ -171,6 +171,10 @@ object Query {
     require(mode == "NEAR" || !a.contains("--ordered"),
       "--ordered only applies to NEAR mode")
     val notText = opt("--not")
+    // a missing value would otherwise swallow the NEXT flag as the NOT
+    // text, analyze it to an unknown token and SILENTLY exclude nothing
+    require(notText.forall(!_.startsWith("--")),
+      s"--not expects a term list, got '${notText.getOrElse("")}' (missing value?)")
     require(notText.isEmpty || mode == "AND",
       "--not requires --mode AND (Lucene BooleanQuery MUST + MUST_NOT)")
     require(notText.isEmpty || (conv.isEmpty && !a.contains("--naive")),

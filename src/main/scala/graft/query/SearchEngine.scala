@@ -197,36 +197,52 @@ object SearchEngine {
                                   m: Manifest,
                                   terms: Vector[String], mode: String, k: Int,
                                   scopes: Seq[String]): Vector[SearchHit] = {
-    val version = m.analyzerVersion
     val all = scopes.flatMap { pre =>
-      val segs = scopeSegments(spark, root, m, pre)
-      if (segs.isEmpty) Vector.empty
-      else {
-        val n = segs.map(_.n).sum
-        val stats = CorpusStats(n, segs.map(_.sumDl).sum.toDouble / n, version)
-        val dfs = scopedTermDf(spark, root, m, pre, terms,
-          segs.map(s => (s.lo, s.hi)))
-        val kept = terms
-          .flatMap(t => dfs.get(t).filter(_ > 0).map(df => (t, df)))
-          .filter { case (_, df) => df <= StopTermCap * n }
-          .sortBy { case (t, df) => (df, t) }
-          .map { case (t, df) => TermStats(t, df, 0) }
-        if (kept.isEmpty) Vector.empty
-        else {
+      scopedKeptPlan(spark, root, m, terms, pre, mode, k) match {
+        case None => Vector.empty
+        case Some((p, stats, ranges)) =>
           // ALL segments in ONE scan: the shard-local WAND walks the
           // ascending segment list with one cursor pass and one heap —
           // a scope fragmented by out-of-order appends costs one Spark
           // job, not one per segment
-          val p = Plan(kept.toVector, Vector.empty, mode, k)
-          executePlan(spark, root, p, stats,
-            Some(segs.map(s0 => (s0.lo, s0.hi))), Some(m))
-        }
+          executePlan(spark, root, p, stats, Some(ranges), Some(m))
       }
     }
-    // union; overlapping scopes keep the best-scoring instance per doc
+    unionBest(all, k)
+  }
+
+  /** Per-scope AND/OR planning — segments, per-scope stats, scoped dfs
+    * with the df>0 drop, the per-scope stop cap and canonical (df, term)
+    * order. ONE definition shared by [[queryScopedUncached]] and
+    * [[queryNot]]'s scoped branch (r6 review: a drifting copy). None =
+    * empty scope or no surviving term. */
+  private def scopedKeptPlan(spark: SparkSession, root: String, m: Manifest,
+                             terms: Vector[String], pre: String,
+                             mode: String, k: Int)
+      : Option[(Plan, CorpusStats, Seq[(Long, Long)])] = {
+    val segs = scopeSegments(spark, root, m, pre)
+    if (segs.isEmpty) None
+    else {
+      val n = segs.map(_.n).sum
+      val stats = CorpusStats(n, segs.map(_.sumDl).sum.toDouble / n,
+        m.analyzerVersion)
+      val ranges = segs.map(s => (s.lo, s.hi))
+      val dfs = scopedTermDf(spark, root, m, pre, terms, ranges)
+      val kept = terms
+        .flatMap(t => dfs.get(t).filter(_ > 0).map(df => (t, df)))
+        .filter { case (_, df) => df <= StopTermCap * n }
+        .sortBy { case (t, df) => (df, t) }
+        .map { case (t, df) => TermStats(t, df, 0) }
+      if (kept.isEmpty) None
+      else Some((Plan(kept.toVector, Vector.empty, mode, k), stats, ranges))
+    }
+  }
+
+  /** Multi-scope union: overlapping scopes keep each doc's best-scoring
+    * instance, global (score DESC, docId ASC) order. */
+  private def unionBest(all: Seq[SearchHit], k: Int): Vector[SearchHit] =
     all.groupBy(_.docId).values.map(_.maxBy(_.score)).toVector
       .sortBy(h => (-h.score, h.docId)).take(k)
-  }
 
   /** One contiguous docId run of a scope. */
   final case class ScopeSegment(lo: Long, hi: Long, n: Long, sumDl: Long)
@@ -1097,9 +1113,14 @@ object SearchEngine {
     *    stop-capped or dropped-when-unknown: the user named them
     *    explicitly (dropping one would silently BROADEN the result);
     *    an unknown negative simply excludes nothing;
-    *  - a term both required and prohibited matches nothing — falls out
-    *    naturally (every candidate contains it ⇒ excluded); short-cut
-    *    to empty before planning.
+    *  - a term both required and prohibited falls out NATURALLY: if it
+    *    survives positive planning, every candidate contains it and the
+    *    negative probe excludes them all (empty); if planning DROPS it
+    *    (unknown / stop-capped), the query behaves as AND-minus-negative
+    *    over the remaining positives — exactly the oracle's
+    *    filtered-AND semantics. No pre-plan shortcut: one fired on raw
+    *    tokens here and diverged from the oracle on dropped overlaps
+    *    (r6 review).
     *
     * Execution: the positive intersection must be enumerated COMPLETELY
     * before exclusion — a WAND k-cut on positives could keep only
@@ -1123,40 +1144,38 @@ object SearchEngine {
       else memoized(root, QueryKey(pos, "AND", k, scopes, m.snapshotId)) {
         queryScopedUncached(spark, root, m, pos, "AND", k, scopes)
       }
-    if (pos.exists(neg.toSet)) return Vector.empty
+    val negSet = neg.toSet
+    // memo key: positives, a space separator (no analyzed token can
+    // contain one), then negatives — unambiguous vs any plain-AND key
     memoized(root,
-      QueryKey(pos ++ (" " +: neg), "ANDNOT", k, scopes, m.snapshotId)) {
+      QueryKey(pos ++ (" " +: neg), "ANDNOT", k, scopes, m.snapshotId)) {
+      // POST-PLAN overlap check, per branch: a prohibited term that
+      // SURVIVES positive planning makes every candidate excluded —
+      // answer empty without a scan. (Checked after planning, not on raw
+      // tokens: an overlap the planner DROPS — unknown or stop-capped —
+      // must behave as AND-minus-negative over the remaining positives,
+      // the oracle's filtered-AND semantics. And andNotTopK needs the
+      // sets disjoint: a term on both sides would be routed to the
+      // positive cursors and never probed.)
       if (scopes.isEmpty) {
         val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
         val p = plan(spark, root, QuerySpec(pos, "AND", k), stats,
           pinned = Some(m))
-        if (p.terms.isEmpty) Vector.empty
+        if (p.terms.isEmpty || p.terms.exists(t => negSet(t.term)))
+          Vector.empty
         else andNotTopK(spark, root, m, p, neg, stats, k, None)
       } else {
+        // positives mirror queryScopedUncached exactly (shared planner)
         val all = scopes.flatMap { sc =>
-          val segs = scopeSegments(spark, root, m, sc)
-          if (segs.isEmpty) Vector.empty
-          else {
-            val n = segs.map(_.n).sum
-            val stats = CorpusStats(n, segs.map(_.sumDl).sum.toDouble / n,
-              m.analyzerVersion)
-            val ranges = segs.map(s0 => (s0.lo, s0.hi))
-            val dfs = scopedTermDf(spark, root, m, sc, pos, ranges)
-            // positives mirror queryScopedUncached exactly: scoped df > 0,
-            // per-scope stop cap, canonical (df, term) order
-            val kept = pos
-              .flatMap(t => dfs.get(t).filter(_ > 0).map(df => (t, df)))
-              .filter { case (_, df) => df <= StopTermCap * n }
-              .sortBy { case (t, df) => (df, t) }
-              .map { case (t, df) => TermStats(t, df, 0) }
-            if (kept.isEmpty) Vector.empty
-            else andNotTopK(spark, root, m,
-              Plan(kept.toVector, Vector.empty, "AND", k), neg, stats, k,
-              Some(ranges))
+          scopedKeptPlan(spark, root, m, pos, sc, "AND", k) match {
+            case None => Vector.empty
+            case Some((p, _, _)) if p.terms.exists(t => negSet(t.term)) =>
+              Vector.empty
+            case Some((p, stats, ranges)) =>
+              andNotTopK(spark, root, m, p, neg, stats, k, Some(ranges))
           }
         }
-        all.groupBy(_.docId).values.map(_.maxBy(_.score)).toVector
-          .sortBy(h => (-h.score, h.docId)).take(k)
+        unionBest(all, k)
       }
     }
   }
@@ -1171,6 +1190,9 @@ object SearchEngine {
     import spark.implicits._
     val posTerms = p.terms.map(_.term)
     val posSet = posTerms.toSet
+    require(!negTerms.exists(posSet),
+      "andNotTopK requires disjoint positive/negative sets (caller " +
+      "resolves overlaps post-plan)")
     val nPos = posTerms.size
     // negatives ride the same scan and cursor machinery; df/canonical for
     // them are placeholders (never scored, never passed to the AND walk)

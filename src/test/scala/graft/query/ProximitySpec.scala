@@ -119,6 +119,10 @@ class ProximitySpec extends AnyFunSuite {
     ("stopish needlemid", "", 10),           // empty NOT = plain AND
     ("stopish needlemid", "absentterm", 10), // unknown negative: no-op
     ("stopish needlemid", "needlemid", 10),  // required AND prohibited = ∅
+    // overlap on a positive that planning DROPS (r6 review: a pre-plan
+    // shortcut returned ∅ here, diverging from filtered-AND semantics)
+    ("needlemid absentterm", "absentterm", 10), // dropped as unknown
+    ("stopish needlemid", "stopish", 10),       // dropped by the stop cap
     ("w0000", "stopish", 10),                // negative ABOVE the cap still excludes
     ("", "w0000", 10))                       // blank positives = empty
 

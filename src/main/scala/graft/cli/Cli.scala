@@ -172,7 +172,11 @@ object Query {
       "--ordered only applies to NEAR mode")
     val notText = opt("--not")
     // a missing value would otherwise swallow the NEXT flag as the NOT
-    // text, analyze it to an unknown token and SILENTLY exclude nothing
+    // text, analyze it to an unknown token and SILENTLY exclude nothing;
+    // and a TRAILING --not (no next arg at all) would parse to None and
+    // silently run as plain AND — both must fail loudly (ADVICE r06)
+    require(!a.contains("--not") || notText.isDefined,
+      "--not expects a term list (missing value?)")
     require(notText.forall(!_.startsWith("--")),
       s"--not expects a term list, got '${notText.getOrElse("")}' (missing value?)")
     require(notText.isEmpty || mode == "AND",

@@ -782,8 +782,7 @@ object SearchEngine {
         }
       }
       // union; overlapping scopes keep the best-scoring instance per doc
-      all.groupBy(_.docId).values.map(_.maxBy(_.score)).toVector
-        .sortBy(h => (-h.score, h.docId)).take(k)
+      unionBest(all, k)
     }
   }
 
@@ -1137,7 +1136,10 @@ object SearchEngine {
                pinned: Option[Manifest] = None): Vector[SearchHit] = {
     val m = pinned.getOrElse(pinnedManifest(root))
     val pos = Analyzer.analyzeQueryFor(m.analyzerVersion, queryText)
-    val neg = Analyzer.analyzeQueryFor(m.analyzerVersion, notText)
+    // exclusion is SET semantics: sorted-distinct negatives, so
+    // `--not "join join"` and `--not "join"` share one memo entry and
+    // one probe cursor (ADVICE r06)
+    val neg = Analyzer.analyzeQueryFor(m.analyzerVersion, notText).distinct.sorted
     if (pos.isEmpty) return Vector.empty
     if (neg.isEmpty)
       return if (scopes.isEmpty) queryResolved(spark, root, m, queryText, "AND", k)
@@ -1282,8 +1284,7 @@ object SearchEngine {
             Plan(kept, Vector.empty, "OR", k), stats, Some(ranges), Some(m))
         }
       }
-      all.groupBy(_.docId).values.map(_.maxBy(_.score)).toVector
-        .sortBy(h => (-h.score, h.docId)).take(k)
+      unionBest(all, k)
     }
   }
 

@@ -26,17 +26,25 @@ import graft.query.SearchEngine
   * its own numbers, never the artifact. An artifact with only the
   * operator suite beats rc=124.
   *
-  * Sections (each skippable independently):
+  * Sections (each skippable independently; ordered by EVIDENCE VALUE —
+  * VERDICT r06 item 1 moved phrase_vs_and from dead last to right after
+  * the operator suite, and a skipped section's metrics now render as
+  * `skipped`/-1, never as 0.0000 "measurements"):
   *  1. `operators` — operator-suite timings over SPARK_GRAFT_SF_DIR
   *     (every SparkEntry.queries entry, executed to completion via count);
+  *  1b. `phrase_vs_and` — the positional-format headline pair on a
+  *     20k-conv index (positional phrase target ≤ ~1.2× plain AND);
   *  2. `build_scaling` — index-build throughput on the SAME deterministic
   *     synthetic transcript corpus at 1/2/4/8/32 cores — the sandbox proxy
-  *     for N vs 4N executors (north rule: scaling efficiency ≥ 0.8);
+  *     for N vs 4N executors (north rule: scaling efficiency ≥ 0.8).
+  *     PROBE-GATED (r7): every forked build is bracketed by busy probes,
+  *     contended reps are retried and excluded from best-of, and the
+  *     per-sample probe trace rides into the artifact;
   *  2b. `build_scaling_large` — the mandated 8→32 pair at 4× the corpus
-  *     (fixed costs amortized);
+  *     (fixed costs amortized), same probe gating;
   *  2c. `hw_probes` — busy-loop + memory-stream hardware calibration;
   *  3. `query_latency` — query p50/p95 over a built index (compressed
-  *     WAND path) + the phrase-vs-AND pair on a positional index.
+  *     WAND path) + the serving-cache pin cost in MB.
   */
 object Bench {
 
@@ -108,21 +116,66 @@ object Bench {
     finally st.close()
   }
 
+  /** One probe-bracketed forked-build measurement: `ok` ⇔ both probes
+    * were within [[ProbeGate]]'s factor of the session-quiet baseline at
+    * the time the sample was taken (so the build very likely ran in a
+    * quiet host window). Rejected samples are KEPT and reported — the
+    * artifact shows the contention rather than hiding it. */
+  final case class BuildSample(tput: Double, probePre: Double,
+                               probePost: Double, ok: Boolean)
+
+  /** One single-thread busy-loop probe (registers only, ~0.15 s quiet):
+    * its wall time is a pure read of how much CPU the shared host is
+    * giving ONE thread right now — the cheapest contention detector. */
+  private[graft] def busyProbeOnce(): Double = {
+    var x = 0L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < 200000000L) { x += i * 31; i += 1 }
+    if (x == 42) println(x)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Quiet-window rep acceptance (VERDICT r06 item 2 — the BenchPair
+    * protocol moved INSIDE Bench): a running-min baseline over every
+    * probe observed, and a sample is accepted iff its bracketing probes
+    * are within `factor` of that baseline. The baseline only ever drops,
+    * so acceptance is conservative: a sample accepted against an
+    * early (too-high) baseline may later look contended — the per-sample
+    * probe trace in the artifact lets a reader re-derive either way. */
+  private[graft] final class ProbeGate(factor: Double = 1.5) {
+    private var baseline = Double.MaxValue
+    def observe(): Double = {
+      val t = busyProbeOnce()
+      if (t < baseline) baseline = t
+      t
+    }
+    def calibrate(n: Int): Unit = { var i = 0; while (i < n) { observe(); i += 1 } }
+    def quiet: Double = if (baseline == Double.MaxValue) -1.0 else baseline
+    def ok(probe: Double): Boolean = probe <= factor * baseline
+  }
+
   /** Everything the report needs, with inert defaults so a skipped
-    * section leaves parseable zeros rather than an unprintable artifact. */
+    * section leaves a parseable artifact. Latency/phrase metrics default
+    * -1.0 = "never measured" (VERDICT r06 item 1: the r6 MD rendered a
+    * skipped section's untouched 0.0 defaults as `0.0000 s`, which reads
+    * as "instant", not "never ran"); [[report]] renders negatives as
+    * `skipped` in the MD and keeps the numeric -1 in the JSON. */
   private final class Results {
     var queryTimes: Seq[(String, Double)] = Nil
-    var byLevel: Map[Int, Vector[Double]] = Map.empty.withDefaultValue(Vector.empty)
+    var byLevel: Map[Int, Vector[BuildSample]] = Map.empty.withDefaultValue(Vector.empty)
     var reps = 0
-    var byLevelL: Map[Int, Vector[Double]] = Map.empty.withDefaultValue(Vector.empty)
+    var byLevelL: Map[Int, Vector[BuildSample]] = Map.empty.withDefaultValue(Vector.empty)
     var repsLarge = 0
     var nConvs = 0L
     var nConvsLarge = 0L
+    var probeQuiet = -1.0
     var busy2, busy8, busy32 = 0.0
     var stream8, stream32 = 0.0
-    var p50, p95, p50cold, p95cold, p50c, p95c = 0.0
-    var phraseAndSec, phrasePosSec, phraseRescanSec = 0.0
-    var nearPosSec, nearRescanSec = 0.0
+    var p50, p95, p50cold, p95cold, p50c, p95c = -1.0
+    var servingCacheMb = -1.0
+    var phraseAndSec, phrasePosSec, phraseRescanSec = -1.0
+    var nearPosSec, nearRescanSec = -1.0
     val completed = scala.collection.mutable.ArrayBuffer.empty[String]
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
   }
@@ -198,6 +251,67 @@ object Bench {
       spark1.stop()
     }
 
+    // ---- shared query-bench fixtures (phrase_vs_and + query_latency) --
+    // ONE 20k-conv corpus, TWO indexes: positions-free (qRoot — the WAND
+    // baseline + rescan fallback) and positional (posRoot). Built lazily
+    // by whichever section runs first; the session is shared and stopped
+    // after the last query section.
+    var qSpark: SparkSession = null
+    var qRoot: String = null
+    var posRoot: String = null
+    def querySession(): SparkSession = {
+      if (qSpark == null || qSpark.sparkContext.isStopped) qSpark = session(cpus)
+      qSpark
+    }
+    def ensureQRoot(): String = {
+      if (qRoot == null) {
+        val s = querySession()
+        val p = Files.createTempDirectory("graft-bench-q").toString
+        IndexBuilder.build(s,
+          TranscriptGen.dataset(s, seed = 7L, nConvs = 20000L, partitions = cpus),
+          p, shards = cpus, waveSize = 64)
+        qRoot = p
+      }
+      qRoot
+    }
+    def ensurePosRoot(): String = {
+      if (posRoot == null) {
+        val s = querySession()
+        val p = Files.createTempDirectory("graft-bench-qpos").toString
+        IndexBuilder.build(s,
+          TranscriptGen.dataset(s, seed = 7L, nConvs = 20000L, partitions = cpus),
+          p, shards = cpus, waveSize = 64, positions = true)
+        posRoot = p
+      }
+      posRoot
+    }
+
+    // ---- section 1b: phrase-vs-AND on the positional format ------------
+    // DELIBERATELY EARLY (VERDICT r06 item 1 / next-round item 1): this
+    // is the positional format rev's headline evidence (positional phrase
+    // ≤ ~1.2× plain AND) and costs ~tens of seconds — in r6 it sat LAST,
+    // lost the budget race to sections worth minutes, and the round's
+    // main claim went driver-unverified. Budget order follows evidence
+    // value: only the operator gate suite outranks it.
+    section("phrase_vs_and") {
+      val s = querySession()
+      val pr = ensurePosRoot()
+      val qr = ensureQRoot()
+      val phr = "stopish needlemid"
+      def best3(f: => Unit): Double = (1 to 3).map(_ => time(f)._2).min
+      // warm each path once, then best-of-3
+      SearchEngine.query(s, pr, phr, "AND", 10)
+      r.phraseAndSec = best3 { SearchEngine.query(s, pr, phr, "AND", 10); () }
+      SearchEngine.phraseTopK(s, pr, phr, 10)
+      r.phrasePosSec = best3 { SearchEngine.phraseTopK(s, pr, phr, 10); () }
+      SearchEngine.nearTopK(s, pr, phr, 3, 10)
+      r.nearPosSec = best3 { SearchEngine.nearTopK(s, pr, phr, 3, 10); () }
+      SearchEngine.phraseTopK(s, qr, phr, 10)
+      r.phraseRescanSec = best3 { SearchEngine.phraseTopK(s, qr, phr, 10); () }
+      SearchEngine.nearTopK(s, qr, phr, 3, 10)
+      r.nearRescanSec = best3 { SearchEngine.nearTopK(s, qr, phr, 3, 10); () }
+    }
+
     // ---- section 2: index-build scaling, N vs 4N cores -----------------
     // IDENTICAL work at every level: same pre-materialized parquet input
     // (the cluster scenario — the build reads a storage table), same 64
@@ -221,10 +335,35 @@ object Bench {
     // (leaked threads/GC debt), and a fork per run also mirrors the real
     // spark-submit-per-job deployment. Best-of-N per level filters the
     // shared-host I/O noise (noise only ever slows a run down).
-    def buildOnce(cores: Int, input: String, convs: Long): Double =
-      forkBuild(cores, input, convs, ensureScratch())
+    // Probe-gated rep acceptance (VERDICT r06 item 2 — the BenchPair
+    // quiet-window protocol moved INSIDE Bench): every forked build is
+    // BRACKETED by single-thread busy probes; a rep whose probes exceed
+    // 1.5× the session-quiet baseline is recorded as contended and
+    // retried (up to 2 extra attempts, budget allowing). best-of runs
+    // over the ACCEPTED samples when any exist; the full probe trace
+    // rides into the artifact either way, so "the host never offered a
+    // quiet window" is itself evidenced rather than asserted.
+    val gate = new ProbeGate(factor = 1.5)
+    def gatedBuild(cores: Int, input: String, convs: Long,
+                   into: scala.collection.mutable.Map[Int, Vector[BuildSample]]): Unit = {
+      var attempts = 0
+      var accepted = false
+      while (!accepted && attempts < 3 && !overBudget) {
+        val pre = gate.observe()
+        val tput = forkBuild(cores, input, convs, ensureScratch())
+        val post = gate.observe()
+        accepted = gate.ok(pre) && gate.ok(post)
+        into(cores) = into(cores) :+ BuildSample(tput, pre, post, accepted)
+        attempts += 1
+        if (!accepted) System.err.println(
+          f"[bench] local[$cores] rep contended (probes $pre%.2f/$post%.2f " +
+          f"vs quiet ${gate.quiet}%.2f) — ${if (attempts < 3) "retrying" else "keeping as-is"}")
+      }
+    }
     val levels = Seq(1, 2, 4, 8, 32)
     section("build_scaling") {
+      gate.calibrate(5) // session-quiet baseline before any fork
+      r.probeQuiet = gate.quiet
       val inputPath = {
         val s = session(cpus)
         val p = ensureScratch() + "/turns"
@@ -233,7 +372,7 @@ object Bench {
         s.stop()
         p
       }
-      val byLevel = scala.collection.mutable.Map.empty[Int, Vector[Double]]
+      val byLevel = scala.collection.mutable.Map.empty[Int, Vector[BuildSample]]
         .withDefaultValue(Vector.empty)
       var rep = 0
       var stop = false
@@ -249,7 +388,7 @@ object Bench {
           while (it.hasNext && !stop) {
             val c = it.next()
             if (overBudget) stop = true
-            else byLevel(c) = byLevel(c) :+ buildOnce(c, inputPath, nConvs)
+            else gatedBuild(c, inputPath, nConvs, byLevel)
           }
           rep += 1
         }
@@ -288,7 +427,7 @@ object Bench {
         s.stop()
         p
       }
-      val byLevelL = scala.collection.mutable.Map.empty[Int, Vector[Double]]
+      val byLevelL = scala.collection.mutable.Map.empty[Int, Vector[BuildSample]]
         .withDefaultValue(Vector.empty)
       var rep = 0
       var stop = false
@@ -297,11 +436,12 @@ object Bench {
         while (it.hasNext && !stop) {
           val c = it.next()
           if (overBudget) stop = true
-          else byLevelL(c) = byLevelL(c) :+ buildOnce(c, inputLarge, nConvsLarge)
+          else gatedBuild(c, inputLarge, nConvsLarge, byLevelL)
         }
         rep += 1
       }
       r.byLevelL = byLevelL.toMap.withDefaultValue(Vector.empty)
+      r.probeQuiet = gate.quiet // running min may have dropped
     }
 
     // free the tmpfs scratch (whether or not later sections run).
@@ -369,11 +509,8 @@ object Bench {
 
     // ---- section 3: query latency over a built index ------------------
     section("query_latency") {
-      val spark3 = session(cpus)
-      val qRoot = Files.createTempDirectory("graft-bench-q").toString
-      IndexBuilder.build(spark3,
-        TranscriptGen.dataset(spark3, seed = 7L, nConvs = 20000L, partitions = cpus),
-        qRoot, shards = cpus, waveSize = 64)
+      val spark3 = querySession()
+      val qRoot = ensureQRoot()
       val queries = Seq(
         ("needlerare", "AND", 10), ("needlemid w0000", "AND", 10),
         ("w0001 w0002", "AND", 10), ("needlemid w0000", "OR", 10),
@@ -396,9 +533,13 @@ object Bench {
       r.p95cold = firstPass.last
       r.p50 = lat(lat.size / 2)
       r.p95 = lat(math.min(lat.size - 1, (lat.size * 0.95).toInt))
-      // serving mode: postings + dictionary pinned in executor memory
+      // serving mode: postings + dictionary pinned in executor memory.
+      // The pinned bytes are MEASURED (VERDICT r06 item 8): the 0.09 s vs
+      // 0.28 s p95 trade should be quantified against its memory cost.
       SearchEngine.enableServingCache(spark3, qRoot)
       queries.foreach { case (q, m, k) => SearchEngine.query(spark3, qRoot, q, m, k) }
+      r.servingCacheMb = spark3.sparkContext.getRDDStorageInfo
+        .map(_.memSize).sum / 1e6
       val latC = (1 to 3).flatMap { _ =>
         queries.map { case (q, m, k) =>
           time(SearchEngine.query(spark3, qRoot, q, m, k))._2
@@ -407,34 +548,8 @@ object Bench {
       SearchEngine.disableServingCache(qRoot)
       r.p50c = latC(latC.size / 2)
       r.p95c = latC(math.min(latC.size - 1, (latC.size * 0.95).toInt))
-
-      // phrase-vs-AND on a POSITIONAL index (VERDICT r05 item 2 evidence):
-      // with per-chunk position streams, phrase adjacency is a
-      // posting-offset check with no docs join — target ≤ ~1.2× the plain
-      // AND top-k. The rescan fallback (positions-free index above) is
-      // measured on the same corpus for the honest before/after.
-      if (!overBudget) {
-        val posRoot = Files.createTempDirectory("graft-bench-qpos").toString
-        IndexBuilder.build(spark3,
-          TranscriptGen.dataset(spark3, seed = 7L, nConvs = 20000L, partitions = cpus),
-          posRoot, shards = cpus, waveSize = 64, positions = true)
-        val phr = "stopish needlemid"
-        def best3(f: => Unit): Double =
-          (1 to 3).map(_ => time(f)._2).min
-        // warm each path once, then best-of-3
-        SearchEngine.query(spark3, posRoot, phr, "AND", 10)
-        r.phraseAndSec = best3 { SearchEngine.query(spark3, posRoot, phr, "AND", 10); () }
-        SearchEngine.phraseTopK(spark3, posRoot, phr, 10)
-        r.phrasePosSec = best3 { SearchEngine.phraseTopK(spark3, posRoot, phr, 10); () }
-        SearchEngine.nearTopK(spark3, posRoot, phr, 3, 10)
-        r.nearPosSec = best3 { SearchEngine.nearTopK(spark3, posRoot, phr, 3, 10); () }
-        SearchEngine.phraseTopK(spark3, qRoot, phr, 10)
-        r.phraseRescanSec = best3 { SearchEngine.phraseTopK(spark3, qRoot, phr, 10); () }
-        SearchEngine.nearTopK(spark3, qRoot, phr, 3, 10)
-        r.nearRescanSec = best3 { SearchEngine.nearTopK(spark3, qRoot, phr, 3, 10); () }
-      }
-      spark3.stop()
     }
+    if (qSpark != null && !qSpark.sparkContext.isStopped) qSpark.stop()
 
     report(r, sfDir, reps, deadlineSec, elapsedSec, writeMd)
   }
@@ -442,7 +557,13 @@ object Bench {
   private def report(r: Results, sfDir: String, reps: Int, deadlineSec: Long,
                      elapsed: Double, writeMd: Boolean): String = {
     val levels = Seq(1, 2, 4, 8, 32)
-    def best(v: Vector[Double]): Double = if (v.isEmpty) 0.0 else v.max
+    // best-of over the probe-ACCEPTED samples when any exist (the
+    // quiet-window protocol); over everything otherwise — the per-sample
+    // probe trace in the artifact says which case a reader is looking at
+    def best(v: Vector[BuildSample]): Double = {
+      val use = { val a = v.filter(_.ok); if (a.nonEmpty) a else v }
+      if (use.isEmpty) 0.0 else use.map(_.tput).max
+    }
     val th1 = best(r.byLevel(1))
     val th4 = best(r.byLevel(4))
     val thN = best(r.byLevel(2))
@@ -455,8 +576,10 @@ object Bench {
     val thL8 = best(r.byLevelL(8))
     val thL32 = best(r.byLevelL(32))
     val efficiency8to32Large = eff(thL32, thL8)
-    def spread(xs: Vector[Double]): Double =
+    def spread(v: Vector[BuildSample]): Double = {
+      val xs = v.map(_.tput)
       if (xs.size < 2 || xs.max == 0.0) 0.0 else (xs.max - xs.min) / xs.max
+    }
     val spreadL8 = spread(r.byLevelL(8))
     val spreadL32 = spread(r.byLevelL(32))
     val largeQuiet = thL8 > 0 && spreadL8 < 0.15 && spreadL32 < 0.15
@@ -469,12 +592,20 @@ object Bench {
     val totalSecs = r.queryTimes.map(_._2).filter(_ >= 0).sum
     val qJson = r.queryTimes.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    def sampleJson(s: BuildSample): String =
+      s"""{"tput":${fmt(s.tput)},"probe_pre":${fmt(s.probePre)},"probe_post":${fmt(s.probePost)},"ok":${s.ok}}"""
     val samplesJson = levels.map(c =>
-      "\"local" + c + "\":[" + r.byLevel(c).map(fmt).mkString(",") + "]")
+      "\"local" + c + "\":[" + r.byLevel(c).map(s => fmt(s.tput)).mkString(",") + "]")
+      .mkString("{", ",", "}")
+    val gatedJson = levels.map(c =>
+      "\"local" + c + "\":[" + r.byLevel(c).map(sampleJson).mkString(",") + "]")
+      .mkString("{", ",", "}")
+    val gatedLargeJson = Seq(8, 32).map(c =>
+      "\"local" + c + "\":[" + r.byLevelL(c).map(sampleJson).mkString(",") + "]")
       .mkString("{", ",", "}")
     def strList(xs: Seq[String]): String =
       xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"index-build throughput (turns/sec) + operator suite","value":${fmt(totalSecs)},"unit":"sec","queries":$qJson,"sf":"$sfDir","deadline_sec":$deadlineSec,"elapsed_sec":${fmt(elapsed)},"sections_completed":${strList(r.completed.toSeq)},"sections_skipped":${strList(r.skipped.toSeq)},"build":{"convs":${r.nConvs},"reps_per_level":$reps,"samples":$samplesJson,"throughput_local1":${fmt(th1)},"throughput_local4":${fmt(th4)},"throughput_N_local2":${fmt(thN)},"throughput_4N_local8":${fmt(th4N)},"throughput_local32":${fmt(thMax)},"scaling_efficiency_1_to_4":${fmt(efficiency1to4)},"scaling_efficiency_2_to_8":${fmt(efficiency)},"scaling_efficiency_8_to_32":${fmt(efficiency8to32)},"convs_large":${r.nConvsLarge},"large_pair_ran":$runLarge,"reps_large":${r.repsLarge},"samples_large":{"local8":[${r.byLevelL(8).map(fmt).mkString(",")}],"local32":[${r.byLevelL(32).map(fmt).mkString(",")}]},"spread_large_local8":${fmt(spreadL8)},"spread_large_local32":${fmt(spreadL32)},"throughput_large_local8":${fmt(thL8)},"throughput_large_local32":${fmt(thL32)},"scaling_efficiency_8_to_32_large":${fmt(efficiency8to32Large)},"hw_busyloop_ceiling_2_to_8":${fmt(hwCeiling2to8)},"hw_busyloop_ceiling_8_to_32":${fmt(hwCeiling8to32)},"hw_memstream_probe_8_to_32":${fmt(streamCeiling8to32)},"note":"same reps at every level (best-of-$reps). busyloop = the hardware CEILING (pure register arithmetic; no software can scale better than the VM's clocks allow). memstream = a fully-bandwidth-bound REFERENCE probe (1GB array streams/task), NOT a ceiling: its value swings with the shared host's contention windows round to round (observed 0.09-0.47 at 8->32), so it calibrates VM volatility rather than bounding a mixed compute/stream engine."},"query_latency":{"p50_sec":${fmt(r.p50)},"p95_sec":${fmt(r.p95)},"p50_cold_first_pass_sec":${fmt(r.p50cold)},"p95_cold_first_pass_sec":${fmt(r.p95cold)},"p50_cached_sec":${fmt(r.p50c)},"p95_cached_sec":${fmt(r.p95c)},"note":"p50_sec/p95_sec = warm-uncached (hot JVM, parquet scan per query; keys kept for cross-round comparability); cold_first_pass = the true first pass"},"phrase_vs_and":{"and_topk_sec":${fmt(r.phraseAndSec)},"phrase_positional_sec":${fmt(r.phrasePosSec)},"near_positional_sec":${fmt(r.nearPosSec)},"phrase_rescan_sec":${fmt(r.phraseRescanSec)},"near_rescan_sec":${fmt(r.nearRescanSec)},"note":"best-of-3 warm on a 20k-conv index; positional = posting-offset verify (r6 format rev), rescan = positions-free fallback"}}"""
+    val json = s"""{"metric":"index-build throughput (turns/sec) + operator suite","value":${fmt(totalSecs)},"unit":"sec","queries":$qJson,"sf":"$sfDir","deadline_sec":$deadlineSec,"elapsed_sec":${fmt(elapsed)},"sections_completed":${strList(r.completed.toSeq)},"sections_skipped":${strList(r.skipped.toSeq)},"build":{"convs":${r.nConvs},"reps_per_level":$reps,"samples":$samplesJson,"samples_gated":$gatedJson,"probe_quiet_sec":${fmt(r.probeQuiet)},"probe_gate_factor":1.5,"throughput_local1":${fmt(th1)},"throughput_local4":${fmt(th4)},"throughput_N_local2":${fmt(thN)},"throughput_4N_local8":${fmt(th4N)},"throughput_local32":${fmt(thMax)},"scaling_efficiency_1_to_4":${fmt(efficiency1to4)},"scaling_efficiency_2_to_8":${fmt(efficiency)},"scaling_efficiency_8_to_32":${fmt(efficiency8to32)},"convs_large":${r.nConvsLarge},"large_pair_ran":$runLarge,"reps_large":${r.repsLarge},"samples_large":{"local8":[${r.byLevelL(8).map(s => fmt(s.tput)).mkString(",")}],"local32":[${r.byLevelL(32).map(s => fmt(s.tput)).mkString(",")}]},"samples_large_gated":$gatedLargeJson,"spread_large_local8":${fmt(spreadL8)},"spread_large_local32":${fmt(spreadL32)},"throughput_large_local8":${fmt(thL8)},"throughput_large_local32":${fmt(thL32)},"scaling_efficiency_8_to_32_large":${fmt(efficiency8to32Large)},"hw_busyloop_ceiling_2_to_8":${fmt(hwCeiling2to8)},"hw_busyloop_ceiling_8_to_32":${fmt(hwCeiling8to32)},"hw_memstream_probe_8_to_32":${fmt(streamCeiling8to32)},"note":"same reps at every level; every fork bracketed by single-thread busy probes (samples_gated: ok = both probes <= 1.5x the probe_quiet_sec running-min baseline; contended reps retried up to 2x) and best-of runs over accepted samples when any exist. busyloop = the hardware CEILING (pure register arithmetic). memstream = a fully-bandwidth-bound REFERENCE probe, NOT a ceiling (observed 0.09-0.47 at 8->32 across rounds)."},"query_latency":{"p50_sec":${fmt(r.p50)},"p95_sec":${fmt(r.p95)},"p50_cold_first_pass_sec":${fmt(r.p50cold)},"p95_cold_first_pass_sec":${fmt(r.p95cold)},"p50_cached_sec":${fmt(r.p50c)},"p95_cached_sec":${fmt(r.p95c)},"serving_cache_mb":${fmt(r.servingCacheMb)},"note":"-1 = section skipped, never measured. p50_sec/p95_sec = warm-uncached (hot JVM, parquet scan per query); cold_first_pass = the true first pass; serving_cache_mb = executor memory pinned by the serving cache (postings positions-pruned + dictionary)"},"phrase_vs_and":{"and_topk_sec":${fmt(r.phraseAndSec)},"phrase_positional_sec":${fmt(r.phrasePosSec)},"near_positional_sec":${fmt(r.nearPosSec)},"phrase_rescan_sec":${fmt(r.phraseRescanSec)},"near_rescan_sec":${fmt(r.nearRescanSec)},"note":"-1 = section skipped, never measured. best-of-3 warm on a 20k-conv index; positional = posting-offset verify (r6 format rev), rescan = positions-free fallback"}}"""
 
     // md write failure must never cost the JSON artifact (the artifact IS
     // the deliverable; the md is the human-facing copy)
@@ -496,6 +627,17 @@ object Bench {
       spreadL8: Double, spreadL32: Double, largeQuiet: Boolean,
       runLarge: Boolean, hwCeiling2to8: Double, hwCeiling8to32: Double,
       streamCeiling8to32: Double, totalSecs: Double): Unit = {
+    // sample rendering: throughput [pre/post bracketing busy-probes];
+    // "contended" = a probe exceeded 1.5× the session-quiet baseline and
+    // best-of ignored the sample (unless no sample was accepted)
+    def fmtSample(s: BuildSample): String =
+      s"${fmt(s.tput)} [${fmt(s.probePre)}/${fmt(s.probePost)}" +
+        (if (s.ok) "]" else " contended]")
+    def samplesOf(v: Vector[BuildSample]): String =
+      v.map(fmtSample).mkString(", ")
+    // a metric a skipped section never measured renders as `skipped`,
+    // not as 0.0000 s (VERDICT r06 item 1)
+    def fmtS(d: Double): String = if (d < 0) "skipped" else s"${fmt(d)} s"
     val md =
       s"""# BENCH — measured baseline (deterministic synthetic corpus)
          |
@@ -518,13 +660,20 @@ object Bench {
          |fresh forked JVM per run, levels interleaved across rounds so one
          |noisy host window cannot wipe a whole level.
          |
+         |PROBE-GATED (r7): every fork is bracketed by single-thread
+         |busy probes (quiet baseline this run: ${fmt(r.probeQuiet)} s,
+         |running min over all probes); a rep with a probe over 1.5× the
+         |baseline is marked `contended`, retried up to 2×, and excluded
+         |from best-of whenever any accepted sample exists. Samples below
+         |print as `tput [pre/post probe s]`.
+         |
          || parallelism | throughput (turns/sec) | all samples |
          ||---|---|---|
-         || local[1]  | ${fmt(th1)} | ${r.byLevel(1).map(fmt).mkString(", ")} |
-         || local[2]  | ${fmt(thN)} | ${r.byLevel(2).map(fmt).mkString(", ")} |
-         || local[4]  | ${fmt(th4)} | ${r.byLevel(4).map(fmt).mkString(", ")} |
-         || local[8]  | ${fmt(th4N)} | ${r.byLevel(8).map(fmt).mkString(", ")} |
-         || local[32] | ${fmt(thMax)} | ${r.byLevel(32).map(fmt).mkString(", ")} |
+         || local[1]  | ${fmt(th1)} | ${samplesOf(r.byLevel(1))} |
+         || local[2]  | ${fmt(thN)} | ${samplesOf(r.byLevel(2))} |
+         || local[4]  | ${fmt(th4)} | ${samplesOf(r.byLevel(4))} |
+         || local[8]  | ${fmt(th4N)} | ${samplesOf(r.byLevel(8))} |
+         || local[32] | ${fmt(thMax)} | ${samplesOf(r.byLevel(32))} |
          |
          |**Scaling efficiency N → 4N (target ≥ 0.8):
          |1→4 cores = ${fmt(efficiency1to4)}; 2→8 cores = ${fmt(efficiency)};
@@ -554,10 +703,10 @@ object Bench {
                |the corpus (${r.nConvsLarge / 1000}k convs, builds of ~15-70 s
                |— the closer proxy for minutes-long cluster stages):
                |
-               |parallelism | throughput (turns/sec) | all samples (best-of-${r.repsLarge}, interleaved)
+               |parallelism | throughput (turns/sec) | all samples (best-of-${r.repsLarge}, interleaved, probe-gated)
                |---|---|---
-               |local[8]  | ${fmt(thL8)} | ${r.byLevelL(8).map(fmt).mkString(", ")}
-               |local[32] | ${fmt(thL32)} | ${r.byLevelL(32).map(fmt).mkString(", ")}
+               |local[8]  | ${fmt(thL8)} | ${samplesOf(r.byLevelL(8))}
+               |local[32] | ${fmt(thL32)} | ${samplesOf(r.byLevelL(32))}
                |
                |Per-level sample spread (max−min)/max: local[8]
                |${fmt(spreadL8)}, local[32] ${fmt(spreadL32)} — ${
@@ -634,15 +783,24 @@ object Bench {
          |
          |## Query latency (compressed WAND path, 20k-conv index)
          |
+         |(`skipped` = the section never ran — a deadline breach or
+         |section failure; never a measurement of 0.)
+         |
          || mode | p50 | p95 |
          ||---|---|---|
-         || true cold (first pass: JIT-cold, first listing/footers) | ${fmt(r.p50cold)} s | ${fmt(r.p95cold)} s |
-         || warm uncached (hot JVM, parquet scan per query) | ${fmt(r.p50)} s | ${fmt(r.p95)} s |
-         || serving cache (postings pinned) | ${fmt(r.p50c)} s | ${fmt(r.p95c)} s |
+         || true cold (first pass: JIT-cold, first listing/footers) | ${fmtS(r.p50cold)} | ${fmtS(r.p95cold)} |
+         || warm uncached (hot JVM, parquet scan per query) | ${fmtS(r.p50)} | ${fmtS(r.p95)} |
+         || serving cache (postings pinned) | ${fmtS(r.p50c)} | ${fmtS(r.p95c)} |
          |
          |(The JSON keys p50_sec/p95_sec carry the warm-uncached numbers —
          |unchanged meaning vs earlier rounds; cold_first_pass is measured
-         |before any warm loop.)
+         |before any warm loop.) Serving-cache memory cost, measured off
+         |the executor block manager after the pin: ${
+           if (r.servingCacheMb < 0) "skipped"
+           else f"${r.servingCacheMb}%.1f MB"
+         } for the 20k-conv index (postings positions-pruned + dictionary)
+         |— the price of the cached-vs-uncached p95 gap above, linear in
+         |index size per shard at scale.
          |
          |### Phrase vs AND (positional postings, r6 format rev)
          |
@@ -650,13 +808,24 @@ object Bench {
          |adjacency / NEAR windows checked against per-chunk position
          |streams inside the posting walk (no docs join, no re-tokenize);
          |rescan = the positions-free fallback (candidates joined to docs
-         |and re-analyzed).
+         |and re-analyzed). Runs EARLY (right after the operator suite):
+         |it is the positional format's headline evidence and in r6 it sat
+         |last and lost the budget race. `skipped` = never ran.
          |
          || query | positional index | rescan index |
          ||---|---|---|
-         || AND top-10 (baseline) | ${fmt(r.phraseAndSec)} s | — |
-         || PHRASE top-10 | ${fmt(r.phrasePosSec)} s | ${fmt(r.phraseRescanSec)} s |
-         || NEAR~3 top-10 | ${fmt(r.nearPosSec)} s | ${fmt(r.nearRescanSec)} s |
+         || AND top-10 (baseline) | ${fmtS(r.phraseAndSec)} | — |
+         || PHRASE top-10 | ${fmtS(r.phrasePosSec)} | ${fmtS(r.phraseRescanSec)} |
+         || NEAR~3 top-10 | ${fmtS(r.nearPosSec)} | ${fmtS(r.nearRescanSec)} |
+         |${
+           if (r.phrasePosSec >= 0 && r.phraseAndSec > 0)
+             f"""
+               |**Positional phrase = ${r.phrasePosSec / r.phraseAndSec}%.2f× the
+               |plain AND top-k** (target ≤ ~1.2×, VERDICT r05 item 2) —
+               |a phrase query costs an AND walk plus in-task ordinal
+               |probes, no doc fetch.""".stripMargin
+           else ""
+         }
          |
          |## Operator suite (${r.queryTimes.size} queries, $sfDir)
          |

@@ -1344,16 +1344,72 @@ object EntryQueries {
     * adjacent-rank score gap on this corpus is 3.5e-7 (measured at
     * sf0.01; no exact ties) — seven orders of margin, so both engines
     * produce the identical permutation. The 1e-12-tolerance OpsSpec twin
-    * keeps pinning the float values themselves. The global row_number
-    * window is gate-wrapper-only (≤ corpus-doc rows post-agg); the LM
-    * itself is the scalable shuffle-join op. */
+    * keeps pinning the float values themselves.
+    *
+    * The rank itself runs on the o1_df_order TWO-PHASE scaffold
+    * (VERDICT r06 item 2: the r6 version used a global unpartitioned
+    * `row_number().over(Window.orderBy(...))` — the exact
+    * single-partition trap the repo's own O1 gate exists to avoid):
+    * deterministic sample → range boundaries on (avg_logp DESC, doc_id)
+    * → pid per row → per-pid counts → broadcast prefix offsets → steered
+    * repartition + in-task running counter. One DIFFERENCE from o1: the
+    * sort key is a FLOAT aggregate, and avg() over doubles is
+    * partition-order dependent at the ulp level — a lineage recompute
+    * between the counting job and the assignment job could flip a
+    * boundary-adjacent key's bucket. The scored frame is therefore
+    * PINNED with localCheckpoint (lineage truncated — every job reads
+    * the same materialized doubles), not merely cached. */
   def lmRank(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    TextOps.lmLogProb(t(s, dir, "documents"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("avg_logp").desc, col("doc_id"))))
-      .select(col("rank").cast("long").as("rank"), col("doc_id"),
-        col("n_bigrams"))
+    import s.implicits._
+    import graft.index.DocIdAssigner.{bucketOf, prefixOffsets,
+      quantileBoundaries, steeringKeys}
+    val scored = TextOps.lmLogProb(t(s, dir, "documents"))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logp"))
+      .localCheckpoint(true) // pin the float keys (see scaladoc)
+    val p = math.max(1, s.sessionState.conf.numShufflePartitions / 2)
+    val nDocs = t(s, dir, "documents").count()
+    val sampleMod = math.max(1L, nDocs / math.max(1L, p.toLong * 200L))
+    // rank key = (avg_logp DESC, doc_id ASC)
+    implicit val keyOrd: Ordering[(Double, Long)] =
+      new Ordering[(Double, Long)] {
+        def compare(a: (Double, Long), b: (Double, Long)): Int = {
+          val c = java.lang.Double.compare(b._1, a._1) // DESC
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+        }
+      }
+    val keys = scored
+      .filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0)
+      .select(col("avg_logp"), col("doc_id")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).sorted(keyOrd)
+    val bnds = quantileBoundaries(keys.toIndexedSeq, p)
+    val nPids = bnds.length + 1
+    val bB = s.sparkContext.broadcast(bnds)
+    val bSteer = s.sparkContext.broadcast(steeringKeys(nPids))
+    val pidUdf = udf((lp: Double, id: Long) => bucketOf(bB.value, (lp, id)))
+    val withPid = scored
+      .withColumn("pid", pidUdf(col("avg_logp"), col("doc_id")))
+    val counts: Map[Int, Long] =
+      if (nPids == 1) Map.empty
+      else withPid.groupBy(col("pid")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bOff = s.sparkContext.broadcast(prefixOffsets(counts, nPids, base = 1L))
+    val pkeyUdf = udf((pid: Int) => bSteer.value(pid))
+    withPid
+      .withColumn("pkey", pkeyUdf(col("pid")))
+      .repartition(nPids, col("pkey"))
+      .sortWithinPartitions(col("pid"), col("avg_logp").desc, col("doc_id"))
+      .mapPartitions { it =>
+        var curPid = -1
+        var next = 0L
+        it.map { r => // (doc_id, n_bigrams, avg_logp, pid, pkey)
+          val pid = r.getInt(3)
+          if (pid != curPid) { curPid = pid; next = bOff.value(pid) }
+          val rank = next
+          next += 1
+          (rank, r.getLong(0), r.getLong(1))
+        }
+      }
+      .toDF("rank", "doc_id", "n_bigrams")
       .orderBy(col("rank"))
   }
 

@@ -280,6 +280,75 @@ object Wand {
     }
   }
 
+  /** Count-qualified disjunction top-k (Lucene BooleanQuery with ONLY
+    * SHOULD clauses + minimumNumberShouldMatch = `minMatch` ≥ 1): the
+    * exact top-k of docs present in ≥ minMatch of the cursors' lists,
+    * scored by the canonical-order BM25 sum over the PRESENT terms.
+    *
+    * PIGEONHOLE DRIVER SET (the count-qualified WAND shape): candidates
+    * are enumerated from the (n − minMatch + 1) RAREST lists only — a doc
+    * in ≥ minMatch of n lists must appear in at least one of any
+    * (n − minMatch + 1) of them (absent from all, it is in at most
+    * minMatch − 1) — so the hottest minMatch − 1 lists are never walked,
+    * only probed with monotone advanceTo (candidates ascend: one forward
+    * merge per probe list). minMatch = 1 makes every list a driver (the
+    * plain union) and is rank-identical to [[orTopKSegments]]; minMatch =
+    * n is rank-identical to the AND walk (both spec-pinned laws). */
+  def shouldTopKSegments(terms: Seq[TermCursor], minMatch: Int, k: Int,
+                         segments: Seq[(Long, Long)]): Vector[SearchHit] = {
+    if (terms.isEmpty || segments.isEmpty) return Vector.empty
+    require(minMatch >= 1 && minMatch <= terms.size,
+      s"minMatch must be in [1, ${terms.size}], got $minMatch")
+    val heap = new TopK(k)
+    val byDf = terms.sortBy(c => (c.df, c.term)).toArray // rarest first
+    val drivers = byDf.take(terms.size - minMatch + 1)
+    val probes = byDf.drop(terms.size - minMatch + 1)
+    val contribs = new Array[Double](terms.map(_.canonical).max + 1)
+    segments.foreach { case (lo, hi) =>
+      byDf.foreach(_.advanceTo(lo))
+      var cont = true
+      while (cont) {
+        // next candidate = min driver docId inside the segment
+        var cand = Long.MaxValue
+        var i = 0
+        while (i < drivers.length) {
+          val d = drivers(i).docId
+          if (d < cand) cand = d
+          i += 1
+        }
+        if (cand == Long.MaxValue || cand > hi) cont = false
+        else {
+          java.util.Arrays.fill(contribs, 0.0)
+          var matched = 0
+          i = 0
+          while (i < drivers.length) {
+            if (drivers(i).docId == cand) {
+              contribs(drivers(i).canonical) = drivers(i).score
+              matched += 1
+            }
+            i += 1
+          }
+          i = 0
+          while (i < probes.length) {
+            probes(i).advanceTo(cand)
+            if (!probes(i).exhausted && probes(i).docId == cand) {
+              contribs(probes(i).canonical) = probes(i).score
+              matched += 1
+            }
+            i += 1
+          }
+          if (matched >= minMatch) heap.offer(cand, canonicalSum(contribs))
+          i = 0
+          while (i < drivers.length) {
+            if (drivers(i).docId == cand) drivers(i).advance()
+            i += 1
+          }
+        }
+      }
+    }
+    heap.results
+  }
+
   /** OR top-k: WAND with term-level upper bounds (each derived from the
     * per-block maxTf/minDl metadata, i.e. tighter than a plain maxTf
     * bound). Exact (see exactness contract above). */

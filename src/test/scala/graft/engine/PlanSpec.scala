@@ -81,6 +81,27 @@ class PlanSpec extends AnyFunSuite {
       s"o1_df_order must not use a global window:\n$p")
   }
 
+  test("lm_rank has NO single-partition window either (VERDICT r06 item 2)") {
+    val p = plan(Q.lmRank(spark, dir))
+    assert(!p.contains("Window ["),
+      s"lm_rank must not use a global window:\n$p")
+  }
+
+  test("lm_rank two-phase rank: identical to a driver-side global sort") {
+    import org.apache.spark.sql.functions._
+    val got = Q.lmRank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val scored = graft.ops.TextOps
+      .lmLogProb(spark.read.parquet(s"$dir/documents.parquet"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = scored.sortBy { case (id, _, lp) => (-lp, id) }
+      .zipWithIndex.map { case ((id, nb, _), i) => (i + 1L, id, nb) }
+    assert(got.length == expected.length && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g == e, s"rank mismatch: got $g expected $e")
+    }
+  }
+
   test("o1 two-phase rank: values identical to a driver-side global sort") {
     import org.apache.spark.sql.functions._
     val got = Q.o1DfOrder(spark, dir).collect()

@@ -30,6 +30,7 @@ object SparkEntry {
     "near3_matches" -> (Q.near3Matches(_, _)),
     "near_ordered_topk" -> (Q.nearOrderedTopK(_, _)),
     "bool_not_topk" -> (Q.boolNotTopK(_, _)),
+    "bool_should_topk" -> (Q.boolShouldTopK(_, _)),
     "prefix_term_topk" -> (Q.prefixTermTopK(_, _)),
     "fuzzy_term_topk" -> (Q.fuzzyTermTopK(_, _)),
     "wildcard_topk" -> (Q.wildcardTopK(_, _)),
@@ -101,6 +102,7 @@ object SparkEntry {
     "near3_matches" -> Q.near3MatchesSql,
     "near_ordered_topk" -> Q.nearOrderedTopKSql,
     "bool_not_topk" -> Q.boolNotTopKSql,
+    "bool_should_topk" -> Q.boolShouldTopKSql,
     "prefix_term_topk" -> Q.prefixTermTopKSql,
     "fuzzy_term_topk" -> Q.fuzzyTermTopKSql,
     "wildcard_topk" -> Q.wildcardTopKSql,

@@ -97,8 +97,13 @@ object BuildIndex {
   * sequence, `?` = one char, e.g. `w00*3`). `--not "<terms>"` (AND mode
   * only) excludes every document containing ANY of the given terms —
   * Lucene BooleanQuery MUST + MUST_NOT; scores stay the positives-only
-  * BM25 sums. All surfaces compose with --scopes (per-scope statistics)
-  * and --snapshot.
+  * BM25 sums. SHOULD mode (Lucene BooleanQuery optional clauses) matches
+  * documents containing at least `--min-match N` of the query's distinct
+  * terms, scored over the present terms — min-match 1 is OR, min-match =
+  * #terms is AND of the same terms; a term the index has never seen
+  * still counts toward the requirement (Lucene parity: an unsatisfiable
+  * clause is not dropped). All surfaces compose with --scopes (per-scope
+  * statistics) and --snapshot.
   */
 object Query {
   def main(args: Array[String]): Unit = {
@@ -106,8 +111,8 @@ object Query {
     def opt(name: String): Option[String] =
       a.indexOf(name) match { case -1 => None; case i => a.lift(i + 1) }
     if (a.size < 2) sys.error(
-      "usage: Query <indexRoot> <queryText> [--mode AND|OR|PHRASE|NEAR|PREFIX|FUZZY|WILDCARD] " +
-      "[--k N] [--slop N] [--ordered] [--edits N] [--prefix-len N] " +
+      "usage: Query <indexRoot> <queryText> [--mode AND|OR|SHOULD|PHRASE|NEAR|PREFIX|FUZZY|WILDCARD] " +
+      "[--k N] [--slop N] [--ordered] [--edits N] [--prefix-len N] [--min-match N] " +
       "[--not <terms>] [--naive] [--conv <prefix>] [--snapshot N]")
     val root = a(0)
     val q = a(1)
@@ -117,8 +122,8 @@ object Query {
     // toIntOption DIRECTLY — a Long-then-toInt chain would silently
     // truncate 2^32 to 0 and pass the >= 0 checks (r6 review)
     val usage =
-      "usage: Query <indexRoot> <queryText> [--mode AND|OR|PHRASE|NEAR|PREFIX|FUZZY|WILDCARD] " +
-      "[--k N] [--slop N] [--ordered] [--edits N] [--prefix-len N] " +
+      "usage: Query <indexRoot> <queryText> [--mode AND|OR|SHOULD|PHRASE|NEAR|PREFIX|FUZZY|WILDCARD] " +
+      "[--k N] [--slop N] [--ordered] [--edits N] [--prefix-len N] [--min-match N] " +
       "[--not <terms>] [--naive] [--conv <prefix>] [--snapshot N]"
     def numOpt(name: String): Option[Long] = opt(name).map { s =>
       s.toLongOption.getOrElse(sys.error(
@@ -160,9 +165,15 @@ object Query {
       }
     }
     val t0 = System.nanoTime()
-    require(!Set("PHRASE", "NEAR", "PREFIX", "FUZZY", "WILDCARD").contains(mode) ||
+    require(!Set("SHOULD", "PHRASE", "NEAR", "PREFIX", "FUZZY", "WILDCARD").contains(mode) ||
       (conv.isEmpty && !a.contains("--naive")),
       s"$mode mode does not combine with --naive/--conv (use --scopes)")
+    require(mode == "SHOULD" || opt("--min-match").isEmpty,
+      "--min-match only applies to SHOULD mode")
+    // Lucene default for an all-optional BooleanQuery: at least one
+    // SHOULD clause must match
+    val minMatch = intOpt("--min-match").getOrElse(1)
+    require(minMatch >= 1, s"--min-match must be >= 1, got $minMatch")
     // mode checks FIRST, then the slop parse/range (ADVICE r05 item 2:
     // 'Query ... --mode AND --slop abc' must say --slop is NEAR-only, not
     // die in toInt; NEAR with a bad/negative slop gets the usage message)
@@ -215,6 +226,9 @@ object Query {
           proxScopes, pinned))
       else if (mode == "WILDCARD")
         diagnosed(SearchEngine.wildcardTopK(spark, root, q, k, proxScopes, pinned))
+      else if (mode == "SHOULD")
+        diagnosed(SearchEngine.queryShould(spark, root, q, minMatch, k,
+          proxScopes, pinned))
       else if (notText.isDefined)
         diagnosed(SearchEngine.queryNot(spark, root, q, notText.get, k,
           proxScopes, pinned))
@@ -233,6 +247,7 @@ object Query {
       if (mode == "NEAR" && a.contains("--ordered")) s"ONEAR~$slop"
       else if (mode == "NEAR") s"NEAR~$slop"
       else if (mode == "FUZZY") s"FUZZY~$edits"
+      else if (mode == "SHOULD") s"SHOULD>=$minMatch"
       else if (notText.isDefined) s"AND NOT(${notText.get})" else mode
     println(f"query='$q' mode=$modeLabel k=$k → ${hits.size} hits in $ms%.0f ms")
     // hit previews must come from the SAME snapshot the hits did

@@ -249,6 +249,26 @@ object EntryQueries {
   val boolNotTopKSql: String =
     boolNotSql(Seq("spark", "merge"), Seq("join"), k = 10)
 
+  /** Boolean SHOULD / minimum_should_match BM25 top-k — the relational
+    * twin of `SearchEngine.queryShould` (Lucene BooleanQuery optional
+    * clauses + setMinimumNumberShouldMatch, the third clause type after
+    * MUST/`u5_bm25_topk` and MUST_NOT/`bool_not_topk`): candidates are
+    * docs matching >= 2 of the 3 SHOULD terms ('vector'/'merge' hot +
+    * 'dup' rare, so the top-10 genuinely mixes matched=2 and matched=3
+    * rows — 464/323/13 docs at minMatch 1/2/3 on the sf0.01 corpus),
+    * scored by the BM25 sum over the MATCHED terms only, with the
+    * matched count emitted so the oracle pins the count qualifier
+    * itself, not just its rank side-effects. A 3-term float sum is made
+    * deterministic in BOTH engines by FIXED-ORDER column addition
+    * (per-term score columns added in the literal term order — ((s1+s2)
+    * +s3) in each) instead of an aggregation-order-dependent sum, the
+    * hazard the 2-term gates avoid by arity. */
+  def boolShouldTopK(s: SparkSession, dir: String): DataFrame =
+    bm25Should(s, dir, Seq("vector", "merge", "dup"), minMatch = 2, k = 10)
+
+  val boolShouldTopKSql: String =
+    boolShouldSql(Seq("vector", "merge", "dup"), minMatch = 2, k = 10)
+
   /** Prefix-term BM25 top-k (Lucene PrefixQuery, scoring rewrite) — the
     * relational twin of `SearchEngine.prefixTopK`: the expansion is every
     * dictionary term starting with the prefix ('d' → {data, dup} on this
@@ -391,6 +411,66 @@ object EntryQueries {
        |  ) EXCEPT SELECT doc_id FROM tf WHERE term IN ($notList)
        |)
        |${bm25ScoreTail(s"t.term IN ($inList)", k)}""".stripMargin
+  }
+
+  /** Spark side of `bool_should_topk`: per-(doc, term) BM25 over the
+    * SHOULD set, grouped per doc into a matched-count + per-term score
+    * columns (max(when) pivot — each (doc, term) appears once), count
+    * qualifier >= minMatch, then the FIXED-ORDER column sum (see the
+    * gate scaladoc). */
+  private def bm25Should(s: SparkSession, dir: String, terms: Seq[String],
+                         minMatch: Int, k: Int): DataFrame = {
+    val tf = TextOps.termFrequencies(t(s, dir, "documents")).cache()
+    try {
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      // avgdl = ONE double division over exact integer aggregates (the
+      // a6 pattern — see bm25 above)
+      val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head()
+      val n = statsRow.getLong(0)
+      val avgdl = statsRow.getLong(1).toDouble / n.toDouble
+      val dfMap = tf.filter(col("term").isin(terms: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val dfCol = typedLit(dfMap)
+      val scored = tf.filter(col("term").isin(terms: _*))
+        .join(dl, Seq("doc_id"))
+        .withColumn("s", Bm25.scoreCol(col("tf"), dfCol(col("term")),
+          col("dl"), n, avgdl))
+      val perTerm = terms.map(tm =>
+        max(when(col("term") === tm, col("s"))).as(s"s_$tm"))
+      val agg = scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("matched"), perTerm: _*)
+      val sumCol = terms.map(tm => coalesce(col(s"s_$tm"), lit(0.0)))
+        .reduce(_ + _) // left fold == the SQL twin's left-assoc chain
+      val result = agg.filter(col("matched") >= minMatch)
+        .select(col("doc_id"), col("matched"), round(sumCol, 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(k)
+      s.createDataFrame(result.collectAsList(), result.schema)
+    } finally tf.unpersist()
+  }
+
+  /** SHOULD oracle: per-(doc, term) scores in an `sc` CTE, HAVING
+    * count >= minMatch, and the same fixed-order coalesce(max(CASE)) sum
+    * as the Spark twin. */
+  private def boolShouldSql(terms: Seq[String], minMatch: Int, k: Int): String = {
+    val inList = terms.map(x => s"'$x'").mkString(", ")
+    val addCols = terms.map(tm =>
+      s"coalesce(max(CASE WHEN term = '$tm' THEN s END), 0)")
+      .mkString("\n      + ")
+    s"""$bm25SqlCte, qt AS (
+       |  SELECT term, count(*) AS df FROM tf WHERE term IN ($inList) GROUP BY term
+       |), sc AS (
+       |  SELECT t.doc_id, t.term,
+       |    ln((s.n - q.df + 0.5)/(q.df + 0.5) + 1.0) * t.tf * (1.2 + 1.0)
+       |      / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * d.dl / s.avgdl)) AS s
+       |  FROM tf t JOIN qt q ON q.term = t.term JOIN dl d ON d.doc_id = t.doc_id
+       |  CROSS JOIN stats s WHERE t.term IN ($inList)
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS matched,
+       |  round($addCols, 6) AS score
+       |FROM sc GROUP BY doc_id HAVING count(*) >= $minMatch
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
   /** The shared BM25 scoring tail over a `cand(doc_id)` CTE (used by the

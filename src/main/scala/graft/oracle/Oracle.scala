@@ -456,6 +456,58 @@ final class Oracle(corpus: Seq[Turn],
       .take(k)
   }
 
+  /** Boolean SHOULD / minimum_should_match brute force (engine parity:
+    * SearchEngine.queryShould): docs matching at least `minMatch` of the
+    * query's analyzed DISTINCT terms, scored over the MATCHED terms in
+    * canonical (df asc, term asc) order — same float-op order as the
+    * engine, so scores must be bit-equal. Lucene clause accounting: an
+    * unknown or stop-capped term still counts toward the requirement
+    * while never matching, so fewer than minMatch SURVIVING terms ⇒
+    * empty; minMatch > #distinct terms is unsatisfiable ⇒ empty. */
+  def shouldTopK(query: String, minMatch: Int, k: Int = 10,
+                 convPrefix: Option[String] = None): Vector[SearchHit] = {
+    require(minMatch >= 1, s"minMatch must be >= 1, got $minMatch")
+    val inScope: Long => Boolean = convPrefix match {
+      case None => _ => true
+      case Some(pre) => d => docs(d.toInt).conv_id.startsWith(pre)
+    }
+    val (n, avg, dfOf): (Long, Double, String => Long) = convPrefix match {
+      case None => (nDocs, avgdl, df _)
+      case Some(_) =>
+        val ids = docs.indices.filter(d => inScope(d.toLong))
+        if (ids.isEmpty) return Vector.empty
+        val a = ids.map(d => docTokens(d).length.toLong).sum.toDouble / ids.size
+        val dfS = (t: String) => index.get(t)
+          .map(_.count { case (d, _) => inScope(d) }.toLong).getOrElse(0L)
+        (ids.size.toLong, a, dfS)
+    }
+    val qTerms = Analyzer.analyzeQueryFor(analyzerVersion, query).distinct
+    if (qTerms.isEmpty || minMatch > qTerms.size) return Vector.empty
+    val cap = 0.9 * n
+    val kept = qTerms.filter(t => dfOf(t) > 0 && dfOf(t) <= cap)
+      .sortBy(t => (dfOf(t), t))
+    if (kept.size < minMatch) return Vector.empty
+    val postings = kept.map(t => index(t).filter { case (d, _) => inScope(d) }.toMap)
+    val hits = postings.map(_.keySet).reduce(_ union _).toVector.flatMap { d =>
+      if (postings.count(_.contains(d)) < minMatch) None
+      else {
+        var s = 0.0
+        kept.indices.foreach { i =>
+          postings(i).get(d).foreach(tf =>
+            s += Bm25.score(tf, dfOf(kept(i)), dl(d), n, avg))
+        }
+        Some(SearchHit(d, s))
+      }
+    }
+    hits.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
+  def shouldTopKScoped(query: String, minMatch: Int, k: Int,
+                       prefixes: Seq[String]): Vector[SearchHit] =
+    prefixes.flatMap(p => shouldTopK(query, minMatch, k, Some(p)))
+      .groupBy(_.docId).values.map(_.maxBy(_.score)).toVector
+      .sortBy(h => (-h.score, h.docId)).take(k)
+
   /** Reference-compat relevance: Σ tf max-normalized (AND only) —
     * SearchServiceImpl.java:202-245 semantics with our docId tie-break. */
   def topKRefCompat(query: String, k: Int = 10): Vector[SearchHit] = {

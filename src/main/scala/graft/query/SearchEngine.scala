@@ -541,6 +541,10 @@ object SearchEngine {
     val mode = p.mode
     val k = p.k
     val nTerms = termList.size
+    // "SHOULD:<m>" rides the mode string so Plan / scopedKeptPlan / memo
+    // keys need no new field; [[queryShould]] is the only producer
+    val minShould: Int =
+      if (mode.startsWith("SHOULD:")) mode.stripPrefix("SHOULD:").toInt else 0
     val (segs, shardPrune) = segsAndPrune(m, ranges)
     if (segs.isEmpty) return Vector.empty // empty scope
 
@@ -577,6 +581,11 @@ object SearchEngine {
                 // a term absent from this shard ⇒ empty local intersection
                 if (cursors.size < nTerms) Vector.empty
                 else Wand.andTopKSegments(cursors, k, segs)
+              } else if (minShould > 0) {
+                // a doc's postings are complete within its shard, so fewer
+                // than minMatch terms present ⇒ no doc here can qualify
+                if (cursors.size < minShould) Vector.empty
+                else Wand.shouldTopKSegments(cursors, minShould, k, segs)
               } else Wand.orTopKSegments(cursors, k, segs)
             hits
           }.toVector
@@ -1247,6 +1256,70 @@ object SearchEngine {
       }
       .collect()
     perShard.toVector.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
+  /** Boolean SHOULD / minimum_should_match top-k (Lucene BooleanQuery
+    * with ONLY optional clauses + setMinimumNumberShouldMatch, r7 —
+    * completing the MUST ([[query]] AND) / MUST_NOT ([[queryNot]]) /
+    * SHOULD clause-type triple): the exact top-k of documents matching at
+    * least `minMatch` DISTINCT query terms, scored by the BM25 sum over
+    * the PRESENT terms in canonical (df, term) order. OR is the
+    * minMatch = 1 special case and AND the minMatch = n one — both
+    * rank-identity laws are spec-pinned (WandSpec property laws +
+    * ProximitySpec engine laws).
+    *
+    * Clause accounting is Lucene's: minMatch counts against the analyzed
+    * DISTINCT term set (duplicates collapse — set semantics, like
+    * [[queryNot]]'s negatives), and a clause that can never match — a
+    * term unknown to the dictionary, or one the stop cap rewrote away —
+    * still COUNTS toward the requirement while never matching, so
+    * planning that drops the survivors below minMatch answers empty.
+    * This is deliberately NOT AND mode's reference-parity
+    * drop-and-continue: BooleanQuery does not relax its requirement when
+    * a clause is unsatisfiable. minMatch > n is unsatisfiable → empty;
+    * minMatch < 1 is an error.
+    *
+    * Execution: [[Wand.shouldTopKSegments]] inside the shard-local
+    * posting walk — candidates are enumerated from the
+    * (n − minMatch + 1) RAREST surviving lists (pigeonhole: a doc in
+    * ≥ minMatch of n lists appears in at least one of them), while the
+    * hottest minMatch − 1 lists are only PROBED with monotone advanceTo.
+    * A 2-of-5 query never walks its two hottest postings — at 100 TB the
+    * walk cost is bounded by the rare lists, exactly the WAND shape plain
+    * OR gets from its block-max bounds. Per-shard top-k heaps, O(shards
+    * × k) to the driver; zero per-query shuffle on the aligned scan path.
+    *
+    * `scopes`: per-scope statistics/segments exactly like [[queryScoped]]
+    * (per-scope df/N/avgdl and stop cap, best-instance union). Time
+    * travel composes via `pinned`. */
+  def queryShould(spark: SparkSession, root: String, queryText: String,
+                  minMatch: Int, k: Int = 10, scopes: Seq[String] = Nil,
+                  pinned: Option[Manifest] = None): Vector[SearchHit] = {
+    require(minMatch >= 1, s"minMatch must be >= 1, got $minMatch")
+    val m = pinned.getOrElse(pinnedManifest(root))
+    val terms = Analyzer.analyzeQueryFor(m.analyzerVersion, queryText).distinct
+    if (terms.isEmpty || minMatch > terms.size) return Vector.empty
+    val mode = s"SHOULD:$minMatch"
+    // matched-count semantics are order-free: sort the memo key so
+    // permuted queries share one entry
+    memoized(root, QueryKey(terms.sorted, mode, k, scopes, m.snapshotId)) {
+      if (scopes.isEmpty) {
+        val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
+        val p = plan(spark, root, QuerySpec(terms, "OR", k), stats,
+          pinned = Some(m))
+        if (p.terms.size < minMatch) Vector.empty
+        else executePlan(spark, root, p.copy(mode = mode), stats, None, Some(m))
+      } else {
+        val all = scopes.flatMap { sc =>
+          scopedKeptPlan(spark, root, m, terms, sc, mode, k) match {
+            case Some((p, stats, ranges)) if p.terms.size >= minMatch =>
+              executePlan(spark, root, p, stats, Some(ranges), Some(m))
+            case _ => Vector.empty
+          }
+        }
+        unionBest(all, k)
+      }
+    }
   }
 
   /** Shared scoring-BooleanQuery rewrite tail for the multi-term query

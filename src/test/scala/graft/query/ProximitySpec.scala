@@ -156,6 +156,77 @@ class ProximitySpec extends AnyFunSuite {
       "an empty MUST_NOT clause IS the AND query")
   }
 
+  // ---- boolean SHOULD / minimum_should_match (r7) -----------------------
+
+  private val shouldCases: Seq[(String, Int, Int)] = Seq(
+    ("needlemid w0000 w0001", 1, 10),
+    ("needlemid w0000 w0001", 2, 10),
+    ("needlemid w0000 w0001", 3, 10),
+    ("needlerare needlemid w0002 w0003", 2, 10),
+    ("needlerare needlemid w0002 w0003", 3, 8),
+    ("w0000 w0000 w0001", 2, 10),      // duplicates collapse: 2 distinct clauses
+    ("absentterm w0000 w0001", 2, 10), // unknown clause never matches but COUNTS
+    ("absentterm w0000 w0001", 3, 10), // → unsatisfiable: empty
+    ("stopish w0000 w0001", 3, 10),    // stop-capped clause counts too → empty
+    ("stopish w0000 w0001", 2, 10),
+    ("needlemid", 1, 10),
+    ("", 2, 10))                       // blank query
+
+  test("engine queryShould: rank-identical to the count-qualified brute force") {
+    shouldCases.foreach { case (q, mm, k) =>
+      val expected = oracle.shouldTopK(q, mm, k)
+      val got = SearchEngine.queryShould(spark, root, q, mm, k)
+      assert(got == expected,
+        s"SHOULD '$q'>=$mm k=$k: got $got expected $expected")
+    }
+  }
+
+  test("SHOULD laws: minMatch=1 == OR, minMatch=n == AND, between strictly between") {
+    val all = 100000
+    val q = "needlemid w0000 w0001"
+    assert(SearchEngine.queryShould(spark, root, q, 1, all)
+      == SearchEngine.query(spark, root, q, "OR", all),
+      "minMatch=1 must be the OR query, scores bit-equal")
+    assert(SearchEngine.queryShould(spark, root, q, 3, all)
+      == SearchEngine.query(spark, root, q, "AND", all),
+      "minMatch=n (all terms surviving) must be the AND query")
+    assert(SearchEngine.queryShould(spark, root, q, 4, all).isEmpty,
+      "minMatch > #terms is unsatisfiable")
+    intercept[IllegalArgumentException] {
+      SearchEngine.queryShould(spark, root, q, 0, all)
+    }
+    val mid = SearchEngine.queryShould(spark, root, q, 2, all)
+    val orH = SearchEngine.query(spark, root, q, "OR", all)
+    val andH = SearchEngine.query(spark, root, q, "AND", all)
+    assert(andH.map(_.docId).toSet.subsetOf(mid.map(_.docId).toSet))
+    assert(mid.map(_.docId).toSet.subsetOf(orH.map(_.docId).toSet))
+    assert(andH.size < mid.size && mid.size < orH.size,
+      s"2-of-3 must be strictly between AND (${andH.size}) and OR (${orH.size}), got ${mid.size}")
+    // a SHOULD hit scores exactly like its OR hit (present-term BM25 sum)
+    val orMap = orH.map(h => h.docId -> h.score).toMap
+    mid.foreach(h => assert(orMap.get(h.docId).contains(h.score),
+      s"SHOULD hit ${h.docId} must carry its OR score"))
+    // every 2-of-3 hit matches >= 2 distinct query terms on the raw stream
+    val qTerms = Set("needlemid", "w0000", "w0001")
+    mid.foreach { h =>
+      val matched = Analyzer.tokensFor(Analyzer.Version, oracle.text(h.docId))
+        .toSet.intersect(qTerms).size
+      assert(matched >= 2, s"hit ${h.docId} matches only $matched terms")
+    }
+  }
+
+  test("scoped queryShould: per-scope stats + best-instance union == scoped oracle") {
+    Seq(Seq("conv-0000001"), Seq("conv-000000", "conv-0000001"),
+        Seq("conv-0000001", "conv-00000010"), Seq("zz-no-such")).foreach { scopes =>
+      Seq(("needlemid w0000 w0001", 2), ("needlerare needlemid w0002", 2),
+          ("w0000 w0001", 1)).foreach { case (q, mm) =>
+        val expected = oracle.shouldTopKScoped(q, mm, 10, scopes)
+        val got = SearchEngine.queryShould(spark, root, q, mm, 10, scopes)
+        assert(got == expected, s"scoped SHOULD '$q'>=$mm $scopes")
+      }
+    }
+  }
+
   // ---- ordered NEAR (r6: Lucene SpanNearQuery inOrder) ------------------
 
   private def isSubseq(needle: Vector[String], hay: Vector[String]): Boolean = {

@@ -80,6 +80,32 @@ class WandSpec extends AnyFunSuite {
     hits.sortBy(h => (-h.score, h.docId)).take(k)
   }
 
+  /** Count-qualified brute force: docs matching >= minMatch of the
+    * PRESENT terms, scored over the matched terms in canonical order —
+    * the [[Wand.shouldTopKSegments]] contract. minMatch counts against
+    * present cursors only because the caller (SearchEngine.queryShould)
+    * answers empty when planning drops survivors below minMatch. */
+  private def bruteShould(corpus: Corpus, terms: Seq[String], minMatch: Int,
+                          k: Int): Vector[SearchHit] = {
+    val nDocs = corpus.size.toLong
+    val avgdl = corpus.values.map(dl).sum.toDouble / nDocs
+    val dfs = terms.map(t => t -> corpus.count(_._2.contains(t)).toLong).toMap
+    val present = terms.filter(t => dfs(t) > 0)
+    if (present.size < minMatch) return Vector.empty
+    val canonical = present.sortBy(t => (dfs(t), t))
+    val hits = corpus.toVector.flatMap { case (d, m) =>
+      if (present.count(m.contains) < minMatch) None
+      else {
+        var s = 0.0
+        canonical.foreach { t =>
+          m.get(t).foreach(tf => s += Bm25.score(tf, dfs(t), dl(m), nDocs, avgdl))
+        }
+        Some(SearchHit(d, s))
+      }
+    }
+    hits.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
   private val caseGen = for {
     c <- corpusGen.suchThat(_.nonEmpty)
     nTerms <- Gen.chooseNum(1, 4)
@@ -106,6 +132,55 @@ class WandSpec extends AnyFunSuite {
       val expected = brute(corpus, terms, "OR", k)
       val got = Wand.orTopK(cursors, k)
       assert(got == expected, s"terms=$terms k=$k cap=$cap bs=$bs")
+    }
+  }
+
+  test("property: SHOULD/minMatch top-k == count-qualified brute force") {
+    forAllSeeded(caseGen, n = 150) { case (corpus, terms, k, cap, bs) =>
+      val (cursors, _, _) = buildCursors(corpus, terms, cap, bs)
+      if (cursors.nonEmpty) {
+        (1 to cursors.size).foreach { minMatch =>
+          val expected = bruteShould(corpus, terms, minMatch, k)
+          val fresh = buildCursors(corpus, terms, cap, bs)._1 // per minMatch
+          val got = Wand.shouldTopKSegments(fresh, minMatch, k,
+            Vector((0L, Long.MaxValue)))
+          assert(got == expected,
+            s"terms=$terms minMatch=$minMatch k=$k cap=$cap bs=$bs")
+        }
+      }
+    }
+  }
+
+  test("property: SHOULD laws — minMatch=1 == OR; minMatch=n == AND (all present)") {
+    forAllSeeded(caseGen, n = 120) { case (corpus, terms, k, cap, bs) =>
+      def fresh() = buildCursors(corpus, terms, cap, bs)._1
+      val cs = fresh()
+      if (cs.nonEmpty) {
+        assert(Wand.shouldTopKSegments(fresh(), 1, k, Vector((0L, Long.MaxValue)))
+          == Wand.orTopK(fresh(), k), s"minMatch=1 vs OR: terms=$terms")
+        // the n-of-n law needs every term present (AND of missing = empty
+        // by the CALLER's planning; the core sees present cursors only)
+        if (cs.size == terms.size)
+          assert(Wand.shouldTopKSegments(fresh(), cs.size, k,
+              Vector((0L, Long.MaxValue)))
+            == Wand.andTopK(fresh(), k), s"minMatch=n vs AND: terms=$terms")
+      }
+    }
+  }
+
+  test("property: segmented SHOULD in one pass == union of per-segment calls") {
+    forAllSeeded(segmentedGen, n = 100) { case ((corpus, terms, k, cap, bs), segs) =>
+      val probe = buildCursors(corpus, terms, cap, bs)._1
+      if (segs.nonEmpty && probe.nonEmpty) {
+        def fresh() = buildCursors(corpus, terms, cap, bs)._1
+        val minMatch = 1 + (terms.size + k) % probe.size // deterministic pick
+        val expected = segs.flatMap { case (lo, hi) =>
+          Wand.shouldTopKSegments(fresh(), minMatch, k, Vector((lo, hi)))
+        }.sortBy(h => (-h.score, h.docId)).take(k)
+        val got = Wand.shouldTopKSegments(fresh(), minMatch, k, segs)
+        assert(got == expected,
+          s"terms=$terms minMatch=$minMatch k=$k segs=$segs")
+      }
     }
   }
 

@@ -31,6 +31,8 @@ object SparkEntry {
     "near_ordered_topk" -> (Q.nearOrderedTopK(_, _)),
     "bool_not_topk" -> (Q.boolNotTopK(_, _)),
     "bool_should_topk" -> (Q.boolShouldTopK(_, _)),
+    "field_filter_topk" -> (Q.fieldFilterTopK(_, _)),
+    "range_filter_topk" -> (Q.rangeFilterTopK(_, _)),
     "prefix_term_topk" -> (Q.prefixTermTopK(_, _)),
     "fuzzy_term_topk" -> (Q.fuzzyTermTopK(_, _)),
     "wildcard_topk" -> (Q.wildcardTopK(_, _)),
@@ -103,6 +105,8 @@ object SparkEntry {
     "near_ordered_topk" -> Q.nearOrderedTopKSql,
     "bool_not_topk" -> Q.boolNotTopKSql,
     "bool_should_topk" -> Q.boolShouldTopKSql,
+    "field_filter_topk" -> Q.fieldFilterTopKSql,
+    "range_filter_topk" -> Q.rangeFilterTopKSql,
     "prefix_term_topk" -> Q.prefixTermTopKSql,
     "fuzzy_term_topk" -> Q.fuzzyTermTopKSql,
     "wildcard_topk" -> Q.wildcardTopKSql,

@@ -146,4 +146,27 @@ object Analyzer extends Serializable {
   def foldWildcard(raw: String): String =
     if (raw == null) ""
     else fold(raw.filter(c => isTokenChar(c) || c == '*' || c == '?'))
+
+  // ---- typed-field posting namespace (r7 format rev) -------------------
+  // Keyword fields (role/tool — Lucene StringField analog) index as
+  // posting lists in a RESERVED term namespace: the \u0000 marker is a
+  // control char, which [[tokens]] treats as a separator in every
+  // analyzer version, so a field term can never collide with (or be
+  // produced by) any text token, query phrase, prefix/fuzzy/wildcard
+  // pattern, or MUST_NOT list. Values fold (lowercase + ё) but are NEVER
+  // stemmed or token-filtered — keyword fields match the exact folded
+  // string, the same fold-not-stem contract as [[foldPrefix]].
+
+  /** Reserved marker prefixing every field term. */
+  val FieldMarker = "\u0000"
+
+  /** The posting term for a (field, value) equality — shared verbatim by
+    * the index builder and the query planner so they can never disagree. */
+  def fieldTerm(field: String, value: String): String =
+    FieldMarker + field + FieldMarker + fold(if (value == null) "" else value.trim)
+
+  /** Is this posting term a typed-field term (vs a text term)? The
+    * dictionary (term_stats), every expansion surface and the corpus
+    * statistics exclude these. */
+  def isFieldTerm(term: String): Boolean = term.startsWith(FieldMarker)
 }

@@ -102,8 +102,12 @@ object BuildIndex {
   * terms, scored over the present terms — min-match 1 is OR, min-match =
   * #terms is AND of the same terms; a term the index has never seen
   * still counts toward the requirement (Lucene parity: an unsatisfiable
-  * clause is not dropped). All surfaces compose with --scopes (per-scope
-  * statistics) and --snapshot.
+  * clause is not dropped). Typed field filters (r7, Lucene FILTER
+  * clauses): `--role X` / `--tool Y` (case-insensitive exact match) and
+  * `--from <ts>` / `--to <ts>` (inclusive; epoch millis or
+  * yyyy-MM-dd[ HH:mm:ss], UTC) restrict candidates WITHOUT touching
+  * scores or statistics; they compose with every mode, --scopes and
+  * --snapshot, and need a fields-enabled index (the build default).
   */
 object Query {
   def main(args: Array[String]): Unit = {
@@ -113,7 +117,8 @@ object Query {
     if (a.size < 2) sys.error(
       "usage: Query <indexRoot> <queryText> [--mode AND|OR|SHOULD|PHRASE|NEAR|PREFIX|FUZZY|WILDCARD] " +
       "[--k N] [--slop N] [--ordered] [--edits N] [--prefix-len N] [--min-match N] " +
-      "[--not <terms>] [--naive] [--conv <prefix>] [--snapshot N]")
+      "[--not <terms>] [--role X] [--tool Y] [--from ts] [--to ts] " +
+      "[--naive] [--conv <prefix>] [--snapshot N]")
     val root = a(0)
     val q = a(1)
     val mode = opt("--mode").getOrElse("AND").toUpperCase
@@ -124,7 +129,8 @@ object Query {
     val usage =
       "usage: Query <indexRoot> <queryText> [--mode AND|OR|SHOULD|PHRASE|NEAR|PREFIX|FUZZY|WILDCARD] " +
       "[--k N] [--slop N] [--ordered] [--edits N] [--prefix-len N] [--min-match N] " +
-      "[--not <terms>] [--naive] [--conv <prefix>] [--snapshot N]"
+      "[--not <terms>] [--role X] [--tool Y] [--from ts] [--to ts] " +
+      "[--naive] [--conv <prefix>] [--snapshot N]"
     def numOpt(name: String): Option[Long] = opt(name).map { s =>
       s.toLongOption.getOrElse(sys.error(
         s"$name expects an integer, got '$s' — " + usage))
@@ -174,6 +180,24 @@ object Query {
     // SHOULD clause must match
     val minMatch = intOpt("--min-match").getOrElse(1)
     require(minMatch >= 1, s"--min-match must be >= 1, got $minMatch")
+    // typed field filters (r7): epoch millis or yyyy-MM-dd[ HH:mm:ss] UTC
+    def tsOpt(name: String): Option[java.sql.Timestamp] = opt(name).map { v =>
+      v.toLongOption.map(new java.sql.Timestamp(_)).getOrElse {
+        val norm = if (v.length == 10) v + " 00:00:00" else v
+        scala.util.Try(java.sql.Timestamp.valueOf(norm)).getOrElse(sys.error(
+          s"$name expects epoch millis or yyyy-MM-dd[ HH:mm:ss], got '$v' — " +
+          usage))
+      }
+    }
+    Seq("--role", "--tool", "--from", "--to").foreach { f =>
+      require(!a.contains(f) || opt(f).exists(!_.startsWith("--")),
+        s"$f expects a value (missing?)")
+    }
+    val qFilter = graft.model.QueryFilter(
+      role = opt("--role"), tool = opt("--tool"),
+      tsFrom = tsOpt("--from"), tsTo = tsOpt("--to"))
+    require(qFilter.isEmpty || (conv.isEmpty && !a.contains("--naive")),
+      "field/ts filters do not combine with --naive/--conv (use --scopes)")
     // mode checks FIRST, then the slop parse/range (ADVICE r05 item 2:
     // 'Query ... --mode AND --slop abc' must say --slop is NEAR-only, not
     // die in toInt; NEAR with a bad/negative slop gets the usage message)
@@ -215,32 +239,36 @@ object Query {
     }
     val hits =
       if (mode == "PHRASE")
-        diagnosed(SearchEngine.phraseTopK(spark, root, q, k, proxScopes, pinned))
+        diagnosed(SearchEngine.phraseTopK(spark, root, q, k, proxScopes,
+          pinned, qFilter))
       else if (mode == "NEAR")
         diagnosed(SearchEngine.nearTopK(spark, root, q, slop, k, proxScopes,
-          pinned, ordered = a.contains("--ordered")))
+          pinned, ordered = a.contains("--ordered"), filter = qFilter))
       else if (mode == "PREFIX")
-        diagnosed(SearchEngine.prefixTopK(spark, root, q, k, proxScopes, pinned))
+        diagnosed(SearchEngine.prefixTopK(spark, root, q, k, proxScopes,
+          pinned, qFilter))
       else if (mode == "FUZZY")
         diagnosed(SearchEngine.fuzzyTopK(spark, root, q, edits, k, prefixLen,
-          proxScopes, pinned))
+          proxScopes, pinned, qFilter))
       else if (mode == "WILDCARD")
-        diagnosed(SearchEngine.wildcardTopK(spark, root, q, k, proxScopes, pinned))
+        diagnosed(SearchEngine.wildcardTopK(spark, root, q, k, proxScopes,
+          pinned, qFilter))
       else if (mode == "SHOULD")
         diagnosed(SearchEngine.queryShould(spark, root, q, minMatch, k,
-          proxScopes, pinned))
+          proxScopes, pinned, qFilter))
       else if (notText.isDefined)
         diagnosed(SearchEngine.queryNot(spark, root, q, notText.get, k,
-          proxScopes, pinned))
+          proxScopes, pinned, qFilter))
       else if (a.contains("--naive"))
         SearchEngine.queryNaive(spark, root, q, mode, k).collect()
           .map(r => graft.model.SearchHit(r.getLong(0), r.getDouble(1))).toVector
       else (snapshot, scopes.orElse(conv.map(Seq(_)))) match {
         case (Some(v), ss) =>
-          SearchEngine.queryAt(spark, root, v, q, mode, k, ss.getOrElse(Nil))
+          SearchEngine.queryAt(spark, root, v, q, mode, k, ss.getOrElse(Nil),
+            qFilter)
         case (None, Some(ss)) =>
-          SearchEngine.queryScoped(spark, root, q, mode, k, ss)
-        case _ => SearchEngine.query(spark, root, q, mode, k)
+          SearchEngine.queryScoped(spark, root, q, mode, k, ss, qFilter)
+        case _ => SearchEngine.query(spark, root, q, mode, k, None, qFilter)
       }
     val ms = (System.nanoTime() - t0) / 1e6
     val modeLabel =
@@ -249,7 +277,8 @@ object Query {
       else if (mode == "FUZZY") s"FUZZY~$edits"
       else if (mode == "SHOULD") s"SHOULD>=$minMatch"
       else if (notText.isDefined) s"AND NOT(${notText.get})" else mode
-    println(f"query='$q' mode=$modeLabel k=$k → ${hits.size} hits in $ms%.0f ms")
+    val filterLabel = if (qFilter.isEmpty) "" else " +filter"
+    println(f"query='$q' mode=$modeLabel$filterLabel k=$k → ${hits.size} hits in $ms%.0f ms")
     // hit previews must come from the SAME snapshot the hits did
     val docs = pinned match {
       case Some(m) =>

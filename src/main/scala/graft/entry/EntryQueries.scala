@@ -249,6 +249,39 @@ object EntryQueries {
   val boolNotTopKSql: String =
     boolNotSql(Seq("spark", "merge"), Seq("join"), k = 10)
 
+  /** Typed-field FILTER clause BM25 top-k (Lucene BooleanQuery FILTER
+    * occurs) — the relational twin of `SearchEngine.query(filter =
+    * QueryFilter(role/tool))`: the AND intersection restricted to docs
+    * with `lang = 'en'` (the documents-table analog of the transcript
+    * corpus's keyword fields), scored with the UNFILTERED corpus
+    * statistics — a filter restricts candidates and never re-weighs, so
+    * every surviving hit keeps its unfiltered score (FieldFilterSpec pins
+    * the law on the engine side; this gate pins it in DuckDB). lang='en'
+    * keeps 218/500 sf0.01 docs: the filter has teeth without emptying
+    * the top-10. */
+  def fieldFilterTopK(s: SparkSession, dir: String): DataFrame =
+    bm25(s, dir, Seq("spark", "merge"), and = true, k = 10,
+      docPred = Some(col("lang") === "en"))
+
+  val fieldFilterTopKSql: String =
+    filteredSql(Seq("spark", "merge"), "d2.lang = 'en'", k = 10)
+
+  /** Range FILTER clause BM25 top-k — the relational twin of the engine's
+    * `ts`-range filter (`QueryFilter(tsFrom/tsTo)`): an inclusive range
+    * predicate on an ordered doc column (`n_chars`, the documents-table
+    * stand-in for the transcript `ts` stamp) restricting candidates with
+    * unfiltered scores. On the engine side the same predicate becomes
+    * docId SEGMENTS (contiguousRuns over the time-ordered docs) that
+    * bound the posting walk; here it is the pushable min/max row-group
+    * predicate the segments derive from. */
+  def rangeFilterTopK(s: SparkSession, dir: String): DataFrame =
+    bm25(s, dir, Seq("spark", "merge"), and = true, k = 10,
+      docPred = Some(col("n_chars") >= 200 && col("n_chars") <= 600))
+
+  val rangeFilterTopKSql: String =
+    filteredSql(Seq("spark", "merge"),
+      "d2.n_chars BETWEEN 200 AND 600", k = 10)
+
   /** Boolean SHOULD / minimum_should_match BM25 top-k — the relational
     * twin of `SearchEngine.queryShould` (Lucene BooleanQuery optional
     * clauses + setMinimumNumberShouldMatch, the third clause type after
@@ -316,7 +349,8 @@ object EntryQueries {
                    phrase: Option[Seq[String]] = None,
                    near: Option[(Seq[String], Int)] = None,
                    orderedNear: Boolean = false,
-                   not: Seq[String] = Nil): DataFrame = {
+                   not: Seq[String] = Nil,
+                   docPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val docs = t(s, dir, "documents")
     // the cache is scoped to THIS call: the ≤k-row result is materialized
     // while it is hot and the cache unpersisted before returning (the r01
@@ -368,8 +402,19 @@ object EntryQueries {
         else cand.join(tf.filter(col("term").isin(not: _*))
             .select(col("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
+      // FILTER clause (r7, engine twin: SearchEngine QueryFilter): a doc
+      // column predicate restricts CANDIDATES only — df/N/avgdl above are
+      // the UNFILTERED corpus statistics, so a filtered hit's score is
+      // bit-equal to its unfiltered score (Lucene FILTER semantics: a
+      // filter never re-weighs). Semi-join keeps the filter pushable to
+      // the docs scan (PushedFilters on lang/n_chars row-group stats).
+      val cand3 = docPred match {
+        case None => cand2
+        case Some(p) => cand2.join(docs.filter(p).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      }
       val dfCol = typedLit(dfMap)
-      val result = qtf.join(cand2, Seq("doc_id"), "left_semi")
+      val result = qtf.join(cand3, Seq("doc_id"), "left_semi")
         .join(dl, Seq("doc_id"))
         .withColumn("s", Bm25.scoreCol(col("tf"), dfCol(col("term")),
           col("dl"), n, avgdl))
@@ -391,6 +436,24 @@ object EntryQueries {
        |  SELECT term, count(*) AS df FROM tf WHERE term IN ($inList) GROUP BY term
        |), cand AS (
        |  $cand
+       |)
+       |${bm25ScoreTail(s"t.term IN ($inList)", k)}""".stripMargin
+  }
+
+  /** FILTER oracle: the AND-intersection candidates restricted to docs
+    * passing a column predicate (aliased `d2` over `documents`); the
+    * scoring tail — and every statistic it reads — is the unfiltered
+    * corpus's. */
+  private def filteredSql(terms: Seq[String], pred: String, k: Int): String = {
+    val inList = terms.map(x => s"'$x'").mkString(", ")
+    val intersect = terms.map(x => s"SELECT doc_id FROM tf WHERE term = '$x'")
+      .mkString("\nINTERSECT ")
+    s"""$bm25SqlCte, qt AS (
+       |  SELECT term, count(*) AS df FROM tf WHERE term IN ($inList) GROUP BY term
+       |), cand AS (
+       |  SELECT doc_id FROM (
+       |  $intersect
+       |  ) WHERE doc_id IN (SELECT doc_id FROM documents d2 WHERE $pred)
        |)
        |${bm25ScoreTail(s"t.term IN ($inList)", k)}""".stripMargin
   }

@@ -245,9 +245,14 @@ object DocIdAssigner {
         val id = next
         next += 1
         (id, r.getString(0), r.getInt(1), r.getString(2), r.getString(3),
-          r.getString(4), Analyzer.tokens(r.getString(3)).length, shardBase + pid)
+          r.getString(4), Analyzer.tokens(r.getString(3)).length, shardBase + pid,
+          // ts rides into the docs table (r7: typed ts-range filters map
+          // to docId segments via a pushed-down docs-column predicate;
+          // parquet row-group min/max stats on ts are the prune)
+          r.getTimestamp(5))
       }
-    }.toDF("docId", "conv_id", "turn_idx", "role", "text", "tool", "dl", "shard")
+    }.toDF("docId", "conv_id", "turn_idx", "role", "text", "tool", "dl",
+      "shard", "ts")
     (df, stats)
   }
 

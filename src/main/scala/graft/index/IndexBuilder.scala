@@ -246,6 +246,7 @@ object IndexBuilder {
             maxChunkPostings: Int = MaxChunkPostings,
             stem: Boolean = false,
             positions: Boolean = false,
+            fields: Boolean = true,
             cancelCheck: () => Boolean = () => false): BuiltIndex = {
     import spark.implicits._
     val P = Paths(root)
@@ -325,18 +326,22 @@ object IndexBuilder {
       case Some(m) if m.inputFingerprint == fingerprint &&
           m.analyzerVersion == analyzerVersion &&
           m.positions == positions &&
+          m.fields == fields &&
           m.completedShards.size >= shards &&
           hasSuccess(spark, P.termStatsGen(0)) =>
         return BuiltIndex(root, m)
       case Some(m) if m.inputFingerprint != fingerprint ||
           m.analyzerVersion != analyzerVersion ||
-          m.positions != positions =>
+          m.positions != positions ||
+          m.fields != fields =>
         // input, analyzer or posting format changed → stale checkpoints
         // are invalid (a resume must not mix formats across waves)
         throw new IllegalStateException(
           s"index at $root was built from different input/analyzer/format " +
-          s"(${m.inputFingerprint}/${m.analyzerVersion}/pos=${m.positions} " +
-          s"vs $fingerprint/$analyzerVersion/pos=$positions); use a fresh root")
+          s"(${m.inputFingerprint}/${m.analyzerVersion}/pos=${m.positions}" +
+          s"/fields=${m.fields} " +
+          s"vs $fingerprint/$analyzerVersion/pos=$positions/fields=$fields); " +
+          "use a fresh root")
       case _ => ()
     }
 
@@ -352,7 +357,7 @@ object IndexBuilder {
     val missing = (0 until shards).filterNot(done).toVector
     var manifest = IndexManifest.read(root).getOrElse(
       Manifest(0L, analyzerVersion, fingerprint, nDocs, 0.0, Nil,
-        positions = positions))
+        positions = positions, fields = fields))
     // The FIRST wave of a fresh build can use the cheap static commit
     // (nothing to preserve); every later wave — and any resume — must use
     // dynamic partition overwrite so only the touched shard partitions
@@ -376,17 +381,17 @@ object IndexBuilder {
         s"graft index build $root wave $wi", interruptOnCancel = true)
       try timed(s"postings-wave") {
         withOneFilePerTask(spark, P.docsGen(0)) { docsAll =>
+          val fieldCols =
+            if (fields) Seq($"role", $"tool") else Nil
           val waveDocs = docsAll.filter($"shard".isin(wave: _*))
-            .select($"docId", $"dl", $"shard", $"text")
+            .select(Seq($"docId", $"dl", $"shard", $"text") ++ fieldCols: _*)
           val doStem = stem
           val withPos = positions
+          val withFields = fields
           val encoded = waveDocs.mapPartitions { rows =>
             invertDocsPartition(rows, doStem, maxChunkPostings,
-              MaxBufferedPostings, withPos).map { pl =>
-              acc.add((pl.shard, if (pl.chunk == 0) 1L else 0L, pl.count,
-                pl.docIds.length.toLong + pl.tfs.length + pl.dls.length +
-                  (if (pl.positions != null) pl.positions.length.toLong else 0L),
-                pl.sumTf))
+              MaxBufferedPostings, withPos, withFields).map { pl =>
+              acc.add(shardMetrics(pl))
               pl
             }
           }
@@ -433,11 +438,7 @@ object IndexBuilder {
     // longer needed on this path. Reads ~compressed-postings bytes, not
     // the raw tf relation.
     if (!hasSuccess(spark, P.termStatsGen(0))) timed("term-stats") {
-      spark.read.parquet(P.postingsGen(0))
-        .groupBy($"term")
-        .agg(sum($"count").as("df"), max($"maxTf").as("maxTf"),
-          sum($"sumTf").as("sumTf"))
-        .select($"term", $"df", $"maxTf".cast("int").as("maxTf"), $"sumTf")
+      termStatsAgg(spark.read.parquet(P.postingsGen(0)))
         .write.mode(SaveMode.Overwrite).parquet(P.termStatsGen(0))
     }
 
@@ -485,10 +486,69 @@ object IndexBuilder {
     * ordinals in the ANALYZED stream (the r6 positional format rev; what
     * a query-time re-tokenize of the doc would yield, ordinal-identical
     * because stemming is 1:1 per token). */
+  /** The term-dictionary aggregation over a postings frame — ONE
+    * definition shared by the build's stage 3, maintenance's full
+    * recompute and fsck's deep check, so the field-term exclusion can
+    * never drift: typed-field postings (the reserved \u0000 namespace,
+    * r7) are INVISIBLE to the dictionary — they carry no BM25 weight, no
+    * df the stop cap could see, and no term an expansion
+    * (prefix/fuzzy/wildcard) could surface. */
+  /** Shard-metric contribution of one encoded posting list: (shard,
+    * terms, postings, bytes, sumTf). Typed-field lists (the reserved
+    * namespace) contribute BYTES ONLY — the manifest's terms/postings/
+    * sumTf metrics describe the TEXT index, the same contract as the
+    * dictionary ([[termStatsAgg]]) and the avgdl identity. ONE definition
+    * for the build wave and both maintenance rewrites so the exclusion
+    * can't drift. */
+  def shardMetrics(pl: graft.model.PostingList): (Int, Long, Long, Long, Long) = {
+    val field = Analyzer.isFieldTerm(pl.term)
+    (pl.shard,
+      if (pl.chunk == 0 && !field) 1L else 0L,
+      if (field) 0L else pl.count,
+      pl.docIds.length.toLong + pl.tfs.length + pl.dls.length +
+        (if (pl.positions != null) pl.positions.length.toLong else 0L),
+      pl.sumTf)
+  }
+
+  def termStatsAgg(postings: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    postings
+      .filter(!col("term").startsWith(Analyzer.FieldMarker))
+      .groupBy(col("term"))
+      .agg(sum(col("count")).as("df"), max(col("maxTf")).as("maxTf"),
+        sum(col("sumTf")).as("sumTf"))
+      .select(col("term"), col("df"), col("maxTf").cast("int").as("maxTf"),
+        col("sumTf"))
+  }
+
   def invertDocsPartition(rows: Iterator[org.apache.spark.sql.Row],
                           stem: Boolean, maxChunk: Int,
                           budget: Int,
-                          positions: Boolean = false): Iterator[PostingList] = {
+                          positions: Boolean = false,
+                          fields: Boolean = false): Iterator[PostingList] = {
+    // typed-field postings (r7): one tf=1 posting per non-empty keyword
+    // field value, in the reserved namespace. Emitted BEFORE the text
+    // terms so per-(shard, term) docId order is preserved either way
+    // (each docId contributes each term at most once). Positional
+    // indexes give them a single ordinal 0 — the codec requires
+    // positions.length == tf, and no phrase/NEAR walk can ever name a
+    // field term (the planner can't produce the marker).
+    def fieldTuples(docId: Long, dl: Int, shard: Int,
+                    r: org.apache.spark.sql.Row)
+        : Iterator[(Long, String, Int, Int, Int, Array[Int])] =
+      // dl == 0 docs emit NO field postings: a token-less doc can never
+      // be a candidate of any query mode (filters only restrict text
+      // queries), so its field postings would be unreachable — and
+      // skipping them preserves the zero-posting-shard invariant
+      // (postings == 0 ⇔ no posting rows, MaintenanceSpec)
+      if (!fields || dl == 0) Iterator.empty
+      else Iterator(("role", 4), ("tool", 5)).flatMap { case (f, i) =>
+        val v = if (r.isNullAt(i)) "" else r.getString(i)
+        val t = Analyzer.fieldTerm(f, v)
+        if (t.endsWith(Analyzer.FieldMarker)) None // empty value: no posting
+        else Some((docId, t, 1, dl, shard,
+          if (positions) Array(0) else null))
+      }
     val expanded = rows.flatMap { r =>
       val docId = r.getLong(0)
       val dl = r.getInt(1)
@@ -509,7 +569,7 @@ object IndexBuilder {
           out(i) = (docId, e.getKey, e.getValue, dl, shard, null)
           i += 1
         }
-        out.iterator
+        fieldTuples(docId, dl, shard, r) ++ out.iterator
       } else {
         // per-term ascending ordinals (unboxed builders; transient per doc)
         val posByTerm =
@@ -534,7 +594,7 @@ object IndexBuilder {
           out(i) = (docId, e.getKey, ps.length, dl, shard, ps)
           i += 1
         }
-        out.iterator
+        fieldTuples(docId, dl, shard, r) ++ out.iterator
       }
     }
     invertTuples(expanded, maxChunk, budget, withPos = positions)
@@ -611,9 +671,15 @@ object IndexBuilder {
           a
         }
       val enc = PostingCodec.encodeBlocked(ds, ts, dl, positions = psArr)
+      // field postings carry sumTf = 0: Σ sumTf over TEXT postings is the
+      // exact Σ dl identity the corpus stats (avgdl) derive from — field
+      // lists are weightless everywhere (dictionary excludes them too,
+      // see termStatsAgg)
       var sumTf = 0L
-      var si = 0
-      while (si < ts.length) { sumTf += ts(si); si += 1 }
+      if (!Analyzer.isFieldTerm(key._2)) {
+        var si = 0
+        while (si < ts.length) { sumTf += ts(si); si += 1 }
+      }
       out += PostingList(b.shard, key._2, b.chunk, ds.length.toLong,
         if (ts.isEmpty) 0 else ts.max, sumTf,
         enc.docBytes, enc.tfBytes, enc.dlBytes,

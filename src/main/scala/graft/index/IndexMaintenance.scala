@@ -328,17 +328,19 @@ object IndexMaintenance {
         // duplicate doc rows through the join (dedupe upstream if the
         // surviving copy matters)
         val r = repl.dropDuplicates("conv_id", "turn_idx")
-          .select($"conv_id", $"turn_idx",
-            $"role".as("r_role"), $"text".as("r_text"), $"tool".as("r_tool"))
+          .select(Seq($"conv_id", $"turn_idx",
+            $"role".as("r_role"), $"text".as("r_text"), $"tool".as("r_tool")) ++
+            (if (m0.fields) Seq($"ts".as("r_ts")) else Nil): _*)
         kept.join(r, Seq("conv_id", "turn_idx"), "left")
-          .select($"docId", $"conv_id", $"turn_idx",
+          .select(Seq($"docId", $"conv_id", $"turn_idx",
             coalesce($"r_role", $"role").as("role"),
             coalesce($"r_text", $"text").as("text"),
             coalesce($"r_tool", $"tool").as("tool"),
             when($"r_text".isNotNull,
               size(graft.functions.TokensExpression.tokens($"r_text")))
               .otherwise($"dl").cast("int").as("dl"),
-            $"shard")
+            $"shard") ++
+            (if (m0.fields) Seq(coalesce($"r_ts", $"ts").as("ts")) else Nil): _*)
     }
     // The repartition re-establishes the ONE-FILE-PER-SHARD layout
     // invariant the aligned query scan and the chunk-ordinal metric
@@ -352,8 +354,9 @@ object IndexMaintenance {
         coalesce(mapping($"shard"), $"shard").cast("int")
       }
     newDocs
-      .select($"docId", $"conv_id", $"turn_idx", $"role", $"text", $"tool",
-        $"dl", relabelCol.as("shard"))
+      .select(Seq($"docId", $"conv_id", $"turn_idx", $"role", $"text", $"tool",
+        $"dl", relabelCol.as("shard")) ++
+        (if (m0.fields) Seq($"ts") else Nil): _*)
       .repartition($"shard")
       .sortWithinPartitions($"shard", $"docId")
       .write.mode(SaveMode.Overwrite).partitionBy("shard")
@@ -370,15 +373,15 @@ object IndexMaintenance {
     spark.sparkContext.register(acc, "maintShardMetrics")
     if (IndexSnapshot.hasParquetFiles(spark, P.docsGen(newGen))) {
       IndexBuilder.withOneFilePerTask(spark, P.docsGen(newGen)) { docsAll =>
+        val withFields = m0.fields // format is a build property, like positions
         docsAll
-          .select($"docId", $"dl", $"shard", $"text")
+          .select(Seq($"docId", $"dl", $"shard", $"text") ++
+            (if (withFields) Seq($"role", $"tool") else Nil): _*)
           .mapPartitions { rows =>
             IndexBuilder.invertDocsPartition(rows, stem,
               IndexBuilder.MaxChunkPostings,
-              IndexBuilder.MaxBufferedPostings, withPos).map { pl =>
-              acc.add((pl.shard, if (pl.chunk == 0) 1L else 0L, pl.count,
-                pl.docIds.length.toLong + pl.tfs.length + pl.dls.length,
-                pl.sumTf))
+              IndexBuilder.MaxBufferedPostings, withPos, withFields).map { pl =>
+              acc.add(IndexBuilder.shardMetrics(pl))
               pl
             }
           }
@@ -517,8 +520,11 @@ object IndexMaintenance {
     // assigner's steered 1:1 pid→task partitioning writes one file per
     // shard — the aligned-scan layout invariant)
     newDocs
-      .select($"docId", $"conv_id", $"turn_idx", $"role", $"text", $"tool",
-        $"dl", $"shard")
+      .select(Seq($"docId", $"conv_id", $"turn_idx", $"role", $"text", $"tool",
+        $"dl", $"shard") ++
+        // appends write the index's docs format: ts only on fields indexes
+        // (a legacy index must not end up with half its shards ts-less)
+        (if (m0.fields) Seq($"ts") else Nil): _*)
       .sortWithinPartitions($"shard", $"docId")
       .write.mode(SaveMode.Overwrite).partitionBy("shard")
       .parquet(P.docsGen(newGen))
@@ -529,15 +535,15 @@ object IndexMaintenance {
     val acc = new IndexBuilder.ShardMetricsAcc
     spark.sparkContext.register(acc, "appendShardMetrics")
     IndexBuilder.withOneFilePerTask(spark, P.docsGen(newGen)) { docsAll =>
+      val withFields = m0.fields // appends write the index's posting format
       docsAll
-        .select($"docId", $"dl", $"shard", $"text")
+        .select(Seq($"docId", $"dl", $"shard", $"text") ++
+          (if (withFields) Seq($"role", $"tool") else Nil): _*)
         .mapPartitions { rs =>
           IndexBuilder.invertDocsPartition(rs, stem,
             IndexBuilder.MaxChunkPostings,
-            IndexBuilder.MaxBufferedPostings, withPos).map { pl =>
-            acc.add((pl.shard, if (pl.chunk == 0) 1L else 0L, pl.count,
-              pl.docIds.length.toLong + pl.tfs.length + pl.dls.length,
-              pl.sumTf))
+            IndexBuilder.MaxBufferedPostings, withPos, withFields).map { pl =>
+            acc.add(IndexBuilder.shardMetrics(pl))
             pl
           }
         }
@@ -628,6 +634,9 @@ object IndexMaintenance {
       else if (appendOnly) {
         val delta = IndexSnapshot.postingsOf(spark, root,
             stamped.filter(_.postings > 0))
+          // field postings are invisible to the dictionary (see
+          // IndexBuilder.termStatsAgg — same exclusion on the roll)
+          .filter(!$"term".startsWith(Analyzer.FieldMarker))
           .groupBy($"term")
           .agg(sum($"count").as("dDf"), max($"maxTf").as("dMax"),
             sum($"sumTf").as("dSum"))
@@ -640,11 +649,8 @@ object IndexMaintenance {
             (coalesce($"sumTf", lit(0L)) + coalesce($"dSum", lit(0L)))
               .as("sumTf"))
       } else {
-        IndexSnapshot.postingsOf(spark, root, prospective)
-          .groupBy($"term")
-          .agg(sum($"count").as("df"), max($"maxTf").as("maxTf"),
-            sum($"sumTf").as("sumTf"))
-          .select($"term", $"df", $"maxTf".cast("int").as("maxTf"), $"sumTf")
+        IndexBuilder.termStatsAgg(
+          IndexSnapshot.postingsOf(spark, root, prospective))
       }
     if (statsDf != null)
       statsDf.write.mode(SaveMode.Overwrite).parquet(P.termStatsGen(statsGen))
@@ -703,11 +709,8 @@ object IndexMaintenance {
       // dictionary: the incrementally-rolled term_stats must equal a
       // fresh exact re-aggregation of the snapshot's posting metadata
       // (distributed symmetric difference — nothing vocab-sized collects)
-      val recomputed = IndexSnapshot.postings(spark, root, m)
-        .groupBy($"term")
-        .agg(sum($"count").as("df"), max($"maxTf").as("maxTf"),
-          sum($"sumTf").as("sumTf"))
-        .select($"term", $"df", $"maxTf".cast("int").as("maxTf"), $"sumTf")
+      val recomputed =
+        IndexBuilder.termStatsAgg(IndexSnapshot.postings(spark, root, m))
       val current = IndexSnapshot.termStats(spark, root, m)
         .select($"term", $"df", $"maxTf", $"sumTf")
         // an appended-then-deleted term may legitimately sit at df=0 in

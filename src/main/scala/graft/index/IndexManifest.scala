@@ -74,7 +74,14 @@ final case class Manifest(
       * version: maintenance reads it back so rewrites/appends keep every
       * shard on the same format; phrase/NEAR pick the posting-offset
       * verify when true and the rescan fallback when false. */
-    positions: Boolean = false) {
+    positions: Boolean = false,
+    /** r7 format rev: typed-field postings (role/tool in the reserved
+      *   namespace — Lucene StringField analog) + the ts column on
+      * every shard's docs. A BUILD property like `positions`:
+      * maintenance keeps the format, and field/ts query filters REFUSE
+      * on a fields-free index (a half-appended legacy index would
+      * otherwise silently exclude its legacy docs from ts filters). */
+    fields: Boolean = false) {
   def completedShards: Set[Int] = shards.map(_.shard).toSet
 }
 
@@ -259,7 +266,8 @@ object IndexManifest {
       head("inputFingerprint"), head("nDocs").toLong, head("avgdl").toDouble,
       shards, head.getOrElse("statsGen", "0").toLong,
       head.getOrElse("sumDl", "-1").toLong,
-      head.getOrElse("positions", "false").toBoolean)
+      head.getOrElse("positions", "false").toBoolean,
+      head.getOrElse("fields", "false").toBoolean)
   }
 
   // ---- shard-entry sidecar (VERDICT r04 item 4) ----------------------
@@ -417,7 +425,8 @@ object IndexManifest {
       "avgdl" -> m.avgdl.toString,
       "statsGen" -> m.statsGen.toString,
       "sumDl" -> m.sumDl.toString,
-      "positions" -> m.positions.toString) ++
+      "positions" -> m.positions.toString,
+      "fields" -> m.fields.toString) ++
       entriesName.map("entriesFile" -> _) ++
       entriesName.map(_ => "entriesCount" -> sorted.size.toString): _*))
       .append('\n')

@@ -88,6 +88,38 @@ final case class PostingList(
   * dto/search/SearchData.java:12-20 minus REST decoration). */
 final case class SearchHit(docId: Long, score: Double)
 
+/** Typed field predicates at query time (r7; Lucene BooleanQuery FILTER
+  * clauses): equality on the corpus's keyword fields (`role`, `tool`)
+  * plus an inclusive `ts` range. Filters restrict CANDIDATES and
+  * contribute no score — a filtered hit scores exactly like its
+  * unfiltered hit, and corpus statistics (df/N/avgdl, the stop cap) are
+  * those of the UNFILTERED corpus/scope, Lucene parity (a filter does
+  * not change term weights). Distinct from `scopes`, which re-score with
+  * per-scope statistics (reference per-site semantics). Field matching
+  * is case-insensitive exact-string (Analyzer.fieldTerm); ts bounds are
+  * inclusive epoch-ms instants. */
+final case class QueryFilter(role: Option[String] = None,
+                             tool: Option[String] = None,
+                             tsFrom: Option[java.sql.Timestamp] = None,
+                             tsTo: Option[java.sql.Timestamp] = None) {
+  def isEmpty: Boolean =
+    role.isEmpty && tool.isEmpty && tsFrom.isEmpty && tsTo.isEmpty
+  def fieldEqs: Seq[(String, String)] =
+    role.map("role" -> _).toSeq ++ tool.map("tool" -> _).toSeq
+  def hasTs: Boolean = tsFrom.nonEmpty || tsTo.nonEmpty
+  /** Canonical memo-key fragment (order-stable, collision-free with any
+    * analyzed term vector: carries the reserved field marker). */
+  def cacheKey: String =
+    if (isEmpty) ""
+    else Seq(role.getOrElse(""), tool.getOrElse(""),
+      tsFrom.map(_.getTime.toString).getOrElse(""),
+      tsTo.map(_.getTime.toString).getOrElse("")).mkString("\u0000")
+}
+
+object QueryFilter {
+  val Empty: QueryFilter = QueryFilter()
+}
+
 /** Query specification. AND = reference semantics (posting intersection,
   * SearchServiceImpl.java:164-200); OR = union-of-postings BM25 sum
   * (north-star extension, SURVEY.md §7.0.2). */

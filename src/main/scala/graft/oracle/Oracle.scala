@@ -456,6 +456,64 @@ final class Oracle(corpus: Seq[Turn],
       .take(k)
   }
 
+  // ---- typed-field filters (r7, engine parity: QueryFilter) ------------
+  // FILTER clauses restrict candidates and touch nothing else: scores,
+  // df/N/avgdl and the stop cap are those of the unfiltered corpus/scope.
+  // So the brute force is definitionally a post-filter on the UNCAPPED
+  // result: run the base oracle at k = ∞, drop non-matching docs, take k.
+
+  /** Does this doc pass the filter? Folded exact equality on role/tool
+    * (empty doc values match nothing — the builder indexes no posting for
+    * them) + inclusive ts range. */
+  def docPasses(f: graft.model.QueryFilter)(docId: Long): Boolean = {
+    val t = docs(docId.toInt)
+    def eq(dv: String, qv: String): Boolean = {
+      val d = Analyzer.fold(if (dv == null) "" else dv.trim)
+      d.nonEmpty && d == Analyzer.fold(qv.trim)
+    }
+    f.role.forall(eq(t.role, _)) && f.tool.forall(eq(t.tool, _)) &&
+      f.tsFrom.forall(x => t.ts != null && !t.ts.before(x)) &&
+      f.tsTo.forall(x => t.ts != null && !t.ts.after(x))
+  }
+
+  private def postFilter(f: graft.model.QueryFilter, k: Int)
+                        (all: => Vector[SearchHit]): Vector[SearchHit] =
+    if (f.isEmpty) all.take(k)
+    else all.filter(h => docPasses(f)(h.docId)).take(k)
+
+  def topKFiltered(query: String, mode: String, k: Int,
+                   f: graft.model.QueryFilter): Vector[SearchHit] =
+    postFilter(f, k)(topK(query, mode, Int.MaxValue))
+
+  def topKScopedFiltered(query: String, mode: String, k: Int,
+                         prefixes: Seq[String],
+                         f: graft.model.QueryFilter): Vector[SearchHit] =
+    postFilter(f, k)(topKScoped(query, mode, Int.MaxValue, prefixes))
+
+  def shouldTopKFiltered(query: String, minMatch: Int, k: Int,
+                         f: graft.model.QueryFilter): Vector[SearchHit] =
+    postFilter(f, k)(shouldTopK(query, minMatch, Int.MaxValue))
+
+  def andNotTopKFiltered(query: String, notQuery: String, k: Int,
+                         f: graft.model.QueryFilter): Vector[SearchHit] =
+    postFilter(f, k)(andNotTopK(query, notQuery, Int.MaxValue))
+
+  def phraseTopKFiltered(phrase: String, k: Int,
+                         f: graft.model.QueryFilter): Vector[SearchHit] =
+    postFilter(f, k)(phraseTopK(phrase, Int.MaxValue))
+
+  def nearTopKFiltered(query: String, slop: Int, k: Int,
+                       f: graft.model.QueryFilter): Vector[SearchHit] =
+    postFilter(f, k)(nearTopK(query, slop, Int.MaxValue))
+
+  def prefixTopKFiltered(prefix: String, k: Int,
+                         f: graft.model.QueryFilter): Vector[SearchHit] =
+    postFilter(f, k)(prefixTopK(prefix, Int.MaxValue))
+
+  def phraseTopKScopedFiltered(phrase: String, k: Int, prefixes: Seq[String],
+                               f: graft.model.QueryFilter): Vector[SearchHit] =
+    postFilter(f, k)(phraseTopKScoped(phrase, Int.MaxValue, prefixes))
+
   /** Boolean SHOULD / minimum_should_match brute force (engine parity:
     * SearchEngine.queryShould): docs matching at least `minMatch` of the
     * query's analyzed DISTINCT terms, scored over the MATCHED terms in

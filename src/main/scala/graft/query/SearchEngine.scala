@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.analysis.Analyzer
 import graft.index.{IndexBuilder, IndexManifest, IndexSnapshot, Manifest}
-import graft.model.{CorpusStats, QuerySpec, SearchHit, TermStats}
+import graft.model.{CorpusStats, QueryFilter, QuerySpec, SearchHit, TermStats}
 
 /** Query engine over a built index (SURVEY.md §3.1 Spark lifecycle, §7.5).
   *
@@ -84,12 +84,58 @@ object SearchEngine {
     * (LemmaRepository.findBySiteAndLemma, SearchServiceImpl.java:143-162). */
   def query(spark: SparkSession, root: String, queryText: String,
             mode: String = "AND", k: Int = 10,
-            convPrefix: Option[String] = None): Vector[SearchHit] =
+            convPrefix: Option[String] = None,
+            filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] =
     convPrefix match {
-      case Some(pre) => queryScoped(spark, root, queryText, mode, k, Seq(pre))
+      case Some(pre) =>
+        queryScoped(spark, root, queryText, mode, k, Seq(pre), filter)
       case None =>
-        queryResolved(spark, root, pinnedManifest(root), queryText, mode, k)
+        queryResolved(spark, root, pinnedManifest(root), queryText, mode, k,
+          filter)
     }
+
+  /** Resolve a [[QueryFilter]] against one pinned snapshot: the encoded
+    * field terms (weightless posting cursors) + the ts-range docId
+    * segments (None = no ts constraint; Some(empty) = nothing in range).
+    * REFUSES on a fields-free index — a format without field postings/ts
+    * stamps cannot answer these filters exactly (and a half-appended
+    * legacy index would silently exclude its legacy docs), the same loud
+    * contract as the positions flag. */
+  private def resolveFilter(spark: SparkSession, root: String, m: Manifest,
+                            f: QueryFilter)
+      : (Vector[String], Option[Vector[(Long, Long)]]) = {
+    if (f.isEmpty) return (Vector.empty, None)
+    if (!m.fields) throw new IllegalStateException(
+      s"index at $root was built without typed fields (fields=false): " +
+      "role/tool/ts filters need a fields-enabled index — rebuild with " +
+      "IndexBuilder.build(fields = true) (the default)")
+    val terms = f.fieldEqs.map { case (fl, v) =>
+      val t = Analyzer.fieldTerm(fl, v)
+      // empty-after-fold values have no postings BY CONSTRUCTION (the
+      // builder skips them) — refuse rather than silently matching
+      // nothing on one path and empty-string docs on another
+      require(!t.endsWith(Analyzer.FieldMarker),
+        s"empty $fl filter value: '${v}'")
+      t
+    }.toVector
+    val ts =
+      if (!f.hasTs) None
+      else Some(tsSegments(spark, root, m,
+        f.tsFrom.map(_.getTime).getOrElse(Long.MinValue),
+        f.tsTo.map(_.getTime).getOrElse(Long.MaxValue)))
+    (terms, ts)
+  }
+
+  /** Combine optional scope ranges with the filter's optional ts ranges
+    * (intersection when both present). None = unconstrained. */
+  private def combineRanges(scope: Option[Seq[(Long, Long)]],
+                            ts: Option[Seq[(Long, Long)]])
+      : Option[Seq[(Long, Long)]] = (scope, ts) match {
+    case (None, None) => None
+    case (Some(a), None) => Some(a)
+    case (None, Some(b)) => Some(b)
+    case (Some(a), Some(b)) => Some(intersectRanges(a, b))
+  }
 
   /** Time travel: query a SPECIFIC committed snapshot (must still be
     * within the retention window — see IndexSnapshot.expireSnapshots;
@@ -110,7 +156,8 @@ object SearchEngine {
     * instead of a raw missing-path error. */
   def queryAt(spark: SparkSession, root: String, snapshotId: Long,
               queryText: String, mode: String = "AND",
-              k: Int = 10, scopes: Seq[String] = Nil): Vector[SearchHit] = {
+              k: Int = 10, scopes: Seq[String] = Nil,
+              filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] = {
     val retained = IndexManifest.versions(root)
     require(retained.contains(snapshotId),
       s"snapshot $snapshotId not available at $root (expired or never " +
@@ -120,14 +167,16 @@ object SearchEngine {
       // cache miss after versions() listed the snapshot) — keep it
       // inside the diagnosis wrapper so it fails loudly, not raw
       val m = IndexManifest.readVersionCached(root, snapshotId)
-      if (scopes.isEmpty) queryResolved(spark, root, m, queryText, mode, k)
+      if (scopes.isEmpty)
+        queryResolved(spark, root, m, queryText, mode, k, filter)
       else {
         // scoped time travel: the scoped path already pins one manifest
         // end-to-end, and scope/segment/df memos key by snapshot id
         val terms = Analyzer.analyzeQueryFor(m.analyzerVersion, queryText)
         if (terms.isEmpty) Vector.empty
-        else memoized(root, QueryKey(terms, mode, k, scopes, m.snapshotId)) {
-          queryScopedUncached(spark, root, m, terms, mode, k, scopes)
+        else memoized(root,
+          QueryKey(terms, mode, k, scopes, m.snapshotId, filter.cacheKey)) {
+          queryScopedUncached(spark, root, m, terms, mode, k, scopes, filter)
         }
       }
     }
@@ -155,18 +204,21 @@ object SearchEngine {
 
   /** Unscoped query against ONE pinned snapshot (see [[pinnedManifest]]). */
   private def queryResolved(spark: SparkSession, root: String, m: Manifest,
-                            queryText: String, mode: String,
-                            k: Int): Vector[SearchHit] = {
+                            queryText: String, mode: String, k: Int,
+                            filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] = {
     val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
     val terms = Analyzer.analyzeQueryFor(stats.analyzerVersion, queryText)
-    memoized(root, QueryKey(terms, mode, k, Nil, m.snapshotId)) {
+    memoized(root,
+      QueryKey(terms, mode, k, Nil, m.snapshotId, filter.cacheKey)) {
+      val (fterms, tsRanges) = resolveFilter(spark, root, m, filter)
       val spec = QuerySpec(terms, mode, k)
       val p = plan(spark, root, spec, stats, pinned = Some(m))
       // terms absent from the dictionary are silently DROPPED and the
       // rest searched (reference SearchServiceImpl.java:145-148
       // filter(Objects::nonNull)); empty only when nothing survives
       if (p.terms.isEmpty) Vector.empty
-      else executePlan(spark, root, p, stats, None, Some(m))
+      else executePlan(spark, root, p, stats,
+        combineRanges(None, tsRanges), Some(m), fterms)
     }
   }
 
@@ -183,20 +235,26 @@ object SearchEngine {
     *     with the scoped stats.
     */
   def queryScoped(spark: SparkSession, root: String, queryText: String,
-                  mode: String, k: Int,
-                  scopes: Seq[String]): Vector[SearchHit] = {
+                  mode: String, k: Int, scopes: Seq[String],
+                  filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] = {
     val m = pinnedManifest(root)
     val terms = Analyzer.analyzeQueryFor(m.analyzerVersion, queryText)
     if (terms.isEmpty || scopes.isEmpty) return Vector.empty
-    memoized(root, QueryKey(terms, mode, k, scopes, m.snapshotId)) {
-      queryScopedUncached(spark, root, m, terms, mode, k, scopes)
+    memoized(root,
+      QueryKey(terms, mode, k, scopes, m.snapshotId, filter.cacheKey)) {
+      queryScopedUncached(spark, root, m, terms, mode, k, scopes, filter)
     }
   }
 
   private def queryScopedUncached(spark: SparkSession, root: String,
                                   m: Manifest,
                                   terms: Vector[String], mode: String, k: Int,
-                                  scopes: Seq[String]): Vector[SearchHit] = {
+                                  scopes: Seq[String],
+                                  filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] = {
+    // filters compose with scopes: per-scope STATISTICS stay those of the
+    // whole scope (filters never re-weigh — Lucene FILTER semantics), the
+    // walk runs over scope ∩ ts segments, field cursors probe in-walk
+    val (fterms, tsRanges) = resolveFilter(spark, root, m, filter)
     val all = scopes.flatMap { pre =>
       scopedKeptPlan(spark, root, m, terms, pre, mode, k) match {
         case None => Vector.empty
@@ -205,7 +263,8 @@ object SearchEngine {
           // ascending segment list with one cursor pass and one heap —
           // a scope fragmented by out-of-order appends costs one Spark
           // job, not one per segment
-          executePlan(spark, root, p, stats, Some(ranges), Some(m))
+          executePlan(spark, root, p, stats,
+            combineRanges(Some(ranges), tsRanges), Some(m), fterms)
       }
     }
     unionBest(all, k)
@@ -282,6 +341,7 @@ object SearchEngine {
   private[graft] def clearScopeCaches(): Unit = {
     scopeSegCache.synchronized(scopeSegCache.clear())
     scopeDfCache.synchronized(scopeDfCache.clear())
+    tsSegCache.synchronized(tsSegCache.clear())
   }
   /** # of actual (non-cached) segment computations — test observability. */
   private[graft] val scopeSegComputes = new java.util.concurrent.atomic.AtomicLong
@@ -344,8 +404,17 @@ object SearchEngine {
         lastScopeScanShards.set(candidates.size)
         IndexSnapshot.docsFor(spark, root, m, candidates)
       }
-    val runs = docsFrame
-      .filter(col("conv_id").startsWith(prefix))
+    contiguousRuns(parts, docsFrame.filter(col("conv_id").startsWith(prefix)))
+  }
+
+  /** The contiguous docId runs of a filtered docs frame, as segments with
+    * per-run (n, Σdl). Runs are detected per range-partition and merged
+    * across boundaries on the driver — no docId set is ever collected.
+    * ONE definition shared by conv-prefix scopes and ts ranges (r7). */
+  private def contiguousRuns(parts: Int,
+                             filtered: DataFrame): Vector[ScopeSegment] = {
+    import filtered.sparkSession.implicits._
+    val runs = filtered
       .select($"docId", $"dl".cast("long").as("dl"))
       .repartitionByRange(parts, $"docId")
       .sortWithinPartitions($"docId")
@@ -373,6 +442,53 @@ object SearchEngine {
       } else merged += s
     }
     merged.toVector
+  }
+
+  // ts-range docId segments (r7 FILTER clauses): memoized per (root,
+  // snapshot, from, to) like scope segments — a hot dashboard's "last N
+  // hours" window pays the docs scan once per snapshot. The scan pushes
+  // the ts predicate down to parquet (PushedFilters), so row-group
+  // min/max stats on ts make out-of-window shards ~free under
+  // time-ordered ingest — the same prune manifest conv-stamps give
+  // prefixes, without a manifest format change.
+  private[graft] val TsSegCacheCap = 4096
+  private val tsSegCache =
+    lruMap[(String, Long, Long, Long), Vector[(Long, Long)]](() => TsSegCacheCap)
+
+  private[query] def tsSegments(spark: SparkSession, root: String,
+                                m: Manifest, from: Long,
+                                to: Long): Vector[(Long, Long)] = {
+    val key = (root, m.snapshotId, from, to)
+    tsSegCache.synchronized(Option(tsSegCache.get(key))) match {
+      case Some(v) => v
+      case None =>
+        val parts = spark.sessionState.conf.numShufflePartitions
+        val pred = col("ts").isNotNull &&
+          col("ts") >= new java.sql.Timestamp(from) &&
+          col("ts") <= new java.sql.Timestamp(to)
+        val v = contiguousRuns(parts,
+          IndexSnapshot.docs(spark, root, m).filter(pred))
+          .map(s => (s.lo, s.hi))
+        tsSegCache.synchronized(tsSegCache.put(key, v))
+        v
+    }
+  }
+
+  /** Intersection of two ascending disjoint range lists (scope segments ∩
+    * ts segments). */
+  private[query] def intersectRanges(a: Seq[(Long, Long)],
+                                     b: Seq[(Long, Long)]): Vector[(Long, Long)] = {
+    val out = Vector.newBuilder[(Long, Long)]
+    var i = 0; var j = 0
+    val av = a.sorted.toIndexedSeq
+    val bv = b.sorted.toIndexedSeq
+    while (i < av.length && j < bv.length) {
+      val lo = math.max(av(i)._1, bv(j)._1)
+      val hi = math.min(av(i)._2, bv(j)._2)
+      if (lo <= hi) out += ((lo, hi))
+      if (av(i)._2 < bv(j)._2) i += 1 else j += 1
+    }
+    out.result()
   }
 
   /** df of each query term restricted to the segment union: pruned posting
@@ -520,26 +636,46 @@ object SearchEngine {
         .sortBy(c => if (c.blockFirst.isEmpty) Long.MaxValue
                      else c.blockFirst(0))
         .toIndexedSeq
+      // typed-field terms (r7) are WEIGHTLESS wherever they appear
+      // (Lucene FILTER clauses): zero score, zero upper bounds. Their df
+      // is the per-shard posting count — the planner has no global df
+      // for them (the dictionary excludes the namespace), and the local
+      // count is the better driver-order heuristic anyway.
+      val isField = Analyzer.isFieldTerm(term)
+      val df = if (isField) sorted.map(_.count.toLong).sum
+               else dfByTerm(term)
       new Wand.TermCursor(
-        Wand.TermPostings(term, dfByTerm(term), canonical(term), sorted),
-        nDocs, avgdl)
+        Wand.TermPostings(term, df, canonical(term), sorted),
+        nDocs, avgdl, scored = !isField)
     }.toSeq
 
   def executePlan(spark: SparkSession, root: String, p: Plan,
                   stats: CorpusStats,
                   ranges: Option[Seq[(Long, Long)]] = None,
-                  pinned: Option[Manifest] = None): Vector[SearchHit] = {
+                  pinned: Option[Manifest] = None,
+                  filters: Vector[String] = Vector.empty): Vector[SearchHit] = {
     import spark.implicits._
     val m = pinned.getOrElse(pinnedManifest(root))
-    val termList = p.terms.map(_.term)
-    val dfByTerm = p.terms.map(t => t.term -> t.df).toMap
-    // canonical contribution order: df asc, term asc (§7.8.1)
+    val textTerms = p.terms.map(_.term)
+    // FILTER clauses (r7): pre-encoded field terms ride the same scan and
+    // cursor machinery as the query terms. AND mode puts them IN the
+    // intersection (weightless members — a rare filter list then DRIVES
+    // the walk); OR/SHOULD probe them per candidate (Wand required
+    // probes). Scores and statistics are untouched either way.
+    val termList = textTerms ++ filters
+    val dfByTerm = p.terms.map(t => t.term -> t.df).toMap ++
+      filters.map(_ -> 0L) // placeholder: buildCursors uses local counts
+    // canonical contribution order: df asc, term asc (§7.8.1); filter
+    // slots append after the scored terms and always contribute 0.0
     val canonical = p.terms.sortBy(t => (t.df, t.term)).map(_.term)
-      .zipWithIndex.toMap
+      .zipWithIndex.toMap ++
+      filters.zipWithIndex.map { case (t, i) => t -> (textTerms.size + i) }
     val nDocs = stats.nDocs
     val avgdl = stats.avgdl
     val mode = p.mode
     val k = p.k
+    val nText = textTerms.size
+    val nFilters = filters.size
     val nTerms = termList.size
     // "SHOULD:<m>" rides the mode string so Plan / scopedKeptPlan / memo
     // keys need no new field; [[queryShould]] is the only producer
@@ -574,19 +710,26 @@ object SearchEngine {
           // keys, never the rows
           val byShard = byTerm.groupBy(_._1._1)
           val out = byShard.iterator.flatMap { case (_, termChunks) =>
-            val cursors = buildCursors(termChunks, dfByTerm, canonical,
+            val all = buildCursors(termChunks, dfByTerm, canonical,
               nDocs, avgdl)
+            // a doc's postings are complete within its shard: a missing
+            // filter list ⇒ no doc here carries that field value ⇒ empty
+            val (cursors, filterCur) = all.partition(_.scored)
             val hits =
-              if (mode == "AND") {
-                // a term absent from this shard ⇒ empty local intersection
-                if (cursors.size < nTerms) Vector.empty
-                else Wand.andTopKSegments(cursors, k, segs)
+              if (filterCur.size < nFilters) Vector.empty
+              else if (mode == "AND") {
+                // a term absent from this shard ⇒ empty local intersection;
+                // filters join the intersection as weightless members
+                if (cursors.size < nText) Vector.empty
+                else Wand.andTopKSegments(cursors ++ filterCur, k, segs)
               } else if (minShould > 0) {
-                // a doc's postings are complete within its shard, so fewer
-                // than minMatch terms present ⇒ no doc here can qualify
+                // fewer than minMatch scored terms present ⇒ no doc here
+                // can reach the count requirement
                 if (cursors.size < minShould) Vector.empty
-                else Wand.shouldTopKSegments(cursors, minShould, k, segs)
-              } else Wand.orTopKSegments(cursors, k, segs)
+                else Wand.shouldTopKSegments(cursors, minShould, k, segs,
+                  required = filterCur)
+              } else Wand.orTopKSegments(cursors, k, segs,
+                required = filterCur)
             hits
           }.toVector
           wandNanos.foreach(_.add(System.nanoTime() - t0))
@@ -667,17 +810,19 @@ object SearchEngine {
     * filter already bounds the damage of a frequent term. */
   def phraseTopK(spark: SparkSession, root: String, phraseText: String,
                  k: Int = 10, scopes: Seq[String] = Nil,
-                 pinned: Option[Manifest] = None): Vector[SearchHit] = {
+                 pinned: Option[Manifest] = None,
+                 filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] = {
     val m = pinned.getOrElse(pinnedManifest(root))
     val seq = Analyzer.tokensFor(m.analyzerVersion, phraseText)
     if (seq.isEmpty) return Vector.empty
     val slots = seq.distinct.sorted // fixed capture order for posBySlot
     val slotOfTerm = slots.zipWithIndex.toMap
     val seqSlots = seq.map(slotOfTerm).toArray
-    memoized(root, QueryKey(seq, "PHRASE", k, scopes, m.snapshotId)) {
+    memoized(root,
+      QueryKey(seq, "PHRASE", k, scopes, m.snapshotId, filter.cacheKey)) {
       proximityTopK(spark, root, m, slots, k, scopes,
         verify = toks => toks.containsSlice(seq),
-        posPred = pos => phraseMatchPositions(pos, seqSlots))
+        posPred = pos => phraseMatchPositions(pos, seqSlots), filter)
     }
   }
 
@@ -717,7 +862,8 @@ object SearchEngine {
   def nearTopK(spark: SparkSession, root: String, queryText: String,
                slop: Int, k: Int = 10, scopes: Seq[String] = Nil,
                pinned: Option[Manifest] = None,
-               ordered: Boolean = false): Vector[SearchHit] = {
+               ordered: Boolean = false,
+               filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] = {
     require(slop >= 0, s"slop must be >= 0, got $slop")
     val m = pinned.getOrElse(pinnedManifest(root))
     if (ordered) {
@@ -726,13 +872,15 @@ object SearchEngine {
       val slots = seq.distinct.sorted
       val slotOfTerm = slots.zipWithIndex.toMap
       val seqSlots = seq.map(slotOfTerm).toArray
-      memoized(root, QueryKey(seq, s"ONEAR:$slop", k, scopes, m.snapshotId)) {
+      memoized(root,
+        QueryKey(seq, s"ONEAR:$slop", k, scopes, m.snapshotId, filter.cacheKey)) {
         proximityTopK(spark, root, m, slots, k, scopes,
           // slotOfTerm hoisted OUT of the per-doc verify closure (r6
           // review): the rescan path runs this per candidate row
           verify = toks =>
             orderedNearMatchPositions(occurrencesBySlot(toks, slotOfTerm), seqSlots, slop),
-          posPred = pos => orderedNearMatchPositions(pos, seqSlots, slop))
+          posPred = pos => orderedNearMatchPositions(pos, seqSlots, slop),
+          filter)
       }
     } else {
       val terms = Analyzer.analyzeQueryFor(m.analyzerVersion, queryText)
@@ -740,10 +888,11 @@ object SearchEngine {
       val slots = terms.distinct.sorted
       val idx = terms.zipWithIndex.toMap
       val n = terms.size
-      memoized(root, QueryKey(terms, s"NEAR:$slop", k, scopes, m.snapshotId)) {
+      memoized(root,
+        QueryKey(terms, s"NEAR:$slop", k, scopes, m.snapshotId, filter.cacheKey)) {
         proximityTopK(spark, root, m, slots, k, scopes,
           verify = toks => nearMatch(toks, idx, n, slop),
-          posPred = pos => nearMatchPositions(pos, slop))
+          posPred = pos => nearMatchPositions(pos, slop), filter)
       }
     }
   }
@@ -757,15 +906,25 @@ object SearchEngine {
                             slots: Vector[String], k: Int,
                             scopes: Seq[String],
                             verify: Vector[String] => Boolean,
-                            posPred: Array[Array[Int]] => Boolean): Vector[SearchHit] = {
+                            posPred: Array[Array[Int]] => Boolean,
+                            filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] = {
+    // FILTER clauses (r7) compose with phrase/NEAR: on the positional
+    // path, field cursors probe presence inside the shard-local walk
+    // (before the ordinal decode — the cheaper reject first) and the ts
+    // segments intersect the walk ranges; on the rescan path, role/tool/
+    // ts evaluate as column predicates on the docs join the verify
+    // already does. Scores and (scoped) statistics stay unfiltered.
+    val (fterms, tsRanges) = resolveFilter(spark, root, m, filter)
     if (scopes.isEmpty) {
       val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
       val p = plan(spark, root, QuerySpec(slots, "AND", k), stats,
         applyStopCap = false, pinned = Some(m))
       if (p.terms.size < slots.size) Vector.empty
       else if (m.positions)
-        positionalVerifyTopK(spark, root, m, p, stats, k, slots, posPred, None)
-      else candidateVerifyTopK(spark, root, m, p, stats, k, verify, None)
+        positionalVerifyTopK(spark, root, m, p, stats, k, slots, posPred,
+          combineRanges(None, tsRanges), fterms)
+      else candidateVerifyTopK(spark, root, m, p, stats, k, verify,
+        combineRanges(None, tsRanges), filter)
     } else {
       val all = scopes.flatMap { pre =>
         val segs = scopeSegments(spark, root, m, pre)
@@ -784,9 +943,9 @@ object SearchEngine {
             val p = Plan(kept, Vector.empty, "AND", k)
             if (m.positions)
               positionalVerifyTopK(spark, root, m, p, stats, k, slots,
-                posPred, Some(ranges))
+                posPred, combineRanges(Some(ranges), tsRanges), fterms)
             else candidateVerifyTopK(spark, root, m, p, stats, k, verify,
-              Some(ranges))
+              combineRanges(Some(ranges), tsRanges), filter)
           }
         }
       }
@@ -979,12 +1138,14 @@ object SearchEngine {
     * so the whole query costs the same as an OR of the matched terms. */
   def prefixTopK(spark: SparkSession, root: String, prefixRaw: String,
                  k: Int = 10, scopes: Seq[String] = Nil,
-                 pinned: Option[Manifest] = None): Vector[SearchHit] = {
+                 pinned: Option[Manifest] = None,
+                 filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] = {
     import spark.implicits._
     val m = pinned.getOrElse(pinnedManifest(root))
     val pre = Analyzer.foldPrefix(prefixRaw)
     if (pre.isEmpty) return Vector.empty
-    memoized(root, QueryKey(Vector(pre), "PREFIX", k, scopes, m.snapshotId)) {
+    memoized(root,
+      QueryKey(Vector(pre), "PREFIX", k, scopes, m.snapshotId, filter.cacheKey)) {
       val found = termStatsFor(spark, root, m)
         .filter($"term".startsWith(pre))
         .select($"term", $"df", $"maxTf")
@@ -995,7 +1156,7 @@ object SearchEngine {
           s"prefix '$pre*' expands to ${found.size} dictionary terms " +
           s"(max $MaxPrefixExpansions) — refusing an unbounded " +
           "disjunction; narrow the prefix")
-      expansionTopK(spark, root, m, found, k, scopes)
+      expansionTopK(spark, root, m, found, k, scopes, filter)
     }
   }
 
@@ -1029,7 +1190,8 @@ object SearchEngine {
   def fuzzyTopK(spark: SparkSession, root: String, termRaw: String,
                 maxEdits: Int = 2, k: Int = 10, prefixLength: Int = 0,
                 scopes: Seq[String] = Nil,
-                pinned: Option[Manifest] = None): Vector[SearchHit] = {
+                pinned: Option[Manifest] = None,
+                filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] = {
     import spark.implicits._
     require(maxEdits >= 0 && maxEdits <= MaxFuzzyEdits,
       s"maxEdits must be in [0, $MaxFuzzyEdits] (Lucene FuzzyQuery limit), " +
@@ -1040,7 +1202,7 @@ object SearchEngine {
     if (q.isEmpty) return Vector.empty
     memoized(root,
       QueryKey(Vector(q), s"FUZZY:$maxEdits:$prefixLength", k, scopes,
-        m.snapshotId)) {
+        m.snapshotId, filter.cacheKey)) {
       // probe order: the cheap necessary conditions first (length band,
       // optional exact-prefix cut), the codegen'd levenshtein builtin
       // last — all over the tiny term_stats table, never the dictionary.
@@ -1063,7 +1225,7 @@ object SearchEngine {
           s"fuzzy '$q'~$maxEdits expands to ${found.size} dictionary terms " +
           s"(max $MaxPrefixExpansions) — refusing an unbounded " +
           "disjunction; lower maxEdits or raise prefixLength")
-      expansionTopK(spark, root, m, found, k, scopes)
+      expansionTopK(spark, root, m, found, k, scopes, filter)
     }
   }
 
@@ -1083,12 +1245,14 @@ object SearchEngine {
     * catches the all-metacharacter pattern `*`. */
   def wildcardTopK(spark: SparkSession, root: String, patternRaw: String,
                    k: Int = 10, scopes: Seq[String] = Nil,
-                   pinned: Option[Manifest] = None): Vector[SearchHit] = {
+                   pinned: Option[Manifest] = None,
+                   filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] = {
     import spark.implicits._
     val m = pinned.getOrElse(pinnedManifest(root))
     val pat = Analyzer.foldWildcard(patternRaw)
     if (pat.isEmpty) return Vector.empty
-    memoized(root, QueryKey(Vector(pat), "WILDCARD", k, scopes, m.snapshotId)) {
+    memoized(root,
+      QueryKey(Vector(pat), "WILDCARD", k, scopes, m.snapshotId, filter.cacheKey)) {
       val litPrefix = pat.takeWhile(c => c != '*' && c != '?')
       val like = pat.replace('*', '%').replace('?', '_')
       val base = termStatsFor(spark, root, m)
@@ -1104,7 +1268,7 @@ object SearchEngine {
           s"wildcard '$pat' expands to ${found.size} dictionary terms " +
           s"(max $MaxPrefixExpansions) — refusing an unbounded " +
           "disjunction; narrow the pattern")
-      expansionTopK(spark, root, m, found, k, scopes)
+      expansionTopK(spark, root, m, found, k, scopes, filter)
     }
   }
 
@@ -1142,7 +1306,8 @@ object SearchEngine {
     * top-k anyway (`>=` keeps threshold ties probed — exactness). */
   def queryNot(spark: SparkSession, root: String, queryText: String,
                notText: String, k: Int = 10, scopes: Seq[String] = Nil,
-               pinned: Option[Manifest] = None): Vector[SearchHit] = {
+               pinned: Option[Manifest] = None,
+               filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] = {
     val m = pinned.getOrElse(pinnedManifest(root))
     val pos = Analyzer.analyzeQueryFor(m.analyzerVersion, queryText)
     // exclusion is SET semantics: sorted-distinct negatives, so
@@ -1151,15 +1316,19 @@ object SearchEngine {
     val neg = Analyzer.analyzeQueryFor(m.analyzerVersion, notText).distinct.sorted
     if (pos.isEmpty) return Vector.empty
     if (neg.isEmpty)
-      return if (scopes.isEmpty) queryResolved(spark, root, m, queryText, "AND", k)
-      else memoized(root, QueryKey(pos, "AND", k, scopes, m.snapshotId)) {
-        queryScopedUncached(spark, root, m, pos, "AND", k, scopes)
+      return if (scopes.isEmpty)
+        queryResolved(spark, root, m, queryText, "AND", k, filter)
+      else memoized(root,
+        QueryKey(pos, "AND", k, scopes, m.snapshotId, filter.cacheKey)) {
+        queryScopedUncached(spark, root, m, pos, "AND", k, scopes, filter)
       }
     val negSet = neg.toSet
     // memo key: positives, a space separator (no analyzed token can
     // contain one), then negatives — unambiguous vs any plain-AND key
     memoized(root,
-      QueryKey(pos ++ (" " +: neg), "ANDNOT", k, scopes, m.snapshotId)) {
+      QueryKey(pos ++ (" " +: neg), "ANDNOT", k, scopes, m.snapshotId,
+        filter.cacheKey)) {
+      val (fterms, tsRanges) = resolveFilter(spark, root, m, filter)
       // POST-PLAN overlap check, per branch: a prohibited term that
       // SURVIVES positive planning makes every candidate excluded —
       // answer empty without a scan. (Checked after planning, not on raw
@@ -1174,7 +1343,8 @@ object SearchEngine {
           pinned = Some(m))
         if (p.terms.isEmpty || p.terms.exists(t => negSet(t.term)))
           Vector.empty
-        else andNotTopK(spark, root, m, p, neg, stats, k, None)
+        else andNotTopK(spark, root, m, p, neg, stats, k,
+          combineRanges(None, tsRanges), fterms)
       } else {
         // positives mirror queryScopedUncached exactly (shared planner)
         val all = scopes.flatMap { sc =>
@@ -1183,7 +1353,8 @@ object SearchEngine {
             case Some((p, _, _)) if p.terms.exists(t => negSet(t.term)) =>
               Vector.empty
             case Some((p, stats, ranges)) =>
-              andNotTopK(spark, root, m, p, neg, stats, k, Some(ranges))
+              andNotTopK(spark, root, m, p, neg, stats, k,
+                combineRanges(Some(ranges), tsRanges), fterms)
           }
         }
         unionBest(all, k)
@@ -1197,7 +1368,8 @@ object SearchEngine {
   private def andNotTopK(spark: SparkSession, root: String, m: Manifest,
                          p: Plan, negTerms: Vector[String],
                          stats: CorpusStats, k: Int,
-                         ranges: Option[Seq[(Long, Long)]]): Vector[SearchHit] = {
+                         ranges: Option[Seq[(Long, Long)]],
+                         fterms: Vector[String] = Vector.empty): Vector[SearchHit] = {
     import spark.implicits._
     val posTerms = p.terms.map(_.term)
     val posSet = posTerms.toSet
@@ -1205,17 +1377,21 @@ object SearchEngine {
       "andNotTopK requires disjoint positive/negative sets (caller " +
       "resolves overlaps post-plan)")
     val nPos = posTerms.size
-    // negatives ride the same scan and cursor machinery; df/canonical for
-    // them are placeholders (never scored, never passed to the AND walk)
+    val nFilters = fterms.size
+    // negatives and filters ride the same scan and cursor machinery;
+    // df/canonical for them are placeholders (negatives never scored,
+    // filters weightless by construction — buildCursors)
     val dfByTerm = p.terms.map(t => t.term -> t.df).toMap ++
-      negTerms.map(_ -> 0L)
+      negTerms.map(_ -> 0L) ++ fterms.map(_ -> 0L)
     val canonical = p.terms.sortBy(t => (t.df, t.term)).map(_.term)
-      .zipWithIndex.toMap ++ negTerms.zipWithIndex.map { case (t, i) => t -> (nPos + i) }
+      .zipWithIndex.toMap ++
+      negTerms.zipWithIndex.map { case (t, i) => t -> (nPos + i) } ++
+      fterms.zipWithIndex.map { case (t, i) => t -> (nPos + negTerms.size + i) }
     val nDocs = stats.nDocs
     val avgdl = stats.avgdl
     val (segs, shardPrune) = segsAndPrune(m, ranges)
     if (segs.isEmpty) return Vector.empty
-    val allTerms = posTerms ++ negTerms
+    val allTerms = posTerms ++ negTerms ++ fterms
     val (scanFrame, _, needShuffle) = resolvedPostingsScan(spark, root, m)
     val selected0 = shardPrune(scanFrame).filter($"term".isin(allTerms: _*))
     val selected = if (needShuffle) selected0.repartition($"shard") else selected0
@@ -1224,19 +1400,28 @@ object SearchEngine {
       .mapPartitions { rows =>
         val byTerm = decodeByTerm(rows, withPos = false)
         byTerm.groupBy(_._1._1).iterator.flatMap { case (_, termChunks) =>
-          val (posChunks, negChunks) = termChunks.partition {
+          val (fieldChunks, restChunks) = termChunks.partition {
+            case ((_, t), _) => Analyzer.isFieldTerm(t)
+          }
+          val (posChunks, negChunks) = restChunks.partition {
             case ((_, t), _) => posSet(t)
           }
           val posCursors = buildCursors(posChunks, dfByTerm, canonical,
             nDocs, avgdl)
-          // a positive absent from this shard ⇒ empty local intersection;
-          // a negative absent from this shard just excludes nothing here
-          if (posCursors.size < nPos) Iterator.empty
+          val filterCursors = buildCursors(fieldChunks, dfByTerm, canonical,
+            nDocs, avgdl)
+          // a positive absent from this shard ⇒ empty local intersection
+          // (same for a filter: no doc here carries the value); a negative
+          // absent from this shard just excludes nothing here
+          if (posCursors.size < nPos || filterCursors.size < nFilters)
+            Iterator.empty
           else {
             val negArr = buildCursors(negChunks, dfByTerm, canonical,
               nDocs, avgdl).toArray
             val heap = new Wand.TopK(k)
-            val walk = Wand.andAllWith(posCursors, segs) { (d, s, _) =>
+            // filters join the positive intersection as weightless
+            // members (a rare filter list then drives the walk)
+            val walk = Wand.andAllWith(posCursors ++ filterCursors, segs) { (d, s, _) =>
               if (s >= heap.threshold) {
                 var excluded = false
                 var i = 0
@@ -1294,7 +1479,8 @@ object SearchEngine {
     * travel composes via `pinned`. */
   def queryShould(spark: SparkSession, root: String, queryText: String,
                   minMatch: Int, k: Int = 10, scopes: Seq[String] = Nil,
-                  pinned: Option[Manifest] = None): Vector[SearchHit] = {
+                  pinned: Option[Manifest] = None,
+                  filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] = {
     require(minMatch >= 1, s"minMatch must be >= 1, got $minMatch")
     val m = pinned.getOrElse(pinnedManifest(root))
     val terms = Analyzer.analyzeQueryFor(m.analyzerVersion, queryText).distinct
@@ -1302,18 +1488,22 @@ object SearchEngine {
     val mode = s"SHOULD:$minMatch"
     // matched-count semantics are order-free: sort the memo key so
     // permuted queries share one entry
-    memoized(root, QueryKey(terms.sorted, mode, k, scopes, m.snapshotId)) {
+    memoized(root,
+      QueryKey(terms.sorted, mode, k, scopes, m.snapshotId, filter.cacheKey)) {
+      val (fterms, tsRanges) = resolveFilter(spark, root, m, filter)
       if (scopes.isEmpty) {
         val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
         val p = plan(spark, root, QuerySpec(terms, "OR", k), stats,
           pinned = Some(m))
         if (p.terms.size < minMatch) Vector.empty
-        else executePlan(spark, root, p.copy(mode = mode), stats, None, Some(m))
+        else executePlan(spark, root, p.copy(mode = mode), stats,
+          combineRanges(None, tsRanges), Some(m), fterms)
       } else {
         val all = scopes.flatMap { sc =>
           scopedKeptPlan(spark, root, m, terms, sc, mode, k) match {
             case Some((p, stats, ranges)) if p.terms.size >= minMatch =>
-              executePlan(spark, root, p, stats, Some(ranges), Some(m))
+              executePlan(spark, root, p, stats,
+                combineRanges(Some(ranges), tsRanges), Some(m), fterms)
             case _ => Vector.empty
           }
         }
@@ -1332,12 +1522,19 @@ object SearchEngine {
     * each doc's best-scoring instance, the queryScoped rule. */
   private def expansionTopK(spark: SparkSession, root: String, m: Manifest,
                             found: Vector[TermStats], k: Int,
-                            scopes: Seq[String]): Vector[SearchHit] = {
+                            scopes: Seq[String],
+                            filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] = {
+    // field terms can never enter `found`: the dictionary the expansions
+    // probe (term_stats) excludes the reserved namespace by construction
+    // (IndexBuilder.termStatsAgg) — a `*user` wildcard cannot surface
+    // role postings. Filters ride executePlan like every OR query.
+    val (fterms, tsRanges) = resolveFilter(spark, root, m, filter)
     if (found.isEmpty) Vector.empty
     else if (scopes.isEmpty) {
       val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
       val p = Plan(found.sortBy(t => (t.df, t.term)), Vector.empty, "OR", k)
-      executePlan(spark, root, p, stats, None, Some(m))
+      executePlan(spark, root, p, stats, combineRanges(None, tsRanges),
+        Some(m), fterms)
     } else {
       val expansion = found.map(_.term)
       val all = scopes.flatMap { sc =>
@@ -1354,7 +1551,8 @@ object SearchEngine {
             .sortBy(t => (t.df, t.term))
           if (kept.isEmpty) Vector.empty
           else executePlan(spark, root,
-            Plan(kept, Vector.empty, "OR", k), stats, Some(ranges), Some(m))
+            Plan(kept, Vector.empty, "OR", k), stats,
+            combineRanges(Some(ranges), tsRanges), Some(m), fterms)
         }
       }
       unionBest(all, k)
@@ -1369,7 +1567,8 @@ object SearchEngine {
                                   m: Manifest, p: Plan, stats: CorpusStats,
                                   k: Int,
                                   verify: Vector[String] => Boolean,
-                                  ranges: Option[Seq[(Long, Long)]]): Vector[SearchHit] = {
+                                  ranges: Option[Seq[(Long, Long)]],
+                                  filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] = {
     import spark.implicits._
     val cand = phraseCandidates(spark, root, m, p, stats, ranges)
       .localCheckpoint(true) // one evaluation feeds shards, count, join
@@ -1387,7 +1586,17 @@ object SearchEngine {
           org.apache.spark.sql.functions.broadcast(candFrame)
         else candFrame
       val ver = m.analyzerVersion
+      // rescan path reads docs rows anyway: role/tool evaluate as column
+      // predicates with the SAME fold as the field postings
+      // (lower + ё→е, column-side via translate — FieldFilterSpec pins
+      // path equality). ts ranges were already intersected into `ranges`
+      // by the caller — no ts column predicate needed here.
+      val fieldPred = filter.fieldEqs.map { case (f, v) =>
+        translate(lower(trim(col(f))), "ё", "е") ===
+          Analyzer.fold(v.trim)
+      }.foldLeft(org.apache.spark.sql.functions.lit(true))(_ && _)
       IndexSnapshot.docsFor(spark, root, m, candShards)
+        .filter(fieldPred)
         .select($"docId", $"text")
         .join(joinCand, "docId")
         .select($"docId", $"score", $"text").as[(Long, Double, String)]
@@ -1418,18 +1627,23 @@ object SearchEngine {
                                    m: Manifest, p: Plan, stats: CorpusStats,
                                    k: Int, slots: Vector[String],
                                    pred: Array[Array[Int]] => Boolean,
-                                   ranges: Option[Seq[(Long, Long)]]): Vector[SearchHit] = {
+                                   ranges: Option[Seq[(Long, Long)]],
+                                   fterms: Vector[String] = Vector.empty): Vector[SearchHit] = {
     import spark.implicits._
     require(m.positions, "positional verify needs a positions-built index")
-    val termList = p.terms.map(_.term)
-    val dfByTerm = p.terms.map(t => t.term -> t.df).toMap
+    val textTerms = p.terms.map(_.term)
+    val termList = textTerms ++ fterms
+    val dfByTerm = p.terms.map(t => t.term -> t.df).toMap ++
+      fterms.map(_ -> 0L)
     val canonical = p.terms.sortBy(t => (t.df, t.term)).map(_.term)
-      .zipWithIndex.toMap
+      .zipWithIndex.toMap ++
+      fterms.zipWithIndex.map { case (t, i) => t -> (textTerms.size + i) }
     val slotOf = slots.zipWithIndex.toMap
     val nSlots = slots.size
     val nDocs = stats.nDocs
     val avgdl = stats.avgdl
-    val nTerms = termList.size
+    val nText = textTerms.size
+    val nFilters = fterms.size
     val (segs, shardPrune) = segsAndPrune(m, ranges)
     if (segs.isEmpty) return Vector.empty
     val (scanFrame, _, needShuffle) =
@@ -1441,10 +1655,17 @@ object SearchEngine {
       .mapPartitions { rows =>
         val byTerm = decodeByTerm(rows, withPos = true)
         byTerm.groupBy(_._1._1).iterator.flatMap { case (_, termChunks) =>
-          val cursors = buildCursors(termChunks, dfByTerm, canonical,
+          val (fieldChunks, textChunks) = termChunks.partition {
+            case ((_, t), _) => Analyzer.isFieldTerm(t)
+          }
+          val cursors = buildCursors(textChunks, dfByTerm, canonical,
             nDocs, avgdl)
+          val filterArr = buildCursors(fieldChunks, dfByTerm, canonical,
+            nDocs, avgdl).toArray
           // a term absent from this shard ⇒ empty local intersection
-          if (cursors.size < nTerms) Iterator.empty
+          // (ditto a filter value: no doc here carries it)
+          if (cursors.size < nText || filterArr.length < nFilters)
+            Iterator.empty
           else {
             val heap = new Wand.TopK(k)
             val posBySlot = new Array[Array[Int]](nSlots) // reused per match
@@ -1454,8 +1675,10 @@ object SearchEngine {
               // matter what the verify says — skip the ordinal decode and
               // the predicate entirely. `>=` keeps threshold ties verified
               // (offer admits a tie only on a smaller docId), so the
-              // result stays the exact top-k of verified hits.
-              if (s >= heap.threshold) {
+              // result stays the exact top-k of verified hits. Filter
+              // probes run BEFORE the ordinal decode (cheap forward
+              // merges vs a positions read).
+              if (s >= heap.threshold && Wand.presentInAll(filterArr, d)) {
                 var i = 0
                 while (i < arr.length) {
                   posBySlot(slotOf(arr(i).term)) = arr(i).positions
@@ -1662,7 +1885,7 @@ object SearchEngine {
   // it through disableServingCache like every other pinned structure.
   private final case class QueryKey(terms: Vector[String], mode: String,
                                     k: Int, scopes: Seq[String],
-                                    snapshotId: Long)
+                                    snapshotId: Long, filter: String = "")
   private val resultCaches = scala.collection.concurrent.TrieMap
     .empty[String, java.util.LinkedHashMap[QueryKey, Vector[SearchHit]]]
   // flush generation per root: an in-flight compute that started before a

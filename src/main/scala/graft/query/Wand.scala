@@ -28,24 +28,34 @@ object Wand {
       chunks: IndexedSeq[PostingCodec.BlockedList])
 
   /** Streaming cursor over a term's chunks; block-jumping advanceTo and
-    * per-block exact BM25 upper bounds (block-max WAND inputs). */
+    * per-block exact BM25 upper bounds (block-max WAND inputs).
+    *
+    * `scored = false` makes the cursor WEIGHTLESS (r7, Lucene FILTER /
+    * ConstantScoreQuery clause): it participates in intersections and
+    * presence probes like any cursor, but contributes 0.0 to every score
+    * and every upper bound — so BMW pruning stays exact and a rare filter
+    * list can DRIVE an AND walk for free. */
   final class TermCursor(tp: TermPostings, nDocs: Long, avgdl: Double,
-                         blockSize: Int = PostingCodec.BlockSize) {
+                         blockSize: Int = PostingCodec.BlockSize,
+                         val scored: Boolean = true) {
     val term: String = tp.term
     val df: Long = tp.df
     val canonical: Int = tp.canonical
     /** Term-level score upper bound over all chunks. */
     val upperBound: Double = {
-      var ub = 0.0
-      tp.chunks.foreach { c =>
-        var b = 0
-        while (b < c.blockMaxTf.length) {
-          val s = Bm25.score(c.blockMaxTf(b), df, c.blockMinDl(b), nDocs, avgdl)
-          if (s > ub) ub = s
-          b += 1
+      if (!scored) 0.0
+      else {
+        var ub = 0.0
+        tp.chunks.foreach { c =>
+          var b = 0
+          while (b < c.blockMaxTf.length) {
+            val s = Bm25.score(c.blockMaxTf(b), df, c.blockMinDl(b), nDocs, avgdl)
+            if (s > ub) ub = s
+            b += 1
+          }
         }
+        ub
       }
-      ub
     }
     private var ci = 0
     private var cur: PostingCodec.BlockedCursor = null
@@ -62,14 +72,15 @@ object Wand {
     def docId: Long = if (cur == null) Long.MaxValue else cur.docId
     def tf: Int = cur.tf
     def dl: Int = cur.dl
-    def score: Double = Bm25.score(tf, df, dl, nDocs, avgdl)
+    def score: Double =
+      if (!scored) 0.0 else Bm25.score(tf, df, dl, nDocs, avgdl)
     /** Current posting's token ordinals (positional index only — throws on
       * a positions-free chunk); decoded on demand, see BlockedCursor. */
     def positions: Array[Int] = cur.positions
 
     /** Exact upper bound of any score inside the CURRENT block. */
     def currentBlockUB: Double =
-      if (cur == null) 0.0
+      if (cur == null || !scored) 0.0
       else Bm25.score(cur.blockMaxTf, df, cur.blockMinDl, nDocs, avgdl)
 
     /** First docId after the current block (next block or next chunk). */
@@ -295,7 +306,8 @@ object Wand {
     * plain union) and is rank-identical to [[orTopKSegments]]; minMatch =
     * n is rank-identical to the AND walk (both spec-pinned laws). */
   def shouldTopKSegments(terms: Seq[TermCursor], minMatch: Int, k: Int,
-                         segments: Seq[(Long, Long)]): Vector[SearchHit] = {
+                         segments: Seq[(Long, Long)],
+                         required: Seq[TermCursor] = Nil): Vector[SearchHit] = {
     if (terms.isEmpty || segments.isEmpty) return Vector.empty
     require(minMatch >= 1 && minMatch <= terms.size,
       s"minMatch must be in [1, ${terms.size}], got $minMatch")
@@ -303,6 +315,7 @@ object Wand {
     val byDf = terms.sortBy(c => (c.df, c.term)).toArray // rarest first
     val drivers = byDf.take(terms.size - minMatch + 1)
     val probes = byDf.drop(terms.size - minMatch + 1)
+    val reqArr = required.toArray
     val contribs = new Array[Double](terms.map(_.canonical).max + 1)
     segments.foreach { case (lo, hi) =>
       byDf.foreach(_.advanceTo(lo))
@@ -337,7 +350,8 @@ object Wand {
             }
             i += 1
           }
-          if (matched >= minMatch) heap.offer(cand, canonicalSum(contribs))
+          if (matched >= minMatch && presentInAll(reqArr, cand))
+            heap.offer(cand, canonicalSum(contribs))
           i = 0
           while (i < drivers.length) {
             if (drivers(i).docId == cand) drivers(i).advance()
@@ -361,21 +375,40 @@ object Wand {
     * across segments, so later segments prune with everything already
     * admitted. */
   def orTopKSegments(terms: Seq[TermCursor], k: Int,
-                     segments: Seq[(Long, Long)]): Vector[SearchHit] = {
+                     segments: Seq[(Long, Long)],
+                     required: Seq[TermCursor] = Nil): Vector[SearchHit] = {
     if (terms.isEmpty || segments.isEmpty) return Vector.empty
     val heap = new TopK(k)
     val cursors = terms.toArray
+    val reqArr = required.toArray
     // global canonical indices (see andTopK) — size by the max index
     val contribs = new Array[Double](cursors.map(_.canonical).max + 1)
     segments.foreach { case (minDoc, maxDoc) =>
-      orOneSegment(cursors, heap, contribs, minDoc, maxDoc)
+      orOneSegment(cursors, heap, contribs, minDoc, maxDoc, reqArr)
     }
     heap.results
   }
 
+  /** Do ALL required cursors contain `cand`? (r7 FILTER clauses —
+    * zero-scored presence probes.) Monotone: candidates ascend within the
+    * whole walk, so each probe list is ONE forward merge, never a
+    * restart. WAND/BMW threshold skips stay exact with probes gating
+    * admission: a skipped candidate could not have entered the heap even
+    * if it passed the filter, and the heap only ever holds passing docs. */
+  private[query] def presentInAll(required: Array[TermCursor], cand: Long): Boolean = {
+    var i = 0
+    while (i < required.length) {
+      required(i).advanceTo(cand)
+      if (required(i).exhausted || required(i).docId != cand) return false
+      i += 1
+    }
+    true
+  }
+
   private def orOneSegment(cursors: Array[TermCursor], heap: TopK,
                            contribs: Array[Double],
-                           minDoc: Long, maxDoc: Long): Unit = {
+                           minDoc: Long, maxDoc: Long,
+                           required: Array[TermCursor] = Array.empty): Unit = {
     cursors.foreach(_.advanceTo(minDoc))
     while (true) {
       // sort by current docId (N terms is tiny; insertion-order cost ok)
@@ -418,6 +451,10 @@ object Wand {
           if (cand <= pivotDoc) cand = pivotDoc + 1
           bi = 0
           while (bi < involved) { live(bi).advanceTo(cand); bi += 1 }
+        } else if (!presentInAll(required, pivotDoc)) {
+          // filtered out: move past the pivot without scoring
+          var j = 0
+          while (j < involved) { live(j).advance(); j += 1 }
         } else {
           // fully score pivotDoc: every cursor on it, canonical-order sum
           java.util.Arrays.fill(contribs, 0.0)

@@ -206,7 +206,7 @@ class MultimodalSpec extends AnyFunSuite {
     val cases = Seq(
       Array.empty[Byte],
       Array.fill(3)(0x42.toByte),
-      "RIFF    WAVE".getBytes("ISO-8859-1"),
+      "RIFF\u0000\u0000\u0000\u0000WAVE".getBytes("ISO-8859-1"),
       { // valid RIFF/WAVE header + chunk with length 0xFFFFFFF8 (< 0 as Int)
         val b = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         b.put("RIFF".getBytes); b.putInt(24); b.put("WAVE".getBytes)

@@ -124,35 +124,55 @@ object Bench {
   final case class BuildSample(tput: Double, probePre: Double,
                                probePost: Double, ok: Boolean)
 
-  /** One single-thread busy-loop probe (registers only, ~0.15 s quiet):
-    * its wall time is a pure read of how much CPU the shared host is
-    * giving ONE thread right now — the cheapest contention detector. */
-  private[graft] def busyProbeOnce(): Double = {
-    var x = 0L
-    var i = 0L
+  /** One busy-loop probe at a given WIDTH (registers only, ~0.15 s
+    * quiet): `width` threads each run the loop; the value is the wall
+    * time to complete ALL of them. Width 1 reads how much CPU the host
+    * gives one thread; width = the measured level's core count reads
+    * whether the host can actually deliver that many cores RIGHT NOW —
+    * the r7 fix for the 1-thread blind spot (a co-tenant loading 20 of
+    * 32 cores leaves a 1-thread probe clean while a local[32] build
+    * crawls; a 32-wide probe's slowest thread shows it immediately). */
+  private[graft] def busyProbeOnce(width: Int = 1): Double = {
+    def work(): Unit = {
+      var x = 0L
+      var i = 0L
+      while (i < 200000000L) { x += i * 31; i += 1 }
+      if (x == 42) println(x)
+    }
     val t0 = System.nanoTime()
-    while (i < 200000000L) { x += i * 31; i += 1 }
-    if (x == 42) println(x)
+    if (width <= 1) work()
+    else {
+      val ts = (1 to width).map(_ => new Thread(() => work()))
+      ts.foreach(_.start())
+      ts.foreach(_.join())
+    }
     (System.nanoTime() - t0) / 1e9
   }
 
   /** Quiet-window rep acceptance (VERDICT r06 item 2 — the BenchPair
-    * protocol moved INSIDE Bench): a running-min baseline over every
-    * probe observed, and a sample is accepted iff its bracketing probes
-    * are within `factor` of that baseline. The baseline only ever drops,
-    * so acceptance is conservative: a sample accepted against an
-    * early (too-high) baseline may later look contended — the per-sample
-    * probe trace in the artifact lets a reader re-derive either way. */
+    * protocol moved INSIDE Bench): a PER-WIDTH running-min baseline over
+    * every probe observed, and a sample is accepted iff its bracketing
+    * probes (run at the level's width) are within `factor` of that
+    * width's baseline. Baselines only ever drop, so acceptance is
+    * conservative: a sample accepted against an early (too-high)
+    * baseline may later look contended — the per-sample probe trace in
+    * the artifact lets a reader re-derive either way. A width's first
+    * observation seeds its baseline (and JIT-warms the threaded loop),
+    * so [[observe]] auto-seeds unseen widths with one extra probe. */
   private[graft] final class ProbeGate(factor: Double = 1.5) {
-    private var baseline = Double.MaxValue
-    def observe(): Double = {
-      val t = busyProbeOnce()
-      if (t < baseline) baseline = t
+    private val baseline = scala.collection.mutable.Map.empty[Int, Double]
+    def observe(width: Int = 1): Double = {
+      if (!baseline.contains(width) && width > 1)
+        baseline(width) = busyProbeOnce(width) // seed + JIT warm
+      val t = busyProbeOnce(width)
+      if (t < baseline.getOrElse(width, Double.MaxValue)) baseline(width) = t
       t
     }
     def calibrate(n: Int): Unit = { var i = 0; while (i < n) { observe(); i += 1 } }
-    def quiet: Double = if (baseline == Double.MaxValue) -1.0 else baseline
-    def ok(probe: Double): Boolean = probe <= factor * baseline
+    def quiet: Double = baseline.getOrElse(1, -1.0)
+    def quietAt(width: Int): Double = baseline.getOrElse(width, -1.0)
+    def ok(probe: Double, width: Int = 1): Boolean =
+      probe <= factor * baseline.getOrElse(width, Double.MaxValue)
   }
 
   /** Everything the report needs, with inert defaults so a skipped
@@ -337,27 +357,38 @@ object Bench {
     // shared-host I/O noise (noise only ever slows a run down).
     // Probe-gated rep acceptance (VERDICT r06 item 2 — the BenchPair
     // quiet-window protocol moved INSIDE Bench): every forked build is
-    // BRACKETED by single-thread busy probes; a rep whose probes exceed
-    // 1.5× the session-quiet baseline is recorded as contended and
+    // BRACKETED by busy probes AT THE LEVEL'S WIDTH (r7: a 1-thread
+    // probe is blind to partial-width co-tenant load — it reads clean
+    // while 20 of 32 cores are busy; the level-width probe's wall time
+    // covers the slowest thread); a rep whose probes exceed
+    // 1.5× that width's session-quiet baseline is recorded as contended and
     // retried (up to 2 extra attempts, budget allowing). best-of runs
     // over the ACCEPTED samples when any exist; the full probe trace
     // rides into the artifact either way, so "the host never offered a
     // quiet window" is itself evidenced rather than asserted.
     val gate = new ProbeGate(factor = 1.5)
+    // retries stop past `retryUntilFrac` of the budget (r7: the r6-style
+    // retry chains at slow levels ate 70% of the budget and starved the
+    // large pair — the FIRST sample of every level outranks the Nth
+    // retry of any level)
     def gatedBuild(cores: Int, input: String, convs: Long,
-                   into: scala.collection.mutable.Map[Int, Vector[BuildSample]]): Unit = {
+                   into: scala.collection.mutable.Map[Int, Vector[BuildSample]],
+                   retryUntilFrac: Double = 1.0): Unit = {
+      val width = math.min(cores, 32)
       var attempts = 0
       var accepted = false
-      while (!accepted && attempts < 3 && !overBudget) {
-        val pre = gate.observe()
+      while (!accepted && attempts < 3 && !overBudget &&
+          (attempts == 0 || elapsedSec < retryUntilFrac * deadlineSec)) {
+        val pre = gate.observe(width)
         val tput = forkBuild(cores, input, convs, ensureScratch())
-        val post = gate.observe()
-        accepted = gate.ok(pre) && gate.ok(post)
+        val post = gate.observe(width)
+        accepted = gate.ok(pre, width) && gate.ok(post, width)
         into(cores) = into(cores) :+ BuildSample(tput, pre, post, accepted)
         attempts += 1
         if (!accepted) System.err.println(
-          f"[bench] local[$cores] rep contended (probes $pre%.2f/$post%.2f " +
-          f"vs quiet ${gate.quiet}%.2f) — ${if (attempts < 3) "retrying" else "keeping as-is"}")
+          f"[bench] local[$cores] rep contended (probes@$width-wide " +
+          f"$pre%.2f/$post%.2f vs quiet ${gate.quietAt(width)}%.2f) — " +
+          (if (attempts < 3) "retrying" else "keeping as-is"))
       }
     }
     val levels = Seq(1, 2, 4, 8, 32)
@@ -377,18 +408,21 @@ object Bench {
       var rep = 0
       var stop = false
       while (rep < reps && !stop) {
-        // trim reps past 50% budget: one complete interleaved round is a
+        // trim reps past 40% budget: one complete interleaved round is a
         // usable sample; burning the rest of the budget on rep 2 is not
-        if (rep > 0 && elapsedSec > 0.5 * deadlineSec) {
+        // (0.5 → 0.4 in r7: the sweep must leave the mandated large pair
+        // room to run — it was budget-starved in the r7 local rehearsal)
+        if (rep > 0 && elapsedSec > 0.4 * deadlineSec) {
           System.err.println(s"[bench] build sweep trimmed to $rep rep(s): " +
-            f"${elapsedSec}%.0f s > 50%% of $deadlineSec s budget")
+            f"${elapsedSec}%.0f s > 40%% of $deadlineSec s budget")
           stop = true
         } else {
           val it = levels.iterator
           while (it.hasNext && !stop) {
             val c = it.next()
             if (overBudget) stop = true
-            else gatedBuild(c, inputPath, nConvs, byLevel)
+            else gatedBuild(c, inputPath, nConvs, byLevel,
+              retryUntilFrac = 0.45) // first samples beat late retries
           }
           rep += 1
         }
@@ -412,12 +446,14 @@ object Bench {
     // usually can, and best-of keeps the quiet sample.
     val repsLarge = math.max(reps, 3)
     r.repsLarge = repsLarge
-    // only attempt the large pair with ≥40% of the budget left: each
-    // large build runs 15-70 s quiet and up to ~10× that contended
-    if (elapsedSec > 0.6 * deadlineSec && !overBudget) {
+    // only attempt the large pair with ≥15% of the budget left (r7:
+    // 0.6 → 0.85 — the sweep above now self-trims at 40-45%, and ONE
+    // interleaved large round beats no large evidence at all; partial
+    // emission handles a deadline hit mid-pair)
+    if (elapsedSec > 0.85 * deadlineSec && !overBudget) {
       r.skipped += "build_scaling_large"
       System.err.println("[bench] section build_scaling_large SKIPPED: " +
-        f"under 40%% budget left ($elapsedSec%.0f s of $deadlineSec s spent)")
+        f"under 15%% budget left ($elapsedSec%.0f s of $deadlineSec s spent)")
     } else section("build_scaling_large") {
       val inputLarge = {
         val s = session(cpus)
@@ -432,13 +468,21 @@ object Bench {
       var rep = 0
       var stop = false
       while (rep < repsLarge && !stop) {
-        val it = Seq(8, 32).iterator
-        while (it.hasNext && !stop) {
-          val c = it.next()
-          if (overBudget) stop = true
-          else gatedBuild(c, inputLarge, nConvsLarge, byLevelL)
+        // later rounds only with ≥15% budget left (one full round is
+        // usable evidence; the deadline guard emits partials anyway)
+        if (rep > 0 && elapsedSec > 0.85 * deadlineSec) {
+          System.err.println(s"[bench] large pair trimmed to $rep round(s)")
+          stop = true
+        } else {
+          val it = Seq(8, 32).iterator
+          while (it.hasNext && !stop) {
+            val c = it.next()
+            if (overBudget) stop = true
+            else gatedBuild(c, inputLarge, nConvsLarge, byLevelL,
+              retryUntilFrac = 0.9)
+          }
+          rep += 1
         }
-        rep += 1
       }
       r.byLevelL = byLevelL.toMap.withDefaultValue(Vector.empty)
       r.probeQuiet = gate.quiet // running min may have dropped
@@ -605,7 +649,7 @@ object Bench {
       .mkString("{", ",", "}")
     def strList(xs: Seq[String]): String =
       xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"index-build throughput (turns/sec) + operator suite","value":${fmt(totalSecs)},"unit":"sec","queries":$qJson,"sf":"$sfDir","deadline_sec":$deadlineSec,"elapsed_sec":${fmt(elapsed)},"sections_completed":${strList(r.completed.toSeq)},"sections_skipped":${strList(r.skipped.toSeq)},"build":{"convs":${r.nConvs},"reps_per_level":$reps,"samples":$samplesJson,"samples_gated":$gatedJson,"probe_quiet_sec":${fmt(r.probeQuiet)},"probe_gate_factor":1.5,"throughput_local1":${fmt(th1)},"throughput_local4":${fmt(th4)},"throughput_N_local2":${fmt(thN)},"throughput_4N_local8":${fmt(th4N)},"throughput_local32":${fmt(thMax)},"scaling_efficiency_1_to_4":${fmt(efficiency1to4)},"scaling_efficiency_2_to_8":${fmt(efficiency)},"scaling_efficiency_8_to_32":${fmt(efficiency8to32)},"convs_large":${r.nConvsLarge},"large_pair_ran":$runLarge,"reps_large":${r.repsLarge},"samples_large":{"local8":[${r.byLevelL(8).map(s => fmt(s.tput)).mkString(",")}],"local32":[${r.byLevelL(32).map(s => fmt(s.tput)).mkString(",")}]},"samples_large_gated":$gatedLargeJson,"spread_large_local8":${fmt(spreadL8)},"spread_large_local32":${fmt(spreadL32)},"throughput_large_local8":${fmt(thL8)},"throughput_large_local32":${fmt(thL32)},"scaling_efficiency_8_to_32_large":${fmt(efficiency8to32Large)},"hw_busyloop_ceiling_2_to_8":${fmt(hwCeiling2to8)},"hw_busyloop_ceiling_8_to_32":${fmt(hwCeiling8to32)},"hw_memstream_probe_8_to_32":${fmt(streamCeiling8to32)},"note":"same reps at every level; every fork bracketed by single-thread busy probes (samples_gated: ok = both probes <= 1.5x the probe_quiet_sec running-min baseline; contended reps retried up to 2x) and best-of runs over accepted samples when any exist. busyloop = the hardware CEILING (pure register arithmetic). memstream = a fully-bandwidth-bound REFERENCE probe, NOT a ceiling (observed 0.09-0.47 at 8->32 across rounds)."},"query_latency":{"p50_sec":${fmt(r.p50)},"p95_sec":${fmt(r.p95)},"p50_cold_first_pass_sec":${fmt(r.p50cold)},"p95_cold_first_pass_sec":${fmt(r.p95cold)},"p50_cached_sec":${fmt(r.p50c)},"p95_cached_sec":${fmt(r.p95c)},"serving_cache_mb":${fmt(r.servingCacheMb)},"note":"-1 = section skipped, never measured. p50_sec/p95_sec = warm-uncached (hot JVM, parquet scan per query); cold_first_pass = the true first pass; serving_cache_mb = executor memory pinned by the serving cache (postings positions-pruned + dictionary)"},"phrase_vs_and":{"and_topk_sec":${fmt(r.phraseAndSec)},"phrase_positional_sec":${fmt(r.phrasePosSec)},"near_positional_sec":${fmt(r.nearPosSec)},"phrase_rescan_sec":${fmt(r.phraseRescanSec)},"near_rescan_sec":${fmt(r.nearRescanSec)},"note":"-1 = section skipped, never measured. best-of-3 warm on a 20k-conv index; positional = posting-offset verify (r6 format rev), rescan = positions-free fallback"}}"""
+    val json = s"""{"metric":"index-build throughput (turns/sec) + operator suite","value":${fmt(totalSecs)},"unit":"sec","queries":$qJson,"sf":"$sfDir","deadline_sec":$deadlineSec,"elapsed_sec":${fmt(elapsed)},"sections_completed":${strList(r.completed.toSeq)},"sections_skipped":${strList(r.skipped.toSeq)},"build":{"convs":${r.nConvs},"reps_per_level":$reps,"samples":$samplesJson,"samples_gated":$gatedJson,"probe_quiet_sec":${fmt(r.probeQuiet)},"probe_gate_factor":1.5,"throughput_local1":${fmt(th1)},"throughput_local4":${fmt(th4)},"throughput_N_local2":${fmt(thN)},"throughput_4N_local8":${fmt(th4N)},"throughput_local32":${fmt(thMax)},"scaling_efficiency_1_to_4":${fmt(efficiency1to4)},"scaling_efficiency_2_to_8":${fmt(efficiency)},"scaling_efficiency_8_to_32":${fmt(efficiency8to32)},"convs_large":${r.nConvsLarge},"large_pair_ran":$runLarge,"reps_large":${r.repsLarge},"samples_large":{"local8":[${r.byLevelL(8).map(s => fmt(s.tput)).mkString(",")}],"local32":[${r.byLevelL(32).map(s => fmt(s.tput)).mkString(",")}]},"samples_large_gated":$gatedLargeJson,"spread_large_local8":${fmt(spreadL8)},"spread_large_local32":${fmt(spreadL32)},"throughput_large_local8":${fmt(thL8)},"throughput_large_local32":${fmt(thL32)},"scaling_efficiency_8_to_32_large":${fmt(efficiency8to32Large)},"hw_busyloop_ceiling_2_to_8":${fmt(hwCeiling2to8)},"hw_busyloop_ceiling_8_to_32":${fmt(hwCeiling8to32)},"hw_memstream_probe_8_to_32":${fmt(streamCeiling8to32)},"note":"same reps at every level; every fork bracketed by LEVEL-WIDTH busy probes (probe threads = the level's cores, so partial-width co-tenant load is visible; samples_gated: ok = both probes <= 1.5x that width's running-min baseline; probe_quiet_sec = the 1-wide baseline; contended reps retried up to 2x while budget lasts) and best-of runs over accepted samples when any exist. busyloop = the hardware CEILING (pure register arithmetic). memstream = a fully-bandwidth-bound REFERENCE probe, NOT a ceiling (observed 0.09-0.47 at 8->32 across rounds)."},"query_latency":{"p50_sec":${fmt(r.p50)},"p95_sec":${fmt(r.p95)},"p50_cold_first_pass_sec":${fmt(r.p50cold)},"p95_cold_first_pass_sec":${fmt(r.p95cold)},"p50_cached_sec":${fmt(r.p50c)},"p95_cached_sec":${fmt(r.p95c)},"serving_cache_mb":${fmt(r.servingCacheMb)},"note":"-1 = section skipped, never measured. p50_sec/p95_sec = warm-uncached (hot JVM, parquet scan per query); cold_first_pass = the true first pass; serving_cache_mb = executor memory pinned by the serving cache (postings positions-pruned + dictionary)"},"phrase_vs_and":{"and_topk_sec":${fmt(r.phraseAndSec)},"phrase_positional_sec":${fmt(r.phrasePosSec)},"near_positional_sec":${fmt(r.nearPosSec)},"phrase_rescan_sec":${fmt(r.phraseRescanSec)},"near_rescan_sec":${fmt(r.nearRescanSec)},"note":"-1 = section skipped, never measured. best-of-3 warm on a 20k-conv index; positional = posting-offset verify (r6 format rev), rescan = positions-free fallback"}}"""
 
     // md write failure must never cost the JSON artifact (the artifact IS
     // the deliverable; the md is the human-facing copy)
@@ -627,9 +671,10 @@ object Bench {
       spreadL8: Double, spreadL32: Double, largeQuiet: Boolean,
       runLarge: Boolean, hwCeiling2to8: Double, hwCeiling8to32: Double,
       streamCeiling8to32: Double, totalSecs: Double): Unit = {
-    // sample rendering: throughput [pre/post bracketing busy-probes];
-    // "contended" = a probe exceeded 1.5× the session-quiet baseline and
-    // best-of ignored the sample (unless no sample was accepted)
+    // sample rendering: throughput [pre/post bracketing busy-probes, run
+    // at the LEVEL'S WIDTH — r7]; "contended" = a probe exceeded 1.5×
+    // that width's session-quiet baseline and best-of ignored the sample
+    // (unless no sample was accepted)
     def fmtSample(s: BuildSample): String =
       s"${fmt(s.tput)} [${fmt(s.probePre)}/${fmt(s.probePost)}" +
         (if (s.ok) "]" else " contended]")

@@ -31,6 +31,7 @@ object SparkEntry {
     "near_ordered_topk" -> (Q.nearOrderedTopK(_, _)),
     "bool_not_topk" -> (Q.boolNotTopK(_, _)),
     "bool_should_topk" -> (Q.boolShouldTopK(_, _)),
+    "bool_mixed_topk" -> (Q.boolMixedTopK(_, _)),
     "field_filter_topk" -> (Q.fieldFilterTopK(_, _)),
     "range_filter_topk" -> (Q.rangeFilterTopK(_, _)),
     "prefix_term_topk" -> (Q.prefixTermTopK(_, _)),
@@ -105,6 +106,7 @@ object SparkEntry {
     "near_ordered_topk" -> Q.nearOrderedTopKSql,
     "bool_not_topk" -> Q.boolNotTopKSql,
     "bool_should_topk" -> Q.boolShouldTopKSql,
+    "bool_mixed_topk" -> Q.boolMixedTopKSql,
     "field_filter_topk" -> Q.fieldFilterTopKSql,
     "range_filter_topk" -> Q.rangeFilterTopKSql,
     "prefix_term_topk" -> Q.prefixTermTopKSql,

@@ -102,7 +102,12 @@ object BuildIndex {
   * terms, scored over the present terms — min-match 1 is OR, min-match =
   * #terms is AND of the same terms; a term the index has never seen
   * still counts toward the requirement (Lucene parity: an unsatisfiable
-  * clause is not dropped). Typed field filters (r7, Lucene FILTER
+  * clause is not dropped). `--should "<terms>"` (AND mode only, r7)
+  * builds the COMBINED BooleanQuery — MUST (the query) + SHOULD (these
+  * optional terms, which ADD score on candidates that hold them) +
+  * optional `--not` MUST_NOT, with `--min-match N` as
+  * minimumShouldMatch (default 0: optional clauses only boost).
+  * Typed field filters (r7, Lucene FILTER
   * clauses): `--role X` / `--tool Y` (case-insensitive exact match) and
   * `--from <ts>` / `--to <ts>` (inclusive; epoch millis or
   * yyyy-MM-dd[ HH:mm:ss], UTC) restrict candidates WITHOUT touching
@@ -117,7 +122,7 @@ object Query {
     if (a.size < 2) sys.error(
       "usage: Query <indexRoot> <queryText> [--mode AND|OR|SHOULD|PHRASE|NEAR|PREFIX|FUZZY|WILDCARD] " +
       "[--k N] [--slop N] [--ordered] [--edits N] [--prefix-len N] [--min-match N] " +
-      "[--not <terms>] [--role X] [--tool Y] [--from ts] [--to ts] " +
+      "[--not <terms>] [--should <terms>] [--role X] [--tool Y] [--from ts] [--to ts] " +
       "[--naive] [--conv <prefix>] [--snapshot N]")
     val root = a(0)
     val q = a(1)
@@ -129,7 +134,7 @@ object Query {
     val usage =
       "usage: Query <indexRoot> <queryText> [--mode AND|OR|SHOULD|PHRASE|NEAR|PREFIX|FUZZY|WILDCARD] " +
       "[--k N] [--slop N] [--ordered] [--edits N] [--prefix-len N] [--min-match N] " +
-      "[--not <terms>] [--role X] [--tool Y] [--from ts] [--to ts] " +
+      "[--not <terms>] [--should <terms>] [--role X] [--tool Y] [--from ts] [--to ts] " +
       "[--naive] [--conv <prefix>] [--snapshot N]"
     def numOpt(name: String): Option[Long] = opt(name).map { s =>
       s.toLongOption.getOrElse(sys.error(
@@ -174,12 +179,28 @@ object Query {
     require(!Set("SHOULD", "PHRASE", "NEAR", "PREFIX", "FUZZY", "WILDCARD").contains(mode) ||
       (conv.isEmpty && !a.contains("--naive")),
       s"$mode mode does not combine with --naive/--conv (use --scopes)")
-    require(mode == "SHOULD" || opt("--min-match").isEmpty,
-      "--min-match only applies to SHOULD mode")
+    // combined BooleanQuery (r7): --should adds OPTIONAL clauses to an
+    // AND query (+ optional --not) — Lucene's general MUST + SHOULD +
+    // MUST_NOT form; --min-match then means minimumShouldMatch
+    // (default 0: optional clauses only boost)
+    val shouldText = opt("--should")
+    require(!a.contains("--should") || shouldText.isDefined,
+      "--should expects a term list (missing value?)")
+    require(shouldText.forall(!_.startsWith("--")),
+      s"--should expects a term list, got '${shouldText.getOrElse("")}' (missing value?)")
+    require(shouldText.isEmpty || mode == "AND",
+      "--should requires --mode AND (Lucene BooleanQuery MUST + SHOULD)")
+    require(shouldText.isEmpty || (conv.isEmpty && !a.contains("--naive")),
+      "--should does not combine with --naive/--conv (use --scopes)")
+    require(mode == "SHOULD" || shouldText.isDefined ||
+      opt("--min-match").isEmpty,
+      "--min-match only applies to SHOULD mode or --should queries")
     // Lucene default for an all-optional BooleanQuery: at least one
-    // SHOULD clause must match
-    val minMatch = intOpt("--min-match").getOrElse(1)
-    require(minMatch >= 1, s"--min-match must be >= 1, got $minMatch")
+    // SHOULD clause must match; with MUST clauses present the default
+    // is 0 (optional clauses boost without eliminating)
+    val minMatch = intOpt("--min-match").getOrElse(if (shouldText.isDefined) 0 else 1)
+    require(minMatch >= (if (shouldText.isDefined) 0 else 1),
+      s"--min-match must be >= ${if (shouldText.isDefined) 0 else 1}, got $minMatch")
     // typed field filters (r7): epoch millis or yyyy-MM-dd[ HH:mm:ss] UTC
     def tsOpt(name: String): Option[java.sql.Timestamp] = opt(name).map { v =>
       v.toLongOption.map(new java.sql.Timestamp(_)).getOrElse {
@@ -256,6 +277,9 @@ object Query {
       else if (mode == "SHOULD")
         diagnosed(SearchEngine.queryShould(spark, root, q, minMatch, k,
           proxScopes, pinned, qFilter))
+      else if (shouldText.isDefined)
+        diagnosed(SearchEngine.queryBool(spark, root, q, shouldText.get,
+          notText.getOrElse(""), minMatch, k, proxScopes, pinned, qFilter))
       else if (notText.isDefined)
         diagnosed(SearchEngine.queryNot(spark, root, q, notText.get, k,
           proxScopes, pinned, qFilter))
@@ -276,6 +300,9 @@ object Query {
       else if (mode == "NEAR") s"NEAR~$slop"
       else if (mode == "FUZZY") s"FUZZY~$edits"
       else if (mode == "SHOULD") s"SHOULD>=$minMatch"
+      else if (shouldText.isDefined)
+        s"BOOL SHOULD(${shouldText.get})>=$minMatch" +
+          notText.map(n => s" NOT($n)").getOrElse("")
       else if (notText.isDefined) s"AND NOT(${notText.get})" else mode
     val filterLabel = if (qFilter.isEmpty) "" else " +filter"
     println(f"query='$q' mode=$modeLabel$filterLabel k=$k → ${hits.size} hits in $ms%.0f ms")

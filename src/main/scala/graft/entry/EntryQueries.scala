@@ -302,6 +302,25 @@ object EntryQueries {
   val boolShouldTopKSql: String =
     boolShouldSql(Seq("vector", "merge", "dup"), minMatch = 2, k = 10)
 
+  /** COMBINED BooleanQuery BM25 top-k — the relational twin of
+    * `SearchEngine.queryBool` (r7: all four Lucene clause types in ONE
+    * query): candidates hold the MUST term ('spark', hot), at least 1 of
+    * the 2 SHOULD terms ('vector' hot / 'dup' rare — the optional
+    * clauses genuinely re-rank, matched ∈ {1, 2}), and never the
+    * MUST_NOT term ('join', the corpus's hottest term — the exclusion
+    * has teeth); scored over MUST + MATCHED SHOULD only. The float sum
+    * is deterministic in BOTH engines by FIXED-ORDER column addition
+    * (s_spark + s_vector + s_dup, left-assoc, coalesce 0 — the
+    * bool_should_topk discipline); the matched-SHOULD count is emitted
+    * so the oracle pins the count qualifier itself. */
+  def boolMixedTopK(s: SparkSession, dir: String): DataFrame =
+    bm25Mixed(s, dir, must = Seq("spark"), should = Seq("vector", "dup"),
+      not = Seq("join"), minMatch = 1, k = 10)
+
+  val boolMixedTopKSql: String =
+    boolMixedSql(must = Seq("spark"), should = Seq("vector", "dup"),
+      not = Seq("join"), minMatch = 1, k = 10)
+
   /** Prefix-term BM25 top-k (Lucene PrefixQuery, scoring rewrite) — the
     * relational twin of `SearchEngine.prefixTopK`: the expansion is every
     * dictionary term starting with the prefix ('d' → {data, dup} on this
@@ -511,6 +530,82 @@ object EntryQueries {
         .limit(k)
       s.createDataFrame(result.collectAsList(), result.schema)
     } finally tf.unpersist()
+  }
+
+  /** Combined-BooleanQuery twin (see [[boolMixedTopK]]): per-term score
+    * columns over must ∪ should (max(when) pivot), candidates = all MUST
+    * columns non-null ∧ matched-SHOULD count >= minMatch ∧ anti-join on
+    * the MUST_NOT terms, fixed-order column sum. */
+  private def bm25Mixed(s: SparkSession, dir: String, must: Seq[String],
+                        should: Seq[String], not: Seq[String],
+                        minMatch: Int, k: Int): DataFrame = {
+    val all = must ++ should
+    val tf = TextOps.termFrequencies(t(s, dir, "documents")).cache()
+    try {
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head()
+      val n = statsRow.getLong(0)
+      val avgdl = statsRow.getLong(1).toDouble / n.toDouble
+      val dfMap = tf.filter(col("term").isin(all: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val dfCol = typedLit(dfMap)
+      val scored = tf.filter(col("term").isin(all: _*))
+        .join(dl, Seq("doc_id"))
+        .withColumn("s", Bm25.scoreCol(col("tf"), dfCol(col("term")),
+          col("dl"), n, avgdl))
+      val perTerm = all.map(tm =>
+        max(when(col("term") === tm, col("s"))).as(s"s_$tm"))
+      val agg = scored.groupBy(col("doc_id"))
+        .agg(perTerm.head, perTerm.tail: _*)
+      val mustPred = must.map(tm => col(s"s_$tm").isNotNull)
+        .reduce(_ && _)
+      val matchedCol = should.map(tm =>
+        when(col(s"s_$tm").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+      val sumCol = all.map(tm => coalesce(col(s"s_$tm"), lit(0.0)))
+        .reduce(_ + _) // left fold == the SQL twin's left-assoc chain
+      val result = agg.filter(mustPred)
+        .withColumn("matched", matchedCol)
+        .filter(col("matched") >= minMatch)
+        .join(tf.filter(col("term").isin(not: _*))
+          .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("matched"), round(sumCol, 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(k)
+      s.createDataFrame(result.collectAsList(), result.schema)
+    } finally tf.unpersist()
+  }
+
+  /** Combined-BooleanQuery oracle: the boolShouldSql shape with a MUST
+    * count equality, a NOT-IN exclusion and the matched-SHOULD HAVING. */
+  private def boolMixedSql(must: Seq[String], should: Seq[String],
+                           not: Seq[String], minMatch: Int, k: Int): String = {
+    val all = must ++ should
+    val inList = all.map(x => s"'$x'").mkString(", ")
+    val mustIn = must.map(x => s"'$x'").mkString(", ")
+    val shouldIn = should.map(x => s"'$x'").mkString(", ")
+    val notIn = not.map(x => s"'$x'").mkString(", ")
+    val addCols = all.map(tm =>
+      s"coalesce(max(CASE WHEN term = '$tm' THEN s END), 0)")
+      .mkString("\n      + ")
+    s"""$bm25SqlCte, qt AS (
+       |  SELECT term, count(*) AS df FROM tf WHERE term IN ($inList) GROUP BY term
+       |), sc AS (
+       |  SELECT t.doc_id, t.term,
+       |    ln((s.n - q.df + 0.5)/(q.df + 0.5) + 1.0) * t.tf * (1.2 + 1.0)
+       |      / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * d.dl / s.avgdl)) AS s
+       |  FROM tf t JOIN qt q ON q.term = t.term JOIN dl d ON d.doc_id = t.doc_id
+       |  CROSS JOIN stats s WHERE t.term IN ($inList)
+       |)
+       |SELECT doc_id,
+       |  CAST(count(CASE WHEN term IN ($shouldIn) THEN 1 END) AS BIGINT) AS matched,
+       |  round($addCols, 6) AS score
+       |FROM sc
+       |WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ($notIn))
+       |GROUP BY doc_id
+       |HAVING count(CASE WHEN term IN ($mustIn) THEN 1 END) = ${must.size}
+       |   AND count(CASE WHEN term IN ($shouldIn) THEN 1 END) >= $minMatch
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
   /** SHOULD oracle: per-(doc, term) scores in an `sc` CTE, HAVING

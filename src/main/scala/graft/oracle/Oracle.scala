@@ -566,6 +566,96 @@ final class Oracle(corpus: Seq[Turn],
       .groupBy(_.docId).values.map(_.maxBy(_.score)).toVector
       .sortBy(h => (-h.score, h.docId)).take(k)
 
+  /** COMBINED BooleanQuery brute force (engine parity:
+    * SearchEngine.queryBool — its scaladoc is the contract this mirrors):
+    * MUST terms drop-unknown + stop-cap like mode=AND; SHOULD terms
+    * set-semantics distinct, unsatisfiable clauses (unknown, capped, or
+    * prohibited) count toward minShouldMatch but never match; SHOULD ∩
+    * MUST auto-satisfies (removed, requirement reduced); MUST ∩ MUST_NOT
+    * surviving planning ⇒ empty; MUST_NOT never capped/dropped, no
+    * score. Score = BM25 over MUST + MATCHED SHOULD in ONE canonical
+    * (df asc, term asc) order over the union — same float-op order as
+    * the engine, bit-equal. */
+  def boolTopK(must: String, should: String = "", notQuery: String = "",
+               minShouldMatch: Int = 0, k: Int = 10,
+               convPrefix: Option[String] = None): Vector[SearchHit] = {
+    require(minShouldMatch >= 0)
+    val inScope: Long => Boolean = convPrefix match {
+      case None => _ => true
+      case Some(pre) => d => docs(d.toInt).conv_id.startsWith(pre)
+    }
+    val (n, avg, dfOf): (Long, Double, String => Long) = convPrefix match {
+      case None => (nDocs, avgdl, df _)
+      case Some(_) =>
+        val ids = docs.indices.filter(d => inScope(d.toLong))
+        if (ids.isEmpty) return Vector.empty
+        val a = ids.map(d => docTokens(d).length.toLong).sum.toDouble / ids.size
+        val dfS = (t: String) => index.get(t)
+          .map(_.count { case (d, _) => inScope(d) }.toLong).getOrElse(0L)
+        (ids.size.toLong, a, dfS)
+    }
+    val mustQ = Analyzer.analyzeQueryFor(analyzerVersion, must)
+    val negs = Analyzer.analyzeQueryFor(analyzerVersion, notQuery).distinct
+    val shouldRaw = Analyzer.analyzeQueryFor(analyzerVersion, should).distinct
+    val mustSet = mustQ.toSet
+    val negSet = negs.toSet
+    val autoSatisfied = shouldRaw.count(mustSet)
+    val shouldKept = shouldRaw.filterNot(t => mustSet(t) || negSet(t))
+    val minEff = math.max(0, minShouldMatch - autoSatisfied)
+    if (mustQ.isEmpty && shouldKept.isEmpty) return Vector.empty
+    val cap = 0.9 * n
+    val mustKept = mustQ.filter(t => dfOf(t) > 0 && dfOf(t) <= cap)
+      .sortBy(t => (dfOf(t), t))
+    if (mustQ.nonEmpty && mustKept.isEmpty) return Vector.empty
+    if (mustKept.exists(negSet)) return Vector.empty
+    val shouldSurv = shouldKept.filter(t => dfOf(t) > 0 && dfOf(t) <= cap)
+    val minMatch = if (mustQ.isEmpty) math.max(1, minEff) else minEff
+    if (shouldSurv.size < minMatch) return Vector.empty
+    // candidates: all MUST present (or any SHOULD when no must), none of
+    // the negatives present, >= minMatch of the surviving SHOULD present
+    val mustPostings =
+      mustKept.map(t => index(t).filter { case (d, _) => inScope(d) }.toMap)
+    val shouldPostings =
+      shouldSurv.map(t => index(t).filter { case (d, _) => inScope(d) }.toMap)
+    val base: Set[Long] =
+      if (mustKept.nonEmpty) mustPostings.map(_.keySet).reduce(_ intersect _)
+      else shouldPostings.map(_.keySet).reduce(_ union _)
+    val scored = (mustKept ++ shouldSurv).sortBy(t => (dfOf(t), t))
+    val postingOf = (mustKept.zip(mustPostings) ++
+      shouldSurv.zip(shouldPostings)).toMap
+    val hits = base.toVector.flatMap { d =>
+      if (docTokens(d.toInt).exists(negSet)) None
+      else {
+        val matched = shouldSurv.count(t => postingOf(t).contains(d))
+        if (matched < minMatch) None
+        else {
+          var s = 0.0
+          scored.foreach { t => // canonical order; absent SHOULD adds 0
+            postingOf(t).get(d).foreach { tf =>
+              s += Bm25.score(tf, dfOf(t), dl(d), n, avg)
+            }
+          }
+          Some(SearchHit(d, s))
+        }
+      }
+    }
+    hits.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
+  def boolTopKScoped(must: String, should: String, notQuery: String,
+                     minShouldMatch: Int, k: Int,
+                     prefixes: Seq[String]): Vector[SearchHit] =
+    prefixes.flatMap(p =>
+        boolTopK(must, should, notQuery, minShouldMatch, k, Some(p)))
+      .groupBy(_.docId).values.map(_.maxBy(_.score)).toVector
+      .sortBy(h => (-h.score, h.docId)).take(k)
+
+  def boolTopKFiltered(must: String, should: String, notQuery: String,
+                       minShouldMatch: Int, k: Int,
+                       f: graft.model.QueryFilter): Vector[SearchHit] =
+    postFilter(f, k)(
+      boolTopK(must, should, notQuery, minShouldMatch, Int.MaxValue))
+
   /** Reference-compat relevance: Σ tf max-normalized (AND only) —
     * SearchServiceImpl.java:202-245 semantics with our docId tie-break. */
   def topKRefCompat(query: String, k: Int = 10): Vector[SearchHit] = {

@@ -1512,6 +1512,251 @@ object SearchEngine {
     }
   }
 
+  /** The COMBINED Lucene BooleanQuery (r7): MUST + SHOULD + MUST_NOT +
+    * FILTER clauses in ONE query — the general form whose degenerate
+    * cases are the dedicated modes (all laws spec-pinned, BoolQuerySpec):
+    *
+    *   - should and not empty              == [[query]] mode=AND
+    *   - should empty                      == [[queryNot]]
+    *   - must and not empty                == [[queryShould]](max(1, m))
+    *   - minShouldMatch = 0, must present  == AND candidates, SHOULD
+    *     terms only BOOST (Lucene's default: optional clauses add score
+    *     but eliminate nothing)
+    *
+    * Semantics per clause type keep each dedicated mode's contract
+    * EXACTLY: MUST terms analyze/drop-unknown/stop-cap like mode=AND
+    * (reference parity); SHOULD terms are set-semantics DISTINCT, and a
+    * SHOULD clause that can never match (unknown, stop-capped, or also
+    * PROHIBITED — a surviving doc can't contain it) still COUNTS toward
+    * minShouldMatch while never matching (Lucene: requirements don't
+    * relax for unsatisfiable clauses); MUST_NOT terms are never capped
+    * or dropped and contribute no score. Overlap resolution (Lucene
+    * clause algebra, documented deviations):
+    *
+    *   - a SHOULD term that is also MUST is auto-satisfied on every
+    *     candidate: it is removed from the SHOULD set and minShouldMatch
+    *     reduced by one per such term (duplicate clauses collapse —
+    *     set semantics, deliberately NOT Lucene's double-count scoring);
+    *   - a MUST term that is also MUST_NOT ⇒ empty (checked POST-plan on
+    *     the SURVIVING must terms, the [[queryNot]] rule);
+    *   - a SHOULD term that is also MUST_NOT stays in the requirement
+    *     count but can never match (see above).
+    *
+    * Scoring: BM25 sum over MUST + MATCHED SHOULD terms in ONE canonical
+    * (df asc, term asc) order over their union — bit-equal to the
+    * brute-force oracle. A hit's score never depends on what was
+    * filtered or prohibited.
+    *
+    * Execution (must present): the [[andNotTopK]] lazy-AND shape with
+    * per-candidate monotone SHOULD probes — candidates enumerate from
+    * the MUST intersection (+ weightless FILTER cursors), negatives
+    * exclude, present SHOULD cursors add score and count toward
+    * minShouldMatch; admission pre-check `mustScore + Σ(per-shard SHOULD
+    * upper bounds) ≥ heap threshold` (inflated by 1e-12 relative — far
+    * above the ≤ n·ulp float-association slack between the bound's sum
+    * order and the canonical fold, far below any real score gap — so
+    * the BMW shortcut can never drop an exact-top-k hit) skips the probe
+    * work for inadmissible candidates. No must: the count-qualified
+    * [[Wand.shouldTopKSegments]] walk with prohibited + filter probes.
+    * Per-shard heaps, O(shards × k) to the driver, zero per-query
+    * shuffle on the aligned scan path — a combined query costs its AND
+    * walk plus one forward merge per SHOULD/NOT list.
+    *
+    * `scopes`: per-scope stats/segments exactly like [[queryScoped]]
+    * (MUST and SHOULD survivors re-planned per scope with scoped dfs,
+    * best-instance union). Time travel via `pinned`; `filter` composes
+    * like everywhere (weightless, never re-weighs). */
+  def queryBool(spark: SparkSession, root: String, mustText: String,
+                shouldText: String = "", notText: String = "",
+                minShouldMatch: Int = 0, k: Int = 10,
+                scopes: Seq[String] = Nil,
+                pinned: Option[Manifest] = None,
+                filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] = {
+    require(minShouldMatch >= 0,
+      s"minShouldMatch must be >= 0, got $minShouldMatch")
+    val m = pinned.getOrElse(pinnedManifest(root))
+    val must = Analyzer.analyzeQueryFor(m.analyzerVersion, mustText)
+    val negs = Analyzer.analyzeQueryFor(m.analyzerVersion, notText).distinct.sorted
+    val shouldRaw = Analyzer.analyzeQueryFor(m.analyzerVersion, shouldText).distinct
+    // ---- clause-overlap resolution (see scaladoc) ----
+    val mustSet = must.toSet
+    val negSet = negs.toSet
+    val autoSatisfied = shouldRaw.count(mustSet)
+    val shouldKept = shouldRaw.filterNot(t => mustSet(t) || negSet(t))
+    val minEff = math.max(0, minShouldMatch - autoSatisfied)
+    // ---- degenerate delegation: each law IS the dedicated mode ----
+    if (must.isEmpty && negs.isEmpty)
+      return queryShould(spark, root, shouldText,
+        math.max(1, minShouldMatch), k, scopes, Some(m), filter)
+    if (shouldKept.isEmpty && minEff == 0 && must.nonEmpty)
+      return queryNot(spark, root, mustText, notText, k, scopes, Some(m),
+        filter)
+    if (must.isEmpty && shouldKept.isEmpty) return Vector.empty
+    if (minEff > shouldKept.size && must.nonEmpty) return Vector.empty
+    if (must.isEmpty && math.max(1, minEff) > shouldKept.size)
+      return Vector.empty
+    // memo key: three space-separated sections (no analyzed token holds a
+    // space) — resolution above is deterministic, so semantically equal
+    // queries share an entry
+    memoized(root,
+      QueryKey(must ++ (" " +: negs) ++ (" " +: shouldKept),
+        s"BOOL:$minEff", k, scopes, m.snapshotId, filter.cacheKey)) {
+      val (fterms, tsRanges) = resolveFilter(spark, root, m, filter)
+      if (scopes.isEmpty) {
+        val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
+        val pMust = plan(spark, root, QuerySpec(must, "AND", k), stats,
+          pinned = Some(m))
+        val pShould = plan(spark, root, QuerySpec(shouldKept, "OR", k),
+          stats, pinned = Some(m))
+        if (must.nonEmpty && pMust.terms.isEmpty) Vector.empty
+        else if (pMust.terms.exists(t => negSet(t.term))) Vector.empty
+        else if (pShould.terms.size < minEff) Vector.empty
+        else if (must.isEmpty && pShould.terms.size < math.max(1, minEff))
+          Vector.empty
+        else boolTopK(spark, root, m, pMust.terms, pShould.terms, negs,
+          minEff, stats, k, combineRanges(None, tsRanges), fterms)
+      } else {
+        val all = scopes.flatMap { sc =>
+          scopedKeptPlan(spark, root, m, must ++ shouldKept, sc, "BOOL", k) match {
+            case None => Vector.empty
+            case Some((pAll, stats, ranges)) =>
+              // ONE scoped df pass over must ∪ should, then split: both
+              // clause families see the same per-scope cap/drop rules as
+              // their dedicated modes (scopedKeptPlan IS that rule)
+              val mustKept = pAll.terms.filter(t => mustSet(t.term))
+              val shouldKeptScoped = pAll.terms.filterNot(t => mustSet(t.term))
+              if (must.nonEmpty && mustKept.size == 0) Vector.empty
+              else if (mustKept.exists(t => negSet(t.term))) Vector.empty
+              else if (shouldKeptScoped.size < minEff) Vector.empty
+              else if (must.isEmpty &&
+                  shouldKeptScoped.size < math.max(1, minEff)) Vector.empty
+              else boolTopK(spark, root, m, mustKept, shouldKeptScoped,
+                negs, minEff, stats, k,
+                combineRanges(Some(ranges), tsRanges), fterms)
+          }
+        }
+        unionBest(all, k)
+      }
+    }
+  }
+
+  /** Relative inflation on the combined-query admission bound (see
+    * [[queryBool]] scaladoc): covers float-association slack between
+    * `mustScore + shouldUbSum` and the canonical-order total, orders of
+    * magnitude below any real adjacent-score gap. Over-admission only
+    * costs probes; under-admission would break exactness. */
+  private val BoolBoundSlack = 1.0 + 1e-12
+
+  /** Shard-local combined-BooleanQuery executor (see [[queryBool]]).
+    * `mustTerms`/`shouldTerms` are the PLANNED survivors; one canonical
+    * (df asc, term asc) order spans their union. */
+  private def boolTopK(spark: SparkSession, root: String, m: Manifest,
+                       mustTerms: Vector[TermStats],
+                       shouldTerms: Vector[TermStats],
+                       negTerms: Vector[String], minEff: Int,
+                       stats: CorpusStats, k: Int,
+                       ranges: Option[Seq[(Long, Long)]],
+                       fterms: Vector[String] = Vector.empty): Vector[SearchHit] = {
+    import spark.implicits._
+    val mustList = mustTerms.map(_.term)
+    val shouldList = shouldTerms.map(_.term)
+    val mustSet = mustList.toSet
+    val shouldSet = shouldList.toSet
+    val nMust = mustList.size
+    val nFilters = fterms.size
+    val scored = (mustTerms ++ shouldTerms).sortBy(t => (t.df, t.term))
+    val dfByTerm = scored.map(t => t.term -> t.df).toMap ++
+      negTerms.map(_ -> 0L) ++ fterms.map(_ -> 0L)
+    val canonical = scored.map(_.term).zipWithIndex.toMap ++
+      negTerms.zipWithIndex.map { case (t, i) => t -> (scored.size + i) } ++
+      fterms.zipWithIndex.map { case (t, i) =>
+        t -> (scored.size + negTerms.size + i) }
+    val nCanon = scored.size + negTerms.size + nFilters
+    val nDocs = stats.nDocs
+    val avgdl = stats.avgdl
+    // no-must branch needs Lucene's at-least-one rule
+    val minMatch = if (nMust == 0) math.max(1, minEff) else minEff
+    val (segs, shardPrune) = segsAndPrune(m, ranges)
+    if (segs.isEmpty) return Vector.empty
+    val allTerms = mustList ++ shouldList ++ negTerms ++ fterms
+    val (scanFrame, _, needShuffle) = resolvedPostingsScan(spark, root, m)
+    val selected0 = shardPrune(scanFrame).filter($"term".isin(allTerms: _*))
+    val selected = if (needShuffle) selected0.repartition($"shard") else selected0
+    val perShard = selected
+      .select(postingScanColumns(withPos = false): _*)
+      .mapPartitions { rows =>
+        val byTerm = decodeByTerm(rows, withPos = false)
+        byTerm.groupBy(_._1._1).iterator.flatMap { case (_, termChunks) =>
+          val (fieldChunks, restChunks) = termChunks.partition {
+            case ((_, t), _) => Analyzer.isFieldTerm(t)
+          }
+          val (mustChunks, rest2) = restChunks.partition {
+            case ((_, t), _) => mustSet(t)
+          }
+          val (shouldChunks, negChunks) = rest2.partition {
+            case ((_, t), _) => shouldSet(t)
+          }
+          val mustCursors = buildCursors(mustChunks, dfByTerm, canonical,
+            nDocs, avgdl)
+          val filterCursors = buildCursors(fieldChunks, dfByTerm, canonical,
+            nDocs, avgdl)
+          val shouldArr = buildCursors(shouldChunks, dfByTerm, canonical,
+            nDocs, avgdl).toArray
+          // a must/filter term absent from this shard ⇒ no candidate here;
+          // fewer than minMatch SHOULD lists present ⇒ no doc here can
+          // reach the count (a doc's postings are complete in its shard)
+          if (mustCursors.size < nMust || filterCursors.size < nFilters ||
+              shouldArr.length < minMatch)
+            Iterator.empty
+          else {
+            val negArr = buildCursors(negChunks, dfByTerm, canonical,
+              nDocs, avgdl).toArray
+            val heap = new Wand.TopK(k)
+            if (nMust == 0) {
+              // pure SHOULD (+ NOT/FILTER): the count-qualified walk
+              Wand.shouldTopKSegments(shouldArr.toIndexedSeq, minMatch, k,
+                segs, required = filterCursors, prohibited = negArr.toIndexedSeq)
+                .iterator
+            } else {
+              // per-shard constant: Σ upper bounds of the PRESENT should
+              // lists — the admission bound's optional-score headroom
+              var shouldUbSum = 0.0
+              shouldArr.foreach(c => shouldUbSum += c.upperBound)
+              val contribs = new Array[Double](nCanon)
+              val walk = Wand.andAllWith(mustCursors ++ filterCursors, segs) {
+                (d, s, arr) =>
+                if ((s + shouldUbSum) * BoolBoundSlack >= heap.threshold &&
+                    !Wand.presentInAny(negArr, d)) {
+                  java.util.Arrays.fill(contribs, 0.0)
+                  var i = 0
+                  while (i < arr.length) { // must + weightless filters
+                    contribs(arr(i).canonical) = arr(i).score
+                    i += 1
+                  }
+                  var matched = 0
+                  i = 0
+                  while (i < shouldArr.length) {
+                    shouldArr(i).advanceTo(d)
+                    if (!shouldArr(i).exhausted && shouldArr(i).docId == d) {
+                      contribs(shouldArr(i).canonical) = shouldArr(i).score
+                      matched += 1
+                    }
+                    i += 1
+                  }
+                  if (matched >= minMatch)
+                    heap.offer(d, Wand.canonicalSum(contribs))
+                }
+              }
+              while (walk.hasNext) walk.next() // drain (lazy iterator)
+              heap.results.iterator
+            }
+          }
+        }
+      }
+      .collect()
+    perShard.toVector.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
   /** Shared scoring-BooleanQuery rewrite tail for the multi-term query
     * family ([[prefixTopK]], [[fuzzyTopK]], [[wildcardTopK]]): the standard OR/BM25 top-k
     * over an already-expanded (and already size-capped) term set.

@@ -133,7 +133,7 @@ object Wand {
 
   /** Sum per-term contributions in the canonical (df asc, term asc) order —
     * float determinism for rank-identity (SURVEY.md §7.8.1). */
-  private def canonicalSum(contribs: Array[Double]): Double = {
+  private[query] def canonicalSum(contribs: Array[Double]): Double = {
     var s = 0.0
     var i = 0
     while (i < contribs.length) { s += contribs(i); i += 1 }
@@ -304,10 +304,16 @@ object Wand {
     * only probed with monotone advanceTo (candidates ascend: one forward
     * merge per probe list). minMatch = 1 makes every list a driver (the
     * plain union) and is rank-identical to [[orTopKSegments]]; minMatch =
-    * n is rank-identical to the AND walk (both spec-pinned laws). */
+    * n is rank-identical to the AND walk (both spec-pinned laws).
+    *
+    * `required` = weightless FILTER cursors every hit must contain (r7);
+    * `prohibited` = MUST_NOT cursors no hit may contain (r7 combined
+    * BooleanQuery, no-MUST branch) — both are monotone forward probes at
+    * admission, zero score contribution. */
   def shouldTopKSegments(terms: Seq[TermCursor], minMatch: Int, k: Int,
                          segments: Seq[(Long, Long)],
-                         required: Seq[TermCursor] = Nil): Vector[SearchHit] = {
+                         required: Seq[TermCursor] = Nil,
+                         prohibited: Seq[TermCursor] = Nil): Vector[SearchHit] = {
     if (terms.isEmpty || segments.isEmpty) return Vector.empty
     require(minMatch >= 1 && minMatch <= terms.size,
       s"minMatch must be in [1, ${terms.size}], got $minMatch")
@@ -316,6 +322,7 @@ object Wand {
     val drivers = byDf.take(terms.size - minMatch + 1)
     val probes = byDf.drop(terms.size - minMatch + 1)
     val reqArr = required.toArray
+    val negArr = prohibited.toArray
     val contribs = new Array[Double](terms.map(_.canonical).max + 1)
     segments.foreach { case (lo, hi) =>
       byDf.foreach(_.advanceTo(lo))
@@ -350,7 +357,8 @@ object Wand {
             }
             i += 1
           }
-          if (matched >= minMatch && presentInAll(reqArr, cand))
+          if (matched >= minMatch && presentInAll(reqArr, cand) &&
+              !presentInAny(negArr, cand))
             heap.offer(cand, canonicalSum(contribs))
           i = 0
           while (i < drivers.length) {
@@ -403,6 +411,18 @@ object Wand {
       i += 1
     }
     true
+  }
+
+  /** Is `cand` in ANY of the probe lists? (MUST_NOT exclusion — same
+    * monotone one-forward-merge-per-list shape as [[presentInAll]].) */
+  private[query] def presentInAny(prohibited: Array[TermCursor], cand: Long): Boolean = {
+    var i = 0
+    while (i < prohibited.length) {
+      prohibited(i).advanceTo(cand)
+      if (!prohibited(i).exhausted && prohibited(i).docId == cand) return true
+      i += 1
+    }
+    false
   }
 
   private def orOneSegment(cursors: Array[TermCursor], heap: TopK,

@@ -705,12 +705,18 @@ object Bench {
          |fresh forked JVM per run, levels interleaved across rounds so one
          |noisy host window cannot wipe a whole level.
          |
-         |PROBE-GATED (r7): every fork is bracketed by single-thread
-         |busy probes (quiet baseline this run: ${fmt(r.probeQuiet)} s,
-         |running min over all probes); a rep with a probe over 1.5× the
-         |baseline is marked `contended`, retried up to 2×, and excluded
-         |from best-of whenever any accepted sample exists. Samples below
-         |print as `tput [pre/post probe s]`.
+         |PROBE-GATED (r7): every fork is bracketed by busy probes AT
+         |THE LEVEL'S WIDTH (probe threads = the level's cores, so
+         |partial-width co-tenant load is visible — a 1-thread probe
+         |reads clean while 20 of 32 cores are busy; note the busy loop
+         |is register-only, so a clean wide probe certifies CPU
+         |availability, NOT memory bandwidth — for bandwidth read the
+         |memstream calibration below). 1-wide quiet baseline this run:
+         |${fmt(r.probeQuiet)} s (running min; each width keeps its
+         |own baseline). A rep with a probe over 1.5× its width's
+         |baseline is marked `contended`, retried up to 2× while budget
+         |lasts, and excluded from best-of whenever any accepted sample
+         |exists. Samples below print as `tput [pre/post probe s]`.
          |
          || parallelism | throughput (turns/sec) | all samples |
          ||---|---|---|

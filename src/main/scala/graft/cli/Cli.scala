@@ -113,6 +113,11 @@ object BuildIndex {
   * yyyy-MM-dd[ HH:mm:ss], UTC) restrict candidates WITHOUT touching
   * scores or statistics; they compose with every mode, --scopes and
   * --snapshot, and need a fields-enabled index (the build default).
+  * `--lucene` (r7) puts the WHOLE query in one Lucene-style string —
+  * `+must should -not "phrase"~slop role:x tool:y ts:[a TO b]` —
+  * parsed by graft.query.QueryParser onto the same executors; the other
+  * query flags must then be absent (--min-match/--scopes/--snapshot
+  * still apply).
   */
 object Query {
   def main(args: Array[String]): Unit = {
@@ -123,7 +128,7 @@ object Query {
       "usage: Query <indexRoot> <queryText> [--mode AND|OR|SHOULD|PHRASE|NEAR|PREFIX|FUZZY|WILDCARD] " +
       "[--k N] [--slop N] [--ordered] [--edits N] [--prefix-len N] [--min-match N] " +
       "[--not <terms>] [--should <terms>] [--role X] [--tool Y] [--from ts] [--to ts] " +
-      "[--naive] [--conv <prefix>] [--snapshot N]")
+      "[--naive] [--conv <prefix>] [--snapshot N] | Query <root> '<lucene query>' --lucene")
     val root = a(0)
     val q = a(1)
     val mode = opt("--mode").getOrElse("AND").toUpperCase
@@ -135,7 +140,7 @@ object Query {
       "usage: Query <indexRoot> <queryText> [--mode AND|OR|SHOULD|PHRASE|NEAR|PREFIX|FUZZY|WILDCARD] " +
       "[--k N] [--slop N] [--ordered] [--edits N] [--prefix-len N] [--min-match N] " +
       "[--not <terms>] [--should <terms>] [--role X] [--tool Y] [--from ts] [--to ts] " +
-      "[--naive] [--conv <prefix>] [--snapshot N]"
+      "[--naive] [--conv <prefix>] [--snapshot N] | Query <root> '<lucene query>' --lucene"
     def numOpt(name: String): Option[Long] = opt(name).map { s =>
       s.toLongOption.getOrElse(sys.error(
         s"$name expects an integer, got '$s' — " + usage))
@@ -193,14 +198,16 @@ object Query {
     require(shouldText.isEmpty || (conv.isEmpty && !a.contains("--naive")),
       "--should does not combine with --naive/--conv (use --scopes)")
     require(mode == "SHOULD" || shouldText.isDefined ||
-      opt("--min-match").isEmpty,
-      "--min-match only applies to SHOULD mode or --should queries")
+      a.contains("--lucene") || opt("--min-match").isEmpty,
+      "--min-match only applies to SHOULD mode, --should or --lucene queries")
     // Lucene default for an all-optional BooleanQuery: at least one
     // SHOULD clause must match; with MUST clauses present the default
-    // is 0 (optional clauses boost without eliminating)
-    val minMatch = intOpt("--min-match").getOrElse(if (shouldText.isDefined) 0 else 1)
-    require(minMatch >= (if (shouldText.isDefined) 0 else 1),
-      s"--min-match must be >= ${if (shouldText.isDefined) 0 else 1}, got $minMatch")
+    // is 0 (optional clauses boost without eliminating) — queryBool
+    // applies the at-least-one rule itself when no MUST survives
+    val boolStyle = shouldText.isDefined || a.contains("--lucene")
+    val minMatch = intOpt("--min-match").getOrElse(if (boolStyle) 0 else 1)
+    require(minMatch >= (if (boolStyle) 0 else 1),
+      s"--min-match must be >= ${if (boolStyle) 0 else 1}, got $minMatch")
     // typed field filters (r7): epoch millis or yyyy-MM-dd[ HH:mm:ss] UTC
     def tsOpt(name: String): Option[java.sql.Timestamp] = opt(name).map { v =>
       v.toLongOption.map(new java.sql.Timestamp(_)).getOrElse {
@@ -217,6 +224,25 @@ object Query {
     val qFilter = graft.model.QueryFilter(
       role = opt("--role"), tool = opt("--tool"),
       tsFrom = tsOpt("--from"), tsTo = tsOpt("--to"))
+    // search_after page cursor (r7): the OPAQUE token the previous page
+    // printed (`next: --after <scoreBits>:<docId>`) — raw IEEE-754 bits,
+    // NOT the rounded printed score, so ties at the page boundary
+    // paginate exactly
+    val after: Option[graft.model.SearchHit] = opt("--after").map { v =>
+      val parts = v.split(":", 2)
+      val parsed = for {
+        bits <- if (parts.length == 2) parts(0).toLongOption else None
+        doc <- parts(1).toLongOption
+      } yield graft.model.SearchHit(doc, java.lang.Double.longBitsToDouble(bits))
+      parsed.getOrElse(sys.error(
+        s"--after expects the cursor token a previous page printed " +
+        s"(<scoreBits>:<docId>), got '$v' — " + usage))
+    }
+    require(after.isEmpty ||
+      (Set("AND", "OR", "SHOULD").contains(mode) || a.contains("--lucene")) &&
+        conv.isEmpty && scopes.isEmpty && !a.contains("--naive"),
+      "--after pages AND/OR/SHOULD/--should/--not/--lucene term queries " +
+      "only, without --conv/--scopes/--naive")
     require(qFilter.isEmpty || (conv.isEmpty && !a.contains("--naive")),
       "field/ts filters do not combine with --naive/--conv (use --scopes)")
     // mode checks FIRST, then the slop parse/range (ADVICE r05 item 2:
@@ -258,8 +284,21 @@ object Query {
       case Some(m) => SearchEngine.withExpiryDiagnosis(root, m.snapshotId)(body)
       case None => body
     }
+    // --lucene (r7): the whole query in ONE Lucene-style string —
+    // +must should -not "phrase"~slop role:x tool:y ts:[a TO b] —
+    // parsed by QueryParser onto the same executors; every other query
+    // flag must then be ABSENT (its meaning lives in the string)
+    require(!a.contains("--lucene") ||
+      (opt("--mode").isEmpty && notText.isEmpty && shouldText.isEmpty &&
+        qFilter.isEmpty && conv.isEmpty && !a.contains("--naive")),
+      "--lucene puts the whole query in the string: it does not combine " +
+      "with --mode/--not/--should/--role/--tool/--from/--to/--conv/--naive " +
+      "(--min-match, --scopes and --snapshot still apply)")
     val hits =
-      if (mode == "PHRASE")
+      if (a.contains("--lucene"))
+        diagnosed(graft.query.QueryParser.search(spark, root, q, k,
+          minMatch, proxScopes, pinned, after))
+      else if (mode == "PHRASE")
         diagnosed(SearchEngine.phraseTopK(spark, root, q, k, proxScopes,
           pinned, qFilter))
       else if (mode == "NEAR")
@@ -276,23 +315,25 @@ object Query {
           pinned, qFilter))
       else if (mode == "SHOULD")
         diagnosed(SearchEngine.queryShould(spark, root, q, minMatch, k,
-          proxScopes, pinned, qFilter))
+          proxScopes, pinned, qFilter, after))
       else if (shouldText.isDefined)
         diagnosed(SearchEngine.queryBool(spark, root, q, shouldText.get,
-          notText.getOrElse(""), minMatch, k, proxScopes, pinned, qFilter))
+          notText.getOrElse(""), minMatch, k, proxScopes, pinned, qFilter,
+          after))
       else if (notText.isDefined)
         diagnosed(SearchEngine.queryNot(spark, root, q, notText.get, k,
-          proxScopes, pinned, qFilter))
+          proxScopes, pinned, qFilter, after))
       else if (a.contains("--naive"))
         SearchEngine.queryNaive(spark, root, q, mode, k).collect()
           .map(r => graft.model.SearchHit(r.getLong(0), r.getDouble(1))).toVector
       else (snapshot, scopes.orElse(conv.map(Seq(_)))) match {
         case (Some(v), ss) =>
           SearchEngine.queryAt(spark, root, v, q, mode, k, ss.getOrElse(Nil),
-            qFilter)
+            qFilter, after)
         case (None, Some(ss)) =>
           SearchEngine.queryScoped(spark, root, q, mode, k, ss, qFilter)
-        case _ => SearchEngine.query(spark, root, q, mode, k, None, qFilter)
+        case _ =>
+          SearchEngine.query(spark, root, q, mode, k, None, qFilter, after)
       }
     val ms = (System.nanoTime() - t0) / 1e6
     val modeLabel =
@@ -322,6 +363,19 @@ object Query {
       val preview = byId.getOrElse(h.docId, "").take(80)
       println(f"${i + 1}%2d. doc=${h.docId}%-8d score=${h.score}%.6f  $preview")
     }
+    // deep paging (r7, Lucene searchAfter): a FULL page means more may
+    // follow — print the exact-bits cursor for the next page. Offset
+    // pagination re-walks everything it skips; the cursor walk stays
+    // O(k) at any depth, the 100 TB-serving shape.
+    val pageable = ((Set("AND", "OR", "SHOULD").contains(mode) &&
+      !a.contains("--naive")) || shouldText.isDefined ||
+      (a.contains("--lucene") && !q.contains("\""))) &&
+      conv.isEmpty && scopes.isEmpty
+    if (pageable && hits.size == k)
+      hits.lastOption.foreach { h =>
+        println(s"  next: --after " +
+          s"${java.lang.Double.doubleToLongBits(h.score)}:${h.docId}")
+      }
     spark.stop()
   }
 }

@@ -85,14 +85,33 @@ object SearchEngine {
   def query(spark: SparkSession, root: String, queryText: String,
             mode: String = "AND", k: Int = 10,
             convPrefix: Option[String] = None,
-            filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] =
+            filter: QueryFilter = QueryFilter.Empty,
+            after: Option[SearchHit] = None): Vector[SearchHit] =
     convPrefix match {
       case Some(pre) =>
+        require(after.isEmpty, ScopedAfterError)
         queryScoped(spark, root, queryText, mode, k, Seq(pre), filter)
       case None =>
         queryResolved(spark, root, pinnedManifest(root), queryText, mode, k,
-          filter)
+          filter, after)
     }
+
+  /** search_after (r7) is single-walk only: a multi-scope union keeps
+    * each doc's BEST-instance score, and a per-scope after-cursor walk
+    * could surface a doc by a non-best instance — pagination over scoped
+    * unions needs a different protocol, so it refuses instead. */
+  private val ScopedAfterError =
+    "search_after does not compose with scopes/conv (a scoped union " +
+    "keeps best-instance scores; page the unscoped query or one scope's " +
+    "results client-side)"
+
+  /** Exact memo-key fragment for a search_after cursor (bit-exact via
+    * doubleToLongBits — two cursors with equal printed scores but
+    * different bits must not share a cache entry). */
+  private def afterKey(after: Option[SearchHit]): String =
+    after.map(h =>
+      s"${java.lang.Double.doubleToLongBits(h.score)}:${h.docId}")
+      .getOrElse("")
 
   /** Resolve a [[QueryFilter]] against one pinned snapshot: the encoded
     * field terms (weightless posting cursors) + the ts-range docId
@@ -157,7 +176,9 @@ object SearchEngine {
   def queryAt(spark: SparkSession, root: String, snapshotId: Long,
               queryText: String, mode: String = "AND",
               k: Int = 10, scopes: Seq[String] = Nil,
-              filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] = {
+              filter: QueryFilter = QueryFilter.Empty,
+              after: Option[SearchHit] = None): Vector[SearchHit] = {
+    require(after.isEmpty || scopes.isEmpty, ScopedAfterError)
     val retained = IndexManifest.versions(root)
     require(retained.contains(snapshotId),
       s"snapshot $snapshotId not available at $root (expired or never " +
@@ -168,7 +189,7 @@ object SearchEngine {
       // inside the diagnosis wrapper so it fails loudly, not raw
       val m = IndexManifest.readVersionCached(root, snapshotId)
       if (scopes.isEmpty)
-        queryResolved(spark, root, m, queryText, mode, k, filter)
+        queryResolved(spark, root, m, queryText, mode, k, filter, after)
       else {
         // scoped time travel: the scoped path already pins one manifest
         // end-to-end, and scope/segment/df memos key by snapshot id
@@ -205,11 +226,13 @@ object SearchEngine {
   /** Unscoped query against ONE pinned snapshot (see [[pinnedManifest]]). */
   private def queryResolved(spark: SparkSession, root: String, m: Manifest,
                             queryText: String, mode: String, k: Int,
-                            filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] = {
+                            filter: QueryFilter = QueryFilter.Empty,
+                            after: Option[SearchHit] = None): Vector[SearchHit] = {
     val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
     val terms = Analyzer.analyzeQueryFor(stats.analyzerVersion, queryText)
     memoized(root,
-      QueryKey(terms, mode, k, Nil, m.snapshotId, filter.cacheKey)) {
+      QueryKey(terms, mode, k, Nil, m.snapshotId, filter.cacheKey,
+        afterKey(after))) {
       val (fterms, tsRanges) = resolveFilter(spark, root, m, filter)
       val spec = QuerySpec(terms, mode, k)
       val p = plan(spark, root, spec, stats, pinned = Some(m))
@@ -218,7 +241,7 @@ object SearchEngine {
       // filter(Objects::nonNull)); empty only when nothing survives
       if (p.terms.isEmpty) Vector.empty
       else executePlan(spark, root, p, stats,
-        combineRanges(None, tsRanges), Some(m), fterms)
+        combineRanges(None, tsRanges), Some(m), fterms, after)
     }
   }
 
@@ -653,7 +676,8 @@ object SearchEngine {
                   stats: CorpusStats,
                   ranges: Option[Seq[(Long, Long)]] = None,
                   pinned: Option[Manifest] = None,
-                  filters: Vector[String] = Vector.empty): Vector[SearchHit] = {
+                  filters: Vector[String] = Vector.empty,
+                  after: Option[SearchHit] = None): Vector[SearchHit] = {
     import spark.implicits._
     val m = pinned.getOrElse(pinnedManifest(root))
     val textTerms = p.terms.map(_.term)
@@ -721,15 +745,16 @@ object SearchEngine {
                 // a term absent from this shard ⇒ empty local intersection;
                 // filters join the intersection as weightless members
                 if (cursors.size < nText) Vector.empty
-                else Wand.andTopKSegments(cursors ++ filterCur, k, segs)
+                else Wand.andTopKSegments(cursors ++ filterCur, k, segs,
+                  after)
               } else if (minShould > 0) {
                 // fewer than minMatch scored terms present ⇒ no doc here
                 // can reach the count requirement
                 if (cursors.size < minShould) Vector.empty
                 else Wand.shouldTopKSegments(cursors, minShould, k, segs,
-                  required = filterCur)
+                  required = filterCur, after = after)
               } else Wand.orTopKSegments(cursors, k, segs,
-                required = filterCur)
+                required = filterCur, after = after)
             hits
           }.toVector
           wandNanos.foreach(_.add(System.nanoTime() - t0))
@@ -1307,7 +1332,9 @@ object SearchEngine {
   def queryNot(spark: SparkSession, root: String, queryText: String,
                notText: String, k: Int = 10, scopes: Seq[String] = Nil,
                pinned: Option[Manifest] = None,
-               filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] = {
+               filter: QueryFilter = QueryFilter.Empty,
+               after: Option[SearchHit] = None): Vector[SearchHit] = {
+    require(after.isEmpty || scopes.isEmpty, ScopedAfterError)
     val m = pinned.getOrElse(pinnedManifest(root))
     val pos = Analyzer.analyzeQueryFor(m.analyzerVersion, queryText)
     // exclusion is SET semantics: sorted-distinct negatives, so
@@ -1317,7 +1344,7 @@ object SearchEngine {
     if (pos.isEmpty) return Vector.empty
     if (neg.isEmpty)
       return if (scopes.isEmpty)
-        queryResolved(spark, root, m, queryText, "AND", k, filter)
+        queryResolved(spark, root, m, queryText, "AND", k, filter, after)
       else memoized(root,
         QueryKey(pos, "AND", k, scopes, m.snapshotId, filter.cacheKey)) {
         queryScopedUncached(spark, root, m, pos, "AND", k, scopes, filter)
@@ -1327,7 +1354,7 @@ object SearchEngine {
     // contain one), then negatives — unambiguous vs any plain-AND key
     memoized(root,
       QueryKey(pos ++ (" " +: neg), "ANDNOT", k, scopes, m.snapshotId,
-        filter.cacheKey)) {
+        filter.cacheKey, afterKey(after))) {
       val (fterms, tsRanges) = resolveFilter(spark, root, m, filter)
       // POST-PLAN overlap check, per branch: a prohibited term that
       // SURVIVES positive planning makes every candidate excluded —
@@ -1344,7 +1371,7 @@ object SearchEngine {
         if (p.terms.isEmpty || p.terms.exists(t => negSet(t.term)))
           Vector.empty
         else andNotTopK(spark, root, m, p, neg, stats, k,
-          combineRanges(None, tsRanges), fterms)
+          combineRanges(None, tsRanges), fterms, after)
       } else {
         // positives mirror queryScopedUncached exactly (shared planner)
         val all = scopes.flatMap { sc =>
@@ -1369,7 +1396,8 @@ object SearchEngine {
                          p: Plan, negTerms: Vector[String],
                          stats: CorpusStats, k: Int,
                          ranges: Option[Seq[(Long, Long)]],
-                         fterms: Vector[String] = Vector.empty): Vector[SearchHit] = {
+                         fterms: Vector[String] = Vector.empty,
+                         after: Option[SearchHit] = None): Vector[SearchHit] = {
     import spark.implicits._
     val posTerms = p.terms.map(_.term)
     val posSet = posTerms.toSet
@@ -1418,7 +1446,7 @@ object SearchEngine {
           else {
             val negArr = buildCursors(negChunks, dfByTerm, canonical,
               nDocs, avgdl).toArray
-            val heap = new Wand.TopK(k)
+            val heap = new Wand.TopK(k, after)
             // filters join the positive intersection as weightless
             // members (a rare filter list then drives the walk)
             val walk = Wand.andAllWith(posCursors ++ filterCursors, segs) { (d, s, _) =>
@@ -1480,8 +1508,10 @@ object SearchEngine {
   def queryShould(spark: SparkSession, root: String, queryText: String,
                   minMatch: Int, k: Int = 10, scopes: Seq[String] = Nil,
                   pinned: Option[Manifest] = None,
-                  filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] = {
+                  filter: QueryFilter = QueryFilter.Empty,
+                  after: Option[SearchHit] = None): Vector[SearchHit] = {
     require(minMatch >= 1, s"minMatch must be >= 1, got $minMatch")
+    require(after.isEmpty || scopes.isEmpty, ScopedAfterError)
     val m = pinned.getOrElse(pinnedManifest(root))
     val terms = Analyzer.analyzeQueryFor(m.analyzerVersion, queryText).distinct
     if (terms.isEmpty || minMatch > terms.size) return Vector.empty
@@ -1489,7 +1519,8 @@ object SearchEngine {
     // matched-count semantics are order-free: sort the memo key so
     // permuted queries share one entry
     memoized(root,
-      QueryKey(terms.sorted, mode, k, scopes, m.snapshotId, filter.cacheKey)) {
+      QueryKey(terms.sorted, mode, k, scopes, m.snapshotId, filter.cacheKey,
+        afterKey(after))) {
       val (fterms, tsRanges) = resolveFilter(spark, root, m, filter)
       if (scopes.isEmpty) {
         val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
@@ -1497,7 +1528,7 @@ object SearchEngine {
           pinned = Some(m))
         if (p.terms.size < minMatch) Vector.empty
         else executePlan(spark, root, p.copy(mode = mode), stats,
-          combineRanges(None, tsRanges), Some(m), fterms)
+          combineRanges(None, tsRanges), Some(m), fterms, after)
       } else {
         val all = scopes.flatMap { sc =>
           scopedKeptPlan(spark, root, m, terms, sc, mode, k) match {
@@ -1571,9 +1602,11 @@ object SearchEngine {
                 minShouldMatch: Int = 0, k: Int = 10,
                 scopes: Seq[String] = Nil,
                 pinned: Option[Manifest] = None,
-                filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] = {
+                filter: QueryFilter = QueryFilter.Empty,
+                after: Option[SearchHit] = None): Vector[SearchHit] = {
     require(minShouldMatch >= 0,
       s"minShouldMatch must be >= 0, got $minShouldMatch")
+    require(after.isEmpty || scopes.isEmpty, ScopedAfterError)
     val m = pinned.getOrElse(pinnedManifest(root))
     val must = Analyzer.analyzeQueryFor(m.analyzerVersion, mustText)
     val negs = Analyzer.analyzeQueryFor(m.analyzerVersion, notText).distinct.sorted
@@ -1587,10 +1620,10 @@ object SearchEngine {
     // ---- degenerate delegation: each law IS the dedicated mode ----
     if (must.isEmpty && negs.isEmpty)
       return queryShould(spark, root, shouldText,
-        math.max(1, minShouldMatch), k, scopes, Some(m), filter)
+        math.max(1, minShouldMatch), k, scopes, Some(m), filter, after)
     if (shouldKept.isEmpty && minEff == 0 && must.nonEmpty)
       return queryNot(spark, root, mustText, notText, k, scopes, Some(m),
-        filter)
+        filter, after)
     if (must.isEmpty && shouldKept.isEmpty) return Vector.empty
     if (minEff > shouldKept.size && must.nonEmpty) return Vector.empty
     if (must.isEmpty && math.max(1, minEff) > shouldKept.size)
@@ -1600,7 +1633,8 @@ object SearchEngine {
     // queries share an entry
     memoized(root,
       QueryKey(must ++ (" " +: negs) ++ (" " +: shouldKept),
-        s"BOOL:$minEff", k, scopes, m.snapshotId, filter.cacheKey)) {
+        s"BOOL:$minEff", k, scopes, m.snapshotId, filter.cacheKey,
+        afterKey(after))) {
       val (fterms, tsRanges) = resolveFilter(spark, root, m, filter)
       if (scopes.isEmpty) {
         val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
@@ -1614,7 +1648,7 @@ object SearchEngine {
         else if (must.isEmpty && pShould.terms.size < math.max(1, minEff))
           Vector.empty
         else boolTopK(spark, root, m, pMust.terms, pShould.terms, negs,
-          minEff, stats, k, combineRanges(None, tsRanges), fterms)
+          minEff, stats, k, combineRanges(None, tsRanges), fterms, after)
       } else {
         val all = scopes.flatMap { sc =>
           scopedKeptPlan(spark, root, m, must ++ shouldKept, sc, "BOOL", k) match {
@@ -1656,7 +1690,8 @@ object SearchEngine {
                        negTerms: Vector[String], minEff: Int,
                        stats: CorpusStats, k: Int,
                        ranges: Option[Seq[(Long, Long)]],
-                       fterms: Vector[String] = Vector.empty): Vector[SearchHit] = {
+                       fterms: Vector[String] = Vector.empty,
+                       after: Option[SearchHit] = None): Vector[SearchHit] = {
     import spark.implicits._
     val mustList = mustTerms.map(_.term)
     val shouldList = shouldTerms.map(_.term)
@@ -1711,11 +1746,12 @@ object SearchEngine {
           else {
             val negArr = buildCursors(negChunks, dfByTerm, canonical,
               nDocs, avgdl).toArray
-            val heap = new Wand.TopK(k)
+            val heap = new Wand.TopK(k, after)
             if (nMust == 0) {
               // pure SHOULD (+ NOT/FILTER): the count-qualified walk
               Wand.shouldTopKSegments(shouldArr.toIndexedSeq, minMatch, k,
-                segs, required = filterCursors, prohibited = negArr.toIndexedSeq)
+                segs, required = filterCursors,
+                prohibited = negArr.toIndexedSeq, after = after)
                 .iterator
             } else {
               // per-shard constant: Σ upper bounds of the PRESENT should
@@ -2130,7 +2166,8 @@ object SearchEngine {
   // it through disableServingCache like every other pinned structure.
   private final case class QueryKey(terms: Vector[String], mode: String,
                                     k: Int, scopes: Seq[String],
-                                    snapshotId: Long, filter: String = "")
+                                    snapshotId: Long, filter: String = "",
+                                    after: String = "")
   private val resultCaches = scala.collection.concurrent.TrieMap
     .empty[String, java.util.LinkedHashMap[QueryKey, Vector[SearchHit]]]
   // flush generation per root: an in-flight compute that started before a

@@ -112,13 +112,27 @@ object Wand {
 
   /** Worst-first top-k heap with deterministic tie-break:
     * admit (s, d) iff heap not full, or s > worst.s, or
-    * (s == worst.s && d < worst.d). */
-  final class TopK(k: Int) {
+    * (s == worst.s && d < worst.d).
+    *
+    * `after` (r7, Lucene IndexSearcher.searchAfter): when set, offers at
+    * or before the cursor in the (score DESC, docId ASC) total order are
+    * DROPPED — the heap holds the top-k of the strictly-after region.
+    * BMW/threshold pruning stays exact: skips only ever discard
+    * candidates below the heap's own threshold, and the heap only ever
+    * holds after-cursor hits, so a skipped candidate could not have
+    * entered this page either way. */
+  final class TopK(k: Int, after: Option[SearchHit] = None) {
     // ordering: head = WORST hit = smallest score, largest docId
     private val ord: Ordering[SearchHit] = Ordering.by(h => (-h.score, h.docId))
     private val pq = mutable.PriorityQueue.empty[SearchHit](ord)
+    // unpacked cursor: no Option in the hot path
+    private val hasAfter = after.nonEmpty
+    private val aScore = after.map(_.score).getOrElse(0.0)
+    private val aDoc = after.map(_.docId).getOrElse(0L)
     def threshold: Double = if (pq.size < k) Double.NegativeInfinity else pq.head.score
     def offer(docId: Long, score: Double): Unit = {
+      if (hasAfter && (score > aScore ||
+          (score == aScore && docId <= aDoc))) return // page cursor
       if (pq.size < k) pq.enqueue(SearchHit(docId, score))
       else {
         val w = pq.head
@@ -154,9 +168,10 @@ object Wand {
     * appends costs one scan, not one per segment. Exact: identical to
     * unioning per-segment calls and re-taking top-k (WandSpec property). */
   def andTopKSegments(terms: Seq[TermCursor], k: Int,
-                      segments: Seq[(Long, Long)]): Vector[SearchHit] = {
+                      segments: Seq[(Long, Long)],
+                      after: Option[SearchHit] = None): Vector[SearchHit] = {
     if (terms.isEmpty || segments.isEmpty) return Vector.empty
-    val heap = new TopK(k)
+    val heap = new TopK(k, after)
     val byDf = terms.sortBy(c => (c.df, c.term)).toArray // rarest first
     // canonical indices are GLOBAL over the query's terms; a shard may
     // hold only a subset of cursors, so size by the max index
@@ -313,11 +328,12 @@ object Wand {
   def shouldTopKSegments(terms: Seq[TermCursor], minMatch: Int, k: Int,
                          segments: Seq[(Long, Long)],
                          required: Seq[TermCursor] = Nil,
-                         prohibited: Seq[TermCursor] = Nil): Vector[SearchHit] = {
+                         prohibited: Seq[TermCursor] = Nil,
+                         after: Option[SearchHit] = None): Vector[SearchHit] = {
     if (terms.isEmpty || segments.isEmpty) return Vector.empty
     require(minMatch >= 1 && minMatch <= terms.size,
       s"minMatch must be in [1, ${terms.size}], got $minMatch")
-    val heap = new TopK(k)
+    val heap = new TopK(k, after)
     val byDf = terms.sortBy(c => (c.df, c.term)).toArray // rarest first
     val drivers = byDf.take(terms.size - minMatch + 1)
     val probes = byDf.drop(terms.size - minMatch + 1)
@@ -384,9 +400,10 @@ object Wand {
     * admitted. */
   def orTopKSegments(terms: Seq[TermCursor], k: Int,
                      segments: Seq[(Long, Long)],
-                     required: Seq[TermCursor] = Nil): Vector[SearchHit] = {
+                     required: Seq[TermCursor] = Nil,
+                     after: Option[SearchHit] = None): Vector[SearchHit] = {
     if (terms.isEmpty || segments.isEmpty) return Vector.empty
-    val heap = new TopK(k)
+    val heap = new TopK(k, after)
     val cursors = terms.toArray
     val reqArr = required.toArray
     // global canonical indices (see andTopK) — size by the max index

@@ -1,0 +1,98 @@
+package graft.query
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.fixtures.TranscriptGen
+import graft.index.IndexBuilder
+import graft.model.QueryFilter
+import graft.query.QueryParser.{Parsed, parse, search}
+
+/** Lucene-style query strings (r7, [[QueryParser]]): the parser adds
+  * NOTATION, not semantics — every dispatch must be bit-equal to the
+  * direct executor call it denotes, and every documented refusal must
+  * actually refuse.
+  */
+class QueryParserSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private lazy val corpus = TranscriptGen.corpus(seed = 42L, nConvs = 200)
+  private lazy val root = {
+    val dir = SparkTestBase.tmpDir("graft-queryparser")
+    IndexBuilder.build(spark, spark.createDataset(corpus)(
+      org.apache.spark.sql.Encoders.product[graft.model.Turn]), dir,
+      shards = 4, waveSize = 4, maxChunkPostings = 64)
+    dir
+  }
+
+  test("parse: clause prefixes, fields, phrase, ts range") {
+    assert(parse("+spark merge -join") ==
+      Parsed(Vector("spark"), Vector("merge"), Vector("join")))
+    assert(parse("  a   +b c  -d +e ") ==
+      Parsed(Vector("b", "e"), Vector("a", "c"), Vector("d")))
+    assert(parse("role:user tool:bash needle") ==
+      Parsed(should = Vector("needle"),
+        filter = QueryFilter(role = Some("user"), tool = Some("bash"))))
+    assert(parse("\"exact phrase\"") ==
+      Parsed(phrase = Some(("exact phrase", None))))
+    assert(parse("\"a b\"~3") == Parsed(phrase = Some(("a b", Some(3)))))
+    val p = parse("ts:[1700000000000 TO 1700001000000] x")
+    assert(p.filter.tsFrom.get.getTime == 1700000000000L &&
+      p.filter.tsTo.get.getTime == 1700001000000L &&
+      p.should == Vector("x"))
+    val open = parse("ts:[2023-11-14 TO *] x")
+    assert(open.filter.tsTo.isEmpty && open.filter.tsFrom.nonEmpty)
+    assert(parse("") == Parsed())
+  }
+
+  test("parse refusals: every documented typo trap throws") {
+    Seq(
+      "\"unclosed phrase",            // unclosed quote
+      "-\"a b\"",                     // negated phrase
+      "\"a\" \"b\"",                  // two phrases
+      "\"a b\" +c",                   // phrase + term clause
+      "foo:bar",                      // unknown field
+      "-role:user x",                 // negated filter
+      "+role:user x",                 // required-prefixed filter
+      "role:user role:tool x",        // duplicate role filter
+      "ts:[1 TO 2] ts:[3 TO 4] x",    // duplicate ts range
+      "ts:[* TO *] x",                // no-op range
+      "ts:[oops TO 2] x",             // bad bound
+      "ts:[1 TO 2 x",                 // unclosed bracket
+      "role: x",                      // empty field value
+      "+ x",                          // dangling operator
+      "\"a b\"~ x"                    // ~ without slop
+    ).foreach { q =>
+      withClue(s"should refuse: $q") {
+        assertThrows[Exception](parse(q))
+      }
+    }
+  }
+
+  test("search: each dispatch is bit-equal to the direct call") {
+    assert(search(spark, root, "+needlemid +w0000", 10)
+      == SearchEngine.query(spark, root, "needlemid w0000", "AND", 10))
+    assert(search(spark, root, "needlemid w0000 w0001", 10, minShouldMatch = 2)
+      == SearchEngine.queryShould(spark, root, "needlemid w0000 w0001", 2, 10))
+    assert(search(spark, root, "+needlemid -roleuser", 10)
+      == SearchEngine.queryNot(spark, root, "needlemid", "roleuser", 10))
+    assert(search(spark, root, "+needlemid w0000 -w0001 role:user", 10)
+      == SearchEngine.queryBool(spark, root, "needlemid", "w0000", "w0001",
+        0, 10, Nil, None, QueryFilter(role = Some("user"))))
+    assert(search(spark, root, "\"stopish needlemid\"", 10)
+      == SearchEngine.phraseTopK(spark, root, "stopish needlemid", 10))
+    assert(search(spark, root, "\"stopish needlemid\"~3 tool:bash", 10)
+      == SearchEngine.nearTopK(spark, root, "stopish needlemid", 3, 10,
+        filter = QueryFilter(tool = Some("bash"))))
+    assert(search(spark, root,
+        "+needlemid ts:[1700000000000 TO 1700003880000]", 10)
+      == SearchEngine.query(spark, root, "needlemid", "AND", 10, None,
+        QueryFilter(tsFrom = Some(new java.sql.Timestamp(1700000000000L)),
+          tsTo = Some(new java.sql.Timestamp(1700003880000L)))))
+    // filters-only refuses (match-all has no executor)
+    assertThrows[IllegalArgumentException] {
+      search(spark, root, "role:user", 10)
+    }
+  }
+}

@@ -368,7 +368,8 @@ object Query {
     // pagination re-walks everything it skips; the cursor walk stays
     // O(k) at any depth, the 100 TB-serving shape.
     val pageable = ((Set("AND", "OR", "SHOULD").contains(mode) &&
-      !a.contains("--naive")) || shouldText.isDefined ||
+      !a.contains("--naive") && !a.contains("--lucene")) ||
+      shouldText.isDefined ||
       (a.contains("--lucene") && !q.contains("\""))) &&
       conv.isEmpty && scopes.isEmpty
     if (pageable && hits.size == k)

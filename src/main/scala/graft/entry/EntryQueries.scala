@@ -321,6 +321,123 @@ object EntryQueries {
     boolMixedSql(must = Seq("spark"), should = Seq("vector", "dup"),
       not = Seq("join"), minMatch = 1, k = 10)
 
+  /** Phrase-as-clause BM25 top-k — the relational twin of
+    * `SearchEngine.queryBoolPhrase` (r7: a required PHRASE clause
+    * composed with SHOULD + MUST_NOT in one BooleanQuery): candidates
+    * contain 'spark merge' ADJACENT (the `phrase_topk` predicate), at
+    * least 1 of the 2 SHOULD terms ('vector' hot / 'dup' rare) and
+    * never the MUST_NOT term ('group' — hot, with teeth); scored over
+    * the phrase terms + MATCHED SHOULD in the fixed column order
+    * (s_spark + s_merge + s_vector + s_dup, left-assoc, coalesce 0 —
+    * the bool_should_topk float discipline), matched count emitted. */
+  def boolPhraseTopK(s: SparkSession, dir: String): DataFrame =
+    bm25PhraseMixed(s, dir, phrase = Seq("spark", "merge"),
+      should = Seq("vector", "dup"), not = Seq("group"), minMatch = 1,
+      k = 10)
+
+  val boolPhraseTopKSql: String =
+    boolPhraseSql(phrase = Seq("spark", "merge"),
+      should = Seq("vector", "dup"), not = Seq("group"), minMatch = 1,
+      k = 10)
+
+  /** Spark twin for [[boolPhraseTopK]]: the `bm25` helper's adjacency
+    * prefilter+scan produces phrase candidates; the `bm25Mixed` pivot
+    * produces per-term score columns, the matched-SHOULD count and the
+    * fixed-order sum. */
+  private def bm25PhraseMixed(s: SparkSession, dir: String,
+                              phrase: Seq[String], should: Seq[String],
+                              not: Seq[String], minMatch: Int,
+                              k: Int): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val all = phrase.distinct ++ should
+    val tf = TextOps.termFrequencies(docs).cache()
+    try {
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head()
+      val n = statsRow.getLong(0)
+      val avgdl = statsRow.getLong(1).toDouble / n.toDouble
+      val dfMap = tf.filter(col("term").isin(all: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val dfCol = typedLit(dfMap)
+      // phrase candidates: the bm25-helper adjacency shape (prefilter +
+      // offset scan over the token array)
+      val w = TextOps.tokensCol
+      val m = phrase.length
+      val hasAll = phrase.distinct.map(tm => array_contains(w, lit(tm)))
+        .reduce(_ && _)
+      val adjacent = exists(sequence(lit(0), size(w) - lit(m)),
+        i => phrase.zipWithIndex.map { case (tm, j) =>
+          element_at(w, i + lit(j + 1)) === lit(tm) }.reduce(_ && _))
+      val cand = docs.filter(hasAll &&
+          when(size(w) >= m, adjacent).otherwise(lit(false)))
+        .select(col("doc_id"))
+        .join(tf.filter(col("term").isin(not: _*))
+          .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      val scored = tf.filter(col("term").isin(all: _*))
+        .join(cand, Seq("doc_id"), "left_semi")
+        .join(dl, Seq("doc_id"))
+        .withColumn("s", Bm25.scoreCol(col("tf"), dfCol(col("term")),
+          col("dl"), n, avgdl))
+      val perTerm = all.map(tm =>
+        max(when(col("term") === tm, col("s"))).as(s"s_$tm"))
+      val agg = scored.groupBy(col("doc_id"))
+        .agg(perTerm.head, perTerm.tail: _*)
+      val matchedCol = should.map(tm =>
+        when(col(s"s_$tm").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+      val sumCol = all.map(tm => coalesce(col(s"s_$tm"), lit(0.0)))
+        .reduce(_ + _)
+      val result = agg
+        .withColumn("matched", matchedCol)
+        .filter(col("matched") >= minMatch)
+        .select(col("doc_id"), col("matched"), round(sumCol, 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(k)
+      s.createDataFrame(result.collectAsList(), result.schema)
+    } finally tf.unpersist()
+  }
+
+  /** Composed-phrase oracle: `phraseSql`'s positional-adjacency cand CTE
+    * ∖ the MUST_NOT docs, then the bm25Mixed pivot/HAVING tail. */
+  private def boolPhraseSql(phrase: Seq[String], should: Seq[String],
+                            not: Seq[String], minMatch: Int,
+                            k: Int): String = {
+    val all = phrase.distinct ++ should
+    val inList = all.map(x => s"'$x'").mkString(", ")
+    val shouldIn = should.map(x => s"'$x'").mkString(", ")
+    val notIn = not.map(x => s"'$x'").mkString(", ")
+    val joins = phrase.zipWithIndex.drop(1).map { case (tm, j) =>
+      s"JOIN pos p${j + 1} ON p${j + 1}.doc_id = p1.doc_id AND " +
+        s"p${j + 1}.pos = p1.pos + $j AND p${j + 1}.term = '$tm'"
+    }.mkString("\n  ")
+    val addCols = all.map(tm =>
+      s"coalesce(max(CASE WHEN term = '$tm' THEN s END), 0)")
+      .mkString("\n      + ")
+    s"""$bm25SqlCte, $posCte, qt AS (
+       |  SELECT term, count(*) AS df FROM tf WHERE term IN ($inList) GROUP BY term
+       |), cand AS (
+       |  SELECT DISTINCT p1.doc_id FROM pos p1
+       |  $joins
+       |  WHERE p1.term = '${phrase.head}'
+       |    AND p1.doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ($notIn))
+       |), sc AS (
+       |  SELECT t.doc_id, t.term,
+       |    ln((s.n - q.df + 0.5)/(q.df + 0.5) + 1.0) * t.tf * (1.2 + 1.0)
+       |      / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * d.dl / s.avgdl)) AS s
+       |  FROM tf t JOIN qt q ON q.term = t.term JOIN dl d ON d.doc_id = t.doc_id
+       |  CROSS JOIN stats s
+       |  WHERE t.term IN ($inList)
+       |    AND t.doc_id IN (SELECT doc_id FROM cand)
+       |)
+       |SELECT doc_id,
+       |  CAST(count(CASE WHEN term IN ($shouldIn) THEN 1 END) AS BIGINT) AS matched,
+       |  round($addCols, 6) AS score
+       |FROM sc
+       |GROUP BY doc_id
+       |HAVING count(CASE WHEN term IN ($shouldIn) THEN 1 END) >= $minMatch
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Prefix-term BM25 top-k (Lucene PrefixQuery, scoring rewrite) — the
     * relational twin of `SearchEngine.prefixTopK`: the expansion is every
     * dictionary term starting with the prefix ('d' → {data, dup} on this

@@ -642,6 +642,68 @@ final class Oracle(corpus: Seq[Turn],
     hits.sortBy(h => (-h.score, h.docId)).take(k)
   }
 
+  /** Phrase-as-clause brute force (engine parity:
+    * SearchEngine.queryBoolPhrase — its scaladoc is the contract): the
+    * combined BooleanQuery with a required phrase (slop = None) or
+    * unordered-NEAR window (slop = Some(n)) clause. Phrase terms: no
+    * cap, unknown ⇒ empty; MUST extras: AND drop-unknown + cap;
+    * overlap algebra and scoring as boolTopK with the phrase terms
+    * counted among the required set. */
+  def boolPhraseTopK(phrase: String, slop: Option[Int], must: String,
+                     should: String = "", notQuery: String = "",
+                     minShouldMatch: Int = 0,
+                     k: Int = 10): Vector[SearchHit] = {
+    val seq = Analyzer.tokensFor(analyzerVersion, phrase)
+    if (seq.isEmpty)
+      return boolTopK(must, should, notQuery, minShouldMatch, k)
+    val slots = seq.distinct
+    val verify: Vector[String] => Boolean = slop match {
+      case None => toks => toks.containsSlice(seq)
+      case Some(n) => toks => toks.indices.exists(i =>
+        slots.forall(t => toks.slice(i, i + n + 1).contains(t)))
+    }
+    val slotSet = slots.toSet
+    val mustQ = Analyzer.analyzeQueryFor(analyzerVersion, must)
+    val negs = Analyzer.analyzeQueryFor(analyzerVersion, notQuery).distinct
+    val shouldRaw = Analyzer.analyzeQueryFor(analyzerVersion, should).distinct
+    val negSet = negs.toSet
+    if (negs.exists(slotSet)) return Vector.empty
+    val mustExtra = mustQ.filterNot(slotSet)
+    val requiredSet = mustQ.toSet ++ slotSet
+    val autoSatisfied = shouldRaw.count(requiredSet)
+    val shouldKept = shouldRaw.filterNot(t => requiredSet(t) || negSet(t))
+    val minEff = math.max(0, minShouldMatch - autoSatisfied)
+    if (minEff > shouldKept.size) return Vector.empty
+    if (slots.exists(t => df(t) == 0L)) return Vector.empty
+    val cap = 0.9 * nDocs
+    val mustKept = mustExtra.filter(t => df(t) > 0 && df(t) <= cap)
+    if (mustKept.exists(negSet)) return Vector.empty
+    val shouldSurv = shouldKept.filter(t => df(t) > 0 && df(t) <= cap)
+    if (shouldSurv.size < minEff) return Vector.empty
+    val required = slots ++ mustKept
+    val scored = (required ++ shouldSurv).sortBy(t => (df(t), t))
+    val base = required.map(t => index(t).map(_._1).toSet)
+      .reduce(_ intersect _)
+    val hits = base.toVector.flatMap { d =>
+      val toks = docTokens(d.toInt)
+      if (!verify(toks) || toks.exists(negSet)) None
+      else {
+        val matched = shouldSurv.count(t => index(t).exists(_._1 == d))
+        if (matched < minEff) None
+        else {
+          var s = 0.0
+          scored.foreach { t => // canonical order; absent SHOULD adds 0
+            index(t).find(_._1 == d).foreach { case (_, tf) =>
+              s += Bm25.score(tf, df(t), dl(d), nDocs, avgdl)
+            }
+          }
+          Some(SearchHit(d, s))
+        }
+      }
+    }
+    hits.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
   def boolTopKScoped(must: String, should: String, notQuery: String,
                      minShouldMatch: Int, k: Int,
                      prefixes: Seq[String]): Vector[SearchHit] =

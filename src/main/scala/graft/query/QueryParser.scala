@@ -46,8 +46,10 @@ import graft.model.{QueryFilter, SearchHit}
   *   - an unknown `field:` prefix is REFUSED loudly (the analyzer would
   *     otherwise silently split `foo:bar` into two text terms — typo
   *     protection beats silent broadening);
-  *   - a phrase mixed with other text clauses is REFUSED (phrase is not
-  *     yet a composable clause of the boolean executor);
+  *   - a phrase WITH other text clauses → [[SearchEngine
+  *     .queryBoolPhrase]], the composed executor (r7: the phrase is a
+  *     required positional clause next to MUST/SHOULD/MUST_NOT;
+  *     unscoped only — composed + scopes refuses);
   *   - duplicate role:/tool: filters and multiple ts: ranges are
   *     REFUSED (a conjunction of two different role equalities is
   *     always empty — another typo trap).
@@ -156,10 +158,6 @@ object QueryParser {
       }
       skipWs()
     }
-    require(phrase.isEmpty ||
-        (must.isEmpty && should.isEmpty && not.isEmpty),
-      "a phrase clause does not (yet) compose with term clauses; " +
-      "run the phrase and the boolean query separately")
     Parsed(must, should, not, phrase,
       QueryFilter(role, tool, tsFrom, tsTo))
   }
@@ -195,7 +193,15 @@ object QueryParser {
     require(after.isEmpty || p.phrase.isEmpty,
       "search_after pages term queries only (phrase/NEAR have no page " +
       "cursor yet)")
+    val hasClauses = p.must.nonEmpty || p.should.nonEmpty || p.not.nonEmpty
+    require(p.phrase.isEmpty || !hasClauses || scopes.isEmpty,
+      "a composed phrase+clauses query does not (yet) combine with " +
+      "--scopes; scope the plain phrase or the boolean query instead")
     p.phrase match {
+      case Some((body, slopOpt)) if hasClauses =>
+        SearchEngine.queryBoolPhrase(spark, root, body, slopOpt,
+          p.must.mkString(" "), p.should.mkString(" "),
+          p.not.mkString(" "), minShouldMatch, k, pinned, p.filter)
       case Some((body, slopOpt)) => slopOpt match {
         case None =>
           SearchEngine.phraseTopK(spark, root, body, k, scopes, pinned,

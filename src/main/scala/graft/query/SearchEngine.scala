@@ -1793,6 +1793,314 @@ object SearchEngine {
     perShard.toVector.sortBy(h => (-h.score, h.docId)).take(k)
   }
 
+  /** Phrase-as-clause (r7): the combined BooleanQuery with a PHRASE (or
+    * unordered-NEAR, `slop = Some(n)`) clause among the required ones —
+    * what a Lucene BooleanQuery holds when a PhraseQuery rides MUST next
+    * to term clauses, and the composition [[QueryParser]] refused until
+    * now. UNSCOPED only (scoped composed queries would need per-scope
+    * re-planning of three clause families at once — refused for now, the
+    * standalone scoped phrase/NEAR surfaces still exist); composes with
+    * typed field [[QueryFilter]]s and time travel.
+    *
+    * Clause semantics are each family's dedicated contract, unchanged:
+    *   - the PHRASE terms are required positionally: no stop cap, an
+    *     index-unknown phrase term answers EMPTY (never dropped) — the
+    *     [[phraseTopK]] contract; `slop = Some(n)` uses the order-free
+    *     slop-n window ([[nearTopK]]'s slop+1-wide divergence note
+    *     applies);
+    *   - MUST terms NOT already in the phrase: AND semantics
+    *     (drop-unknown + stop cap); a MUST term that is also a phrase
+    *     term dedupes into it (it is already required; set-semantics
+    *     scoring, never double-counted);
+    *   - SHOULD terms minus (phrase ∪ MUST ∪ MUST_NOT): [[queryBool]]'s
+    *     overlap algebra with the phrase terms counting as
+    *     auto-satisfiers;
+    *   - a MUST_NOT term that is also a phrase term ⇒ empty (every
+    *     phrase hit contains it); must∩not resolves POST-plan as in
+    *     [[queryNot]].
+    *
+    * Scoring: BM25 over DISTINCT(phrase ∪ MUST) + matched SHOULD in one
+    * canonical (df, term) order — a composed hit whose SHOULD terms are
+    * all absent scores exactly like its plain-phrase hit.
+    *
+    * Execution: positional index — ONE shard-local walk over the
+    * required cursors (phrase + must + weightless filters), per
+    * candidate: admission bound (mustScore + Σ SHOULD UBs, the
+    * [[BoolBoundSlack]] inflation), MUST_NOT probes, the ordinal
+    * predicate on the phrase slots, SHOULD probes, canonical-fold offer.
+    * Positions-free index — rescan fallback: the required-AND candidate
+    * frame joins docs once and EVERYTHING (phrase window, negatives,
+    * SHOULD count, the full canonical fold) evaluates from the analyzed
+    * token stream in-task; bit-equal to the positional path because tf,
+    * dl and df are the same numbers by construction. */
+  def queryBoolPhrase(spark: SparkSession, root: String, phraseText: String,
+                      slop: Option[Int] = None, mustText: String = "",
+                      shouldText: String = "", notText: String = "",
+                      minShouldMatch: Int = 0, k: Int = 10,
+                      pinned: Option[Manifest] = None,
+                      filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] = {
+    require(minShouldMatch >= 0,
+      s"minShouldMatch must be >= 0, got $minShouldMatch")
+    slop.foreach(n => require(n >= 0, s"slop must be >= 0, got $n"))
+    val m = pinned.getOrElse(pinnedManifest(root))
+    val seq = Analyzer.tokensFor(m.analyzerVersion, phraseText)
+    if (seq.isEmpty)
+      return queryBool(spark, root, mustText, shouldText, notText,
+        minShouldMatch, k, Nil, Some(m), filter)
+    val must = Analyzer.analyzeQueryFor(m.analyzerVersion, mustText)
+    val negs = Analyzer.analyzeQueryFor(m.analyzerVersion, notText).distinct.sorted
+    val shouldRaw = Analyzer.analyzeQueryFor(m.analyzerVersion, shouldText).distinct
+    val slots = seq.distinct.sorted
+    val slotSet = slots.toSet
+    val negSet = negs.toSet
+    if (negs.exists(slotSet)) return Vector.empty // every hit would hold it
+    val mustExtra = must.filterNot(slotSet) // dedupe into the phrase clause
+    val requiredSet = must.toSet ++ slotSet
+    val autoSatisfied = shouldRaw.count(requiredSet)
+    val shouldKept = shouldRaw.filterNot(t => requiredSet(t) || negSet(t))
+    val minEff = math.max(0, minShouldMatch - autoSatisfied)
+    if (minEff > shouldKept.size) return Vector.empty
+    if (mustExtra.isEmpty && shouldKept.isEmpty && negs.isEmpty && minEff == 0)
+      return slop match { // pure phrase/NEAR (+filters): the dedicated mode
+        case None => phraseTopK(spark, root, phraseText, k, Nil, Some(m), filter)
+        case Some(n) => nearTopK(spark, root, phraseText, n, k, Nil, Some(m),
+          filter = filter)
+      }
+    val slotOfTerm = slots.zipWithIndex.toMap
+    val seqSlots = seq.map(slotOfTerm).toArray
+    val (posPred, verify): (Array[Array[Int]] => Boolean, Vector[String] => Boolean) =
+      slop match {
+        case None =>
+          (pos => phraseMatchPositions(pos, seqSlots),
+            toks => toks.containsSlice(seq))
+        case Some(n) =>
+          // NEAR is over DISTINCT terms (window holds every distinct
+          // term) — idx/nTerms must be the deduped view, like nearTopK
+          val dterms = seq.distinct
+          val idx = dterms.zipWithIndex.toMap
+          (pos => nearMatchPositions(pos, n),
+            toks => nearMatch(toks, idx, dterms.size, n))
+      }
+    memoized(root,
+      QueryKey(seq ++ (" " +: mustExtra) ++ (" " +: negs) ++ (" " +: shouldKept),
+        s"BOOLPHRASE:${slop.getOrElse(-1)}:$minEff", k, Nil, m.snapshotId,
+        filter.cacheKey)) {
+      val (fterms, tsRanges) = resolveFilter(spark, root, m, filter)
+      val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
+      // phrase slots: no cap, unknown ⇒ EMPTY (the phrase contract) —
+      // must: AND drop-unknown + cap (drop-and-continue: the phrase
+      // still drives, reference parity) — should: OR cap, survivors
+      // bound the count requirement
+      val pSlots = plan(spark, root, QuerySpec(slots, "AND", k), stats,
+        applyStopCap = false, pinned = Some(m))
+      val pMust = plan(spark, root, QuerySpec(mustExtra, "AND", k), stats,
+        pinned = Some(m))
+      val pShould = plan(spark, root, QuerySpec(shouldKept, "OR", k), stats,
+        pinned = Some(m))
+      if (pSlots.terms.size < slots.size) Vector.empty
+      else if (pMust.terms.exists(t => negSet(t.term))) Vector.empty
+      else if (pShould.terms.size < minEff) Vector.empty
+      else {
+        val required = pSlots.terms ++ pMust.terms
+        val ranges = combineRanges(None, tsRanges)
+        if (m.positions)
+          boolPhrasePositional(spark, root, m, required, pShould.terms,
+            negs, minEff, stats, k, slots, posPred, ranges, fterms)
+        else
+          boolPhraseRescan(spark, root, m, required, pShould.terms, negs,
+            minEff, stats, k, verify, ranges, filter)
+      }
+    }
+  }
+
+  /** Positional executor for [[queryBoolPhrase]]: the [[boolTopK]] walk
+    * with the phrase-slot ordinal predicate gating admission. */
+  private def boolPhrasePositional(spark: SparkSession, root: String,
+                                   m: Manifest,
+                                   requiredTerms: Vector[TermStats],
+                                   shouldTerms: Vector[TermStats],
+                                   negTerms: Vector[String], minEff: Int,
+                                   stats: CorpusStats, k: Int,
+                                   slots: Vector[String],
+                                   posPred: Array[Array[Int]] => Boolean,
+                                   ranges: Option[Seq[(Long, Long)]],
+                                   fterms: Vector[String]): Vector[SearchHit] = {
+    import spark.implicits._
+    require(m.positions, "positional composed query needs positions")
+    val reqList = requiredTerms.map(_.term)
+    val reqSet = reqList.toSet
+    val shouldList = shouldTerms.map(_.term)
+    val shouldSet = shouldList.toSet
+    val nReq = reqList.size
+    val nFilters = fterms.size
+    val scored = (requiredTerms ++ shouldTerms).sortBy(t => (t.df, t.term))
+    val dfByTerm = scored.map(t => t.term -> t.df).toMap ++
+      negTerms.map(_ -> 0L) ++ fterms.map(_ -> 0L)
+    val canonical = scored.map(_.term).zipWithIndex.toMap ++
+      negTerms.zipWithIndex.map { case (t, i) => t -> (scored.size + i) } ++
+      fterms.zipWithIndex.map { case (t, i) =>
+        t -> (scored.size + negTerms.size + i) }
+    val nCanon = scored.size + negTerms.size + nFilters
+    val slotOf = slots.zipWithIndex.toMap
+    val nSlots = slots.size
+    val nDocs = stats.nDocs
+    val avgdl = stats.avgdl
+    val (segs, shardPrune) = segsAndPrune(m, ranges)
+    if (segs.isEmpty) return Vector.empty
+    val allTerms = reqList ++ shouldList ++ negTerms ++ fterms
+    val (scanFrame, _, needShuffle) =
+      resolvedPostingsScan(spark, root, m, needPositions = true)
+    val selected0 = shardPrune(scanFrame).filter($"term".isin(allTerms: _*))
+    val selected = if (needShuffle) selected0.repartition($"shard") else selected0
+    val perShard = selected
+      .select(postingScanColumns(withPos = true): _*)
+      .mapPartitions { rows =>
+        val byTerm = decodeByTerm(rows, withPos = true)
+        byTerm.groupBy(_._1._1).iterator.flatMap { case (_, termChunks) =>
+          val (fieldChunks, restChunks) = termChunks.partition {
+            case ((_, t), _) => Analyzer.isFieldTerm(t)
+          }
+          val (reqChunks, rest2) = restChunks.partition {
+            case ((_, t), _) => reqSet(t)
+          }
+          val (shouldChunks, negChunks) = rest2.partition {
+            case ((_, t), _) => shouldSet(t)
+          }
+          val reqCursors = buildCursors(reqChunks, dfByTerm, canonical,
+            nDocs, avgdl)
+          val filterCursors = buildCursors(fieldChunks, dfByTerm, canonical,
+            nDocs, avgdl)
+          val shouldArr = buildCursors(shouldChunks, dfByTerm, canonical,
+            nDocs, avgdl).toArray
+          if (reqCursors.size < nReq || filterCursors.size < nFilters ||
+              shouldArr.length < minEff)
+            Iterator.empty
+          else {
+            val negArr = buildCursors(negChunks, dfByTerm, canonical,
+              nDocs, avgdl).toArray
+            val heap = new Wand.TopK(k)
+            var shouldUbSum = 0.0
+            shouldArr.foreach(c => shouldUbSum += c.upperBound)
+            val contribs = new Array[Double](nCanon)
+            val posBySlot = new Array[Array[Int]](nSlots) // reused per match
+            val walk = Wand.andAllWith(reqCursors ++ filterCursors, segs) {
+              (d, s, arr) =>
+              // cheapest rejections first: admission bound, then the
+              // monotone NOT probes, then the ordinal decode + phrase
+              // predicate, then the SHOULD probes + canonical fold
+              if ((s + shouldUbSum) * BoolBoundSlack >= heap.threshold &&
+                  !Wand.presentInAny(negArr, d)) {
+                var i = 0
+                while (i < arr.length) {
+                  val so = slotOf.getOrElse(arr(i).term, -1)
+                  if (so >= 0) posBySlot(so) = arr(i).positions
+                  i += 1
+                }
+                if (posPred(posBySlot)) {
+                  java.util.Arrays.fill(contribs, 0.0)
+                  i = 0
+                  while (i < arr.length) { // required + weightless filters
+                    contribs(arr(i).canonical) = arr(i).score
+                    i += 1
+                  }
+                  var matched = 0
+                  i = 0
+                  while (i < shouldArr.length) {
+                    shouldArr(i).advanceTo(d)
+                    if (!shouldArr(i).exhausted && shouldArr(i).docId == d) {
+                      contribs(shouldArr(i).canonical) = shouldArr(i).score
+                      matched += 1
+                    }
+                    i += 1
+                  }
+                  if (matched >= minEff)
+                    heap.offer(d, Wand.canonicalSum(contribs))
+                }
+              }
+            }
+            while (walk.hasNext) walk.next() // drain (lazy iterator)
+            heap.results.iterator
+          }
+        }
+      }
+      .collect()
+    perShard.toVector.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
+  /** Rescan executor for [[queryBoolPhrase]] (positions-free indexes):
+    * required-AND candidates join docs ONCE; the phrase window, the
+    * negatives, the SHOULD count and the FULL canonical fold all
+    * evaluate from the analyzed token stream in-task — tf, dl and df
+    * are the same numbers the postings hold, so scores stay bit-equal
+    * to the positional path. */
+  private def boolPhraseRescan(spark: SparkSession, root: String,
+                               m: Manifest,
+                               requiredTerms: Vector[TermStats],
+                               shouldTerms: Vector[TermStats],
+                               negTerms: Vector[String], minEff: Int,
+                               stats: CorpusStats, k: Int,
+                               verify: Vector[String] => Boolean,
+                               ranges: Option[Seq[(Long, Long)]],
+                               filter: QueryFilter): Vector[SearchHit] = {
+    import spark.implicits._
+    val p = Plan(requiredTerms, Vector.empty, "AND", k)
+    val cand = phraseCandidates(spark, root, m, p, stats, ranges)
+      .localCheckpoint(true)
+    try {
+      val candCount = cand.count()
+      if (candCount == 0L) return Vector.empty
+      val candShards = cand.select($"shard").distinct().as[Int].collect().toSeq
+      val candFrame = cand.select($"docId")
+      val joinCand =
+        if (candCount <= PhraseBroadcastMax)
+          org.apache.spark.sql.functions.broadcast(candFrame)
+        else candFrame
+      val ver = m.analyzerVersion
+      val fieldPred = filter.fieldEqs.map { case (f, v) =>
+        translate(lower(trim(col(f))), "ё", "е") ===
+          Analyzer.fold(v.trim)
+      }.foldLeft(org.apache.spark.sql.functions.lit(true))(_ && _)
+      // closure payload: tiny (query-sized) arrays
+      val scoredTerms = (requiredTerms ++ shouldTerms)
+        .sortBy(t => (t.df, t.term)).toArray
+      val shouldSet = shouldTerms.map(_.term).toSet
+      val negSet = negTerms.toSet
+      val nDocs = stats.nDocs
+      val avgdl = stats.avgdl
+      val minM = minEff
+      IndexSnapshot.docsFor(spark, root, m, candShards)
+        .filter(fieldPred)
+        .select($"docId", $"text")
+        .join(joinCand, "docId")
+        .select($"docId", $"text").as[(Long, String)]
+        .mapPartitions(_.flatMap { case (d, txt) =>
+          val toks = Analyzer.tokensFor(ver, txt)
+          if (!verify(toks) || toks.exists(negSet)) None
+          else {
+            val dl = toks.length
+            var matched = 0
+            var s = 0.0
+            var i = 0
+            while (i < scoredTerms.length) { // canonical (df, term) order
+              val t = scoredTerms(i)
+              var tf = 0
+              toks.foreach(x => if (x == t.term) tf += 1)
+              if (tf > 0) {
+                if (shouldSet(t.term)) matched += 1
+                s += graft.query.Bm25.score(tf, t.df, dl, nDocs, avgdl)
+              }
+              i += 1
+            }
+            if (matched >= minM) Some(SearchHit(d, s)) else None
+          }
+        })
+        .orderBy($"score".desc, $"docId".asc).limit(k)
+        .collect().toVector
+    } finally {
+      cand.unpersist(); ()
+    }
+  }
+
   /** Shared scoring-BooleanQuery rewrite tail for the multi-term query
     * family ([[prefixTopK]], [[fuzzyTopK]], [[wildcardTopK]]): the standard OR/BM25 top-k
     * over an already-expanded (and already size-capped) term set.

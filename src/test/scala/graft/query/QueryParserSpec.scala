@@ -51,7 +51,6 @@ class QueryParserSpec extends AnyFunSuite {
       "\"unclosed phrase",            // unclosed quote
       "-\"a b\"",                     // negated phrase
       "\"a\" \"b\"",                  // two phrases
-      "\"a b\" +c",                   // phrase + term clause
       "foo:bar",                      // unknown field
       "-role:user x",                 // negated filter
       "+role:user x",                 // required-prefixed filter
@@ -93,6 +92,20 @@ class QueryParserSpec extends AnyFunSuite {
     // filters-only refuses (match-all has no executor)
     assertThrows[IllegalArgumentException] {
       search(spark, root, "role:user", 10)
+    }
+  }
+
+  test("search: phrase composed with clauses dispatches to queryBoolPhrase") {
+    assert(search(spark, root, "\"stopish needlemid\" +w0000 -roleuser", 10)
+      == SearchEngine.queryBoolPhrase(spark, root, "stopish needlemid",
+        None, "w0000", "", "roleuser", 0, 10))
+    assert(search(spark, root, "\"stopish needlemid\"~3 w0000 role:user", 10)
+      == SearchEngine.queryBoolPhrase(spark, root, "stopish needlemid",
+        Some(3), "", "w0000", "", 0, 10, None,
+        QueryFilter(role = Some("user"))))
+    // composed + scopes refuses; plain phrase + scopes still works
+    assertThrows[IllegalArgumentException] {
+      search(spark, root, "\"a b\" +c", 10, 0, Seq("conv-0"))
     }
   }
 }

@@ -110,7 +110,8 @@ object BuildIndex {
   * Typed field filters (r7, Lucene FILTER
   * clauses): `--role X` / `--tool Y` (case-insensitive exact match) and
   * `--from <ts>` / `--to <ts>` (inclusive; epoch millis or
-  * yyyy-MM-dd[ HH:mm:ss], UTC) restrict candidates WITHOUT touching
+  * yyyy-MM-dd[[T| ]HH:mm:ss], always read as UTC regardless of the
+  * JVM zone) restrict candidates WITHOUT touching
   * scores or statistics; they compose with every mode, --scopes and
   * --snapshot, and need a fields-enabled index (the build default).
   * `--lucene` (r7) puts the WHOLE query in one Lucene-style string —
@@ -200,6 +201,11 @@ object Query {
     require(mode == "SHOULD" || shouldText.isDefined ||
       a.contains("--lucene") || opt("--min-match").isEmpty,
       "--min-match only applies to SHOULD mode, --should or --lucene queries")
+    // a trailing --min-match (value forgotten) must fail loudly, not
+    // silently run with the default (the --not guard's rule, r7 review)
+    require(!a.contains("--min-match") ||
+      opt("--min-match").exists(!_.startsWith("--")),
+      "--min-match expects a number (missing value?)")
     // Lucene default for an all-optional BooleanQuery: at least one
     // SHOULD clause must match; with MUST clauses present the default
     // is 0 (optional clauses boost without eliminating) — queryBool
@@ -208,14 +214,13 @@ object Query {
     val minMatch = intOpt("--min-match").getOrElse(if (boolStyle) 0 else 1)
     require(minMatch >= (if (boolStyle) 0 else 1),
       s"--min-match must be >= ${if (boolStyle) 0 else 1}, got $minMatch")
-    // typed field filters (r7): epoch millis or yyyy-MM-dd[ HH:mm:ss] UTC
+    // typed field filters (r7): epoch millis or yyyy-MM-dd[[T| ]HH:mm:ss],
+    // parsed AS UTC via the shared TsParse (Timestamp.valueOf would read
+    // the JVM-local zone and silently shift the window — r7 review)
     def tsOpt(name: String): Option[java.sql.Timestamp] = opt(name).map { v =>
-      v.toLongOption.map(new java.sql.Timestamp(_)).getOrElse {
-        val norm = if (v.length == 10) v + " 00:00:00" else v
-        scala.util.Try(java.sql.Timestamp.valueOf(norm)).getOrElse(sys.error(
-          s"$name expects epoch millis or yyyy-MM-dd[ HH:mm:ss], got '$v' — " +
-          usage))
-      }
+      graft.query.TsParse.utcTimestamp(v).getOrElse(sys.error(
+        s"$name expects epoch millis or yyyy-MM-dd[[T| ]HH:mm:ss] UTC, " +
+        s"got '$v' — " + usage))
     }
     Seq("--role", "--tool", "--from", "--to").foreach { f =>
       require(!a.contains(f) || opt(f).exists(!_.startsWith("--")),

@@ -54,6 +54,25 @@ import graft.model.{QueryFilter, SearchHit}
   *     REFUSED (a conjunction of two different role equalities is
   *     always empty — another typo trap).
   */
+/** Shared UTC timestamp parsing for ts filters (QueryParser's ts:[..]
+  * bounds and the CLI's --from/--to): epoch millis, or
+  * yyyy-MM-dd[[T| ]HH:mm:ss] read AS UTC — never the JVM-local zone.
+  * Index ts instants are absolute; a zone-dependent parse would
+  * silently shift every window by the host's offset. */
+object TsParse {
+  def utcTimestamp(v: String): Option[java.sql.Timestamp] =
+    v.toLongOption.map(new java.sql.Timestamp(_)).orElse {
+      val norm =
+        (if (v.length == 10) v + " 00:00:00" else v).replace('T', ' ')
+      try {
+        val ldt = java.time.LocalDateTime.parse(norm,
+          java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+        Some(new java.sql.Timestamp(
+          ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+      } catch { case _: java.time.format.DateTimeParseException => None }
+    }
+}
+
 object QueryParser {
 
   /** A parsed query string: raw clause texts (analysis happens inside
@@ -141,10 +160,15 @@ object QueryParser {
             case "ts" =>
               require(!sawTs, "duplicate ts: range")
               sawTs = true
-              val m = TsRange.findFirstMatchIn(tok).getOrElse(
-                sys.error(s"ts: expects ts:[<from> TO <to>] in: $s"))
-              tsFrom = parseBound(m.group(1))
-              tsTo = parseBound(m.group(2))
+              // split on the literal " TO " so space-separated datetime
+              // bounds ("2024-01-01 10:00:00") parse as documented
+              require(tok.startsWith("ts:[") && tok.endsWith("]"),
+                s"ts: expects ts:[<from> TO <to>] in: $s")
+              val body = tok.substring(4, tok.length - 1)
+              val sep = body.indexOf(" TO ")
+              require(sep > 0, s"ts: expects ts:[<from> TO <to>] in: $s")
+              tsFrom = parseBound(body.substring(0, sep).trim)
+              tsTo = parseBound(body.substring(sep + 4).trim)
               require(tsFrom.nonEmpty || tsTo.nonEmpty,
                 "ts:[* TO *] is a no-op — drop it")
           }
@@ -162,18 +186,14 @@ object QueryParser {
       QueryFilter(role, tool, tsFrom, tsTo))
   }
 
-  private val TsRange = """^ts:\[\s*(\S+)\s+TO\s+(\S+)\s*\]$""".r
-
   /** One range bound: '*' (open), epoch millis, or
-    * yyyy-MM-dd[ HH:mm:ss] UTC — the CLI's --from/--to formats. */
+    * yyyy-MM-dd[[T| ]HH:mm:ss] — interpreted in UTC via
+    * [[TsParse.utcTimestamp]] (java.sql.Timestamp.valueOf would read the
+    * JVM-local zone and silently shift the window — r7 review). */
   private def parseBound(v: String): Option[java.sql.Timestamp] =
     if (v == "*") None
-    else Some(v.toLongOption.map(new java.sql.Timestamp(_)).getOrElse {
-      val norm = if (v.length == 10) v + " 00:00:00" else v.replace('T', ' ')
-      try java.sql.Timestamp.valueOf(norm)
-      catch { case _: IllegalArgumentException => sys.error(
-        s"ts bound '$v' is not epoch millis, yyyy-MM-dd[ HH:mm:ss] or *") }
-    })
+    else Some(TsParse.utcTimestamp(v).getOrElse(sys.error(
+      s"ts bound '$v' is not epoch millis, yyyy-MM-dd[ HH:mm:ss] or *")))
 
   /** Parse + dispatch (see the object scaladoc's rules). Composes with
     * scopes, time travel (`pinned`) and k exactly like the direct
@@ -202,14 +222,20 @@ object QueryParser {
         SearchEngine.queryBoolPhrase(spark, root, body, slopOpt,
           p.must.mkString(" "), p.should.mkString(" "),
           p.not.mkString(" "), minShouldMatch, k, pinned, p.filter)
-      case Some((body, slopOpt)) => slopOpt match {
-        case None =>
-          SearchEngine.phraseTopK(spark, root, body, k, scopes, pinned,
-            p.filter)
-        case Some(slop) =>
-          SearchEngine.nearTopK(spark, root, body, slop, k, scopes, pinned,
-            ordered = false, filter = p.filter)
-      }
+      case Some((body, slopOpt)) =>
+        // Lucene clause accounting: minimumShouldMatch > 0 with ZERO
+        // SHOULD clauses is unsatisfiable ⇒ match nothing (the term-only
+        // paths get this from queryBool; the bare-phrase dispatch must
+        // not silently drop the requirement — r7 review)
+        if (minShouldMatch > 0) Vector.empty
+        else slopOpt match {
+          case None =>
+            SearchEngine.phraseTopK(spark, root, body, k, scopes, pinned,
+              p.filter)
+          case Some(slop) =>
+            SearchEngine.nearTopK(spark, root, body, slop, k, scopes, pinned,
+              ordered = false, filter = p.filter)
+        }
       case None =>
         SearchEngine.queryBool(spark, root, p.must.mkString(" "),
           p.should.mkString(" "), p.not.mkString(" "), minShouldMatch, k,

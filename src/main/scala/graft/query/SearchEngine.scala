@@ -2056,10 +2056,7 @@ object SearchEngine {
           org.apache.spark.sql.functions.broadcast(candFrame)
         else candFrame
       val ver = m.analyzerVersion
-      val fieldPred = filter.fieldEqs.map { case (f, v) =>
-        translate(lower(trim(col(f))), "ё", "е") ===
-          Analyzer.fold(v.trim)
-      }.foldLeft(org.apache.spark.sql.functions.lit(true))(_ && _)
+      val fieldPred = fieldPredOf(filter)
       // closure payload: tiny (query-sized) arrays
       val scoredTerms = (requiredTerms ++ shouldTerms)
         .sortBy(t => (t.df, t.term)).toArray
@@ -2152,6 +2149,21 @@ object SearchEngine {
     * positions-free index: complete AND candidates (optionally restricted
     * to scope segments), then a shard-pruned docs join keeping rows whose
     * re-analyzed token stream satisfies `verify`, then the global top-k. */
+  /** Doc-COLUMN twin of the field-posting fold, ONE definition for both
+    * rescan executors (r7 review: the two copies + Spark's space-only
+    * `trim` diverged from Analyzer.fold's Java trim, which strips every
+    * char <= U+0020 — a doc with role "user\t" matched on a positional
+    * index and vanished on the rescan path). `[\x00-\x20]` IS Java
+    * String.trim's exact rule; Spark's lower() is locale-independent
+    * (UTF8String), matching fold's Locale.ROOT for this charset, and
+    * translate handles the ё fold. */
+  private def fieldPredOf(filter: QueryFilter): org.apache.spark.sql.Column =
+    filter.fieldEqs.map { case (f, v) =>
+      translate(lower(regexp_replace(col(f),
+        "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")), "\u0451", "\u0435") ===
+        Analyzer.fold(v.trim)
+    }.foldLeft(org.apache.spark.sql.functions.lit(true))(_ && _)
+
   private def candidateVerifyTopK(spark: SparkSession, root: String,
                                   m: Manifest, p: Plan, stats: CorpusStats,
                                   k: Int,
@@ -2180,10 +2192,7 @@ object SearchEngine {
       // (lower + ё→е, column-side via translate — FieldFilterSpec pins
       // path equality). ts ranges were already intersected into `ranges`
       // by the caller — no ts column predicate needed here.
-      val fieldPred = filter.fieldEqs.map { case (f, v) =>
-        translate(lower(trim(col(f))), "ё", "е") ===
-          Analyzer.fold(v.trim)
-      }.foldLeft(org.apache.spark.sql.functions.lit(true))(_ && _)
+      val fieldPred = fieldPredOf(filter)
       IndexSnapshot.docsFor(spark, root, m, candShards)
         .filter(fieldPred)
         .select($"docId", $"text")

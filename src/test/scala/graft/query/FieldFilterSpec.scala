@@ -183,6 +183,32 @@ class FieldFilterSpec extends AnyFunSuite {
     }
   }
 
+  test("whitespace-padded field values match identically on BOTH paths (Java-trim rule)") {
+    // a doc whose role carries a tab: Analyzer.fold(v.trim) strips every
+    // char <= U+0020 (Java trim), so the field POSTING is 'user'; the
+    // rescan path's doc-column predicate must apply the same rule (r7
+    // review: Spark's trim() strips spaces only, and the tabbed doc
+    // matched positionally but vanished on the rescan path)
+    val padded = corpus.take(60).map(t =>
+      if (t.role == "user") t.copy(role = "user\t") else t)
+    val dsP = spark.createDataset(padded)(
+      org.apache.spark.sql.Encoders.product[graft.model.Turn])
+    val flatDir = SparkTestBase.tmpDir("graft-fields-pad-flat")
+    val posDir = SparkTestBase.tmpDir("graft-fields-pad-pos")
+    IndexBuilder.build(spark, dsP, flatDir, shards = 2, waveSize = 2,
+      maxChunkPostings = 64)
+    IndexBuilder.build(spark, dsP, posDir, shards = 2, waveSize = 2,
+      maxChunkPostings = 64, positions = true)
+    // phrase+filter exercises the rescan path on flatDir and the
+    // positional walk on posDir — identical results required
+    val viaRescan = SearchEngine.phraseTopK(spark, flatDir,
+      "stopish needlemid", 100, Nil, None, roleF)
+    val viaWalk = SearchEngine.phraseTopK(spark, posDir,
+      "stopish needlemid", 100, Nil, None, roleF)
+    assert(viaRescan == viaWalk, "tabbed role must match on both paths")
+    assert(viaRescan.nonEmpty, "fixture slice must contain user-role hits")
+  }
+
   test("maintenance preserves field postings and ts: delete/append then filtered query") {
     val dir = SparkTestBase.tmpDir("graft-fields-maint")
     IndexBuilder.build(spark, ds, dir, shards = 4, waveSize = 4,

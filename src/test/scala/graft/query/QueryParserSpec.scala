@@ -43,6 +43,15 @@ class QueryParserSpec extends AnyFunSuite {
       p.should == Vector("x"))
     val open = parse("ts:[2023-11-14 TO *] x")
     assert(open.filter.tsTo.isEmpty && open.filter.tsFrom.nonEmpty)
+    // bounds are UTC instants NO MATTER the JVM zone (r7 review:
+    // Timestamp.valueOf would read the host zone and shift the window)
+    assert(open.filter.tsFrom.get.getTime == 1699920000000L,
+      "2023-11-14 must mean midnight UTC")
+    // the documented space-separated datetime parses inside ts:[ ... ]
+    val dt = parse("ts:[2023-11-14 10:00:00 TO 2023-11-14T11:00:00] x")
+    assert(dt.filter.tsFrom.get.getTime == 1699956000000L &&
+      dt.filter.tsTo.get.getTime == 1699959600000L,
+      "both datetime spellings, both UTC")
     assert(parse("") == Parsed())
   }
 
@@ -107,5 +116,10 @@ class QueryParserSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       search(spark, root, "\"a b\" +c", 10, 0, Seq("conv-0"))
     }
+    // minimumShouldMatch with zero SHOULD clauses is unsatisfiable on
+    // EVERY dispatch path, including the bare phrase (r7 review)
+    assert(search(spark, root, "\"stopish needlemid\"", 10,
+      minShouldMatch = 2).isEmpty)
+    assert(search(spark, root, "+needlemid", 10, minShouldMatch = 1).isEmpty)
   }
 }

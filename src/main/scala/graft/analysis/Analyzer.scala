@@ -169,4 +169,22 @@ object Analyzer extends Serializable {
     * dictionary (term_stats), every expansion surface and the corpus
     * statistics exclude these. */
   def isFieldTerm(term: String): Boolean = term.startsWith(FieldMarker)
+
+  /** Per-clause boosts (r7, Lucene `term^b`): RAW clause tokens map to
+    * ANALYZED terms under the named analyzer version — a raw token that
+    * analyzes to several terms boosts each of them; when two raw keys
+    * collide on one analyzed term the LARGER boost wins (deterministic,
+    * order-free). Boosts must be finite and > 0. ONE definition shared
+    * by the engine and the brute-force oracle so resolution can never
+    * drift. */
+  def resolveBoosts(version: String,
+                    raw: Map[String, Double]): Map[String, Double] = {
+    raw.foreach { case (t, b) =>
+      require(b > 0 && !b.isInfinite && !b.isNaN,
+        s"boost for '$t' must be a finite positive number, got $b")
+    }
+    raw.toSeq
+      .flatMap { case (t, b) => analyzeQueryFor(version, t).map(_ -> b) }
+      .groupMapReduce(_._1)(_._2)(math.max)
+  }
 }

@@ -578,8 +578,10 @@ final class Oracle(corpus: Seq[Turn],
     * the engine, bit-equal. */
   def boolTopK(must: String, should: String = "", notQuery: String = "",
                minShouldMatch: Int = 0, k: Int = 10,
-               convPrefix: Option[String] = None): Vector[SearchHit] = {
+               convPrefix: Option[String] = None,
+               boosts: Map[String, Double] = Map.empty): Vector[SearchHit] = {
     require(minShouldMatch >= 0)
+    val boostOf = Analyzer.resolveBoosts(analyzerVersion, boosts)
     val inScope: Long => Boolean = convPrefix match {
       case None => _ => true
       case Some(pre) => d => docs(d.toInt).conv_id.startsWith(pre)
@@ -632,7 +634,7 @@ final class Oracle(corpus: Seq[Turn],
           var s = 0.0
           scored.foreach { t => // canonical order; absent SHOULD adds 0
             postingOf(t).get(d).foreach { tf =>
-              s += Bm25.score(tf, dfOf(t), dl(d), n, avg)
+              s += boostOf.getOrElse(t, 1.0) * Bm25.score(tf, dfOf(t), dl(d), n, avg)
             }
           }
           Some(SearchHit(d, s))
@@ -651,11 +653,13 @@ final class Oracle(corpus: Seq[Turn],
     * counted among the required set. */
   def boolPhraseTopK(phrase: String, slop: Option[Int], must: String,
                      should: String = "", notQuery: String = "",
-                     minShouldMatch: Int = 0,
-                     k: Int = 10): Vector[SearchHit] = {
+                     minShouldMatch: Int = 0, k: Int = 10,
+                     boosts: Map[String, Double] = Map.empty): Vector[SearchHit] = {
+    val boostOf = Analyzer.resolveBoosts(analyzerVersion, boosts)
     val seq = Analyzer.tokensFor(analyzerVersion, phrase)
     if (seq.isEmpty)
-      return boolTopK(must, should, notQuery, minShouldMatch, k)
+      return boolTopK(must, should, notQuery, minShouldMatch, k,
+        boosts = boosts)
     val slots = seq.distinct
     val verify: Vector[String] => Boolean = slop match {
       case None => toks => toks.containsSlice(seq)
@@ -694,7 +698,7 @@ final class Oracle(corpus: Seq[Turn],
           var s = 0.0
           scored.foreach { t => // canonical order; absent SHOULD adds 0
             index(t).find(_._1 == d).foreach { case (_, tf) =>
-              s += Bm25.score(tf, df(t), dl(d), nDocs, avgdl)
+              s += boostOf.getOrElse(t, 1.0) * Bm25.score(tf, df(t), dl(d), nDocs, avgdl)
             }
           }
           Some(SearchHit(d, s))
@@ -705,10 +709,10 @@ final class Oracle(corpus: Seq[Turn],
   }
 
   def boolTopKScoped(must: String, should: String, notQuery: String,
-                     minShouldMatch: Int, k: Int,
-                     prefixes: Seq[String]): Vector[SearchHit] =
+                     minShouldMatch: Int, k: Int, prefixes: Seq[String],
+                     boosts: Map[String, Double] = Map.empty): Vector[SearchHit] =
     prefixes.flatMap(p =>
-        boolTopK(must, should, notQuery, minShouldMatch, k, Some(p)))
+        boolTopK(must, should, notQuery, minShouldMatch, k, Some(p), boosts))
       .groupBy(_.docId).values.map(_.maxBy(_.score)).toVector
       .sortBy(h => (-h.score, h.docId)).take(k)
 

@@ -27,7 +27,7 @@ import graft.model.{QueryFilter, SearchHit}
   *                 (bounds: epoch millis, yyyy-MM-dd[ HH:mm:ss] UTC,
   *                  or '*' for an open end)
   *           | '"' terms '"' ('~' slop)?          — phrase / proximity
-  *           | term
+  *           | term ('^' boost)?                   — boost: Lucene term^b
   *
   * Dispatch rules (all Lucene parity unless noted):
   *   - only SHOULD clauses → at least one must match ([[SearchEngine
@@ -52,7 +52,11 @@ import graft.model.{QueryFilter, SearchHit}
   *     unscoped only — composed + scopes refuses);
   *   - duplicate role:/tool: filters and multiple ts: ranges are
   *     REFUSED (a conjunction of two different role equalities is
-  *     always empty — another typo trap).
+  *     always empty — another typo trap);
+  *   - `term^b` multiplies that clause's BM25 contribution by b
+  *     (finite, > 0 — Lucene per-clause boost; bounds scale with it so
+  *     WAND pruning stays exact). Boosting a MUST_NOT clause (never
+  *     scored), a filter, or a phrase is REFUSED.
   */
 /** Shared UTC timestamp parsing for ts filters (QueryParser's ts:[..]
   * bounds and the CLI's --from/--to): epoch millis, or
@@ -81,7 +85,8 @@ object QueryParser {
                           should: Vector[String] = Vector.empty,
                           not: Vector[String] = Vector.empty,
                           phrase: Option[(String, Option[Int])] = None,
-                          filter: QueryFilter = QueryFilter.Empty)
+                          filter: QueryFilter = QueryFilter.Empty,
+                          boosts: Map[String, Double] = Map.empty)
 
   private val KnownFields = Set("role", "tool", "ts")
 
@@ -95,6 +100,7 @@ object QueryParser {
     var tsFrom: Option[java.sql.Timestamp] = None
     var tsTo: Option[java.sql.Timestamp] = None
     var sawTs = false
+    var boosts = Map.empty[String, Double]
 
     val s = if (q == null) "" else q
     var i = 0
@@ -122,6 +128,8 @@ object QueryParser {
             require(i > ds, s"'~' needs a slop number in: $s")
             Some(s.substring(ds, i).toInt)
           } else None
+        require(i >= s.length || s(i).isWhitespace || s(i) != '^',
+          "phrase boosts are not supported (boost term clauses instead)")
         require(op != '-', "negated phrases are not supported " +
           "(a MUST_NOT phrase clause has no executor); rephrase")
         require(phrase.isEmpty, "at most one phrase clause per query")
@@ -148,6 +156,8 @@ object QueryParser {
             s"'$op$field:' is not supported: field clauses are FILTERS " +
             "(required by nature, never scored, not negatable)")
           val v = tok.substring(colon + 1)
+          require(field == "ts" || !v.contains('^'),
+            s"'$field:$v' — filters are never scored, boosts do not apply")
           field match {
             case "role" =>
               require(role.isEmpty, "duplicate role: filter")
@@ -173,17 +183,35 @@ object QueryParser {
                 "ts:[* TO *] is a no-op — drop it")
           }
         } else {
+          // term^boost (Lucene per-clause boost)
+          val caret = tok.lastIndexOf('^')
+          val (term, boost) =
+            if (caret <= 0) (tok, None)
+            else {
+              val bs = tok.substring(caret + 1)
+              val b = bs.toDoubleOption.getOrElse(sys.error(
+                s"boost '^$bs' is not a number in: $s"))
+              require(b > 0 && !b.isInfinite,
+                s"boost must be a finite positive number, got ^$bs")
+              (tok.substring(0, caret), Some(b))
+            }
+          require(boost.isEmpty || op != '-',
+            s"'-$term^...' is not supported: MUST_NOT clauses are never " +
+            "scored, so a boost there is always a mistake")
+          require(boost.isEmpty || !boosts.contains(term),
+            s"duplicate boost for '$term'")
+          boost.foreach(b => boosts += term -> b)
           op match {
-            case '+' => must :+= tok
-            case '-' => not :+= tok
-            case _ => should :+= tok
+            case '+' => must :+= term
+            case '-' => not :+= term
+            case _ => should :+= term
           }
         }
       }
       skipWs()
     }
     Parsed(must, should, not, phrase,
-      QueryFilter(role, tool, tsFrom, tsTo))
+      QueryFilter(role, tool, tsFrom, tsTo), boosts)
   }
 
   /** One range bound: '*' (open), epoch millis, or
@@ -221,7 +249,8 @@ object QueryParser {
       case Some((body, slopOpt)) if hasClauses =>
         SearchEngine.queryBoolPhrase(spark, root, body, slopOpt,
           p.must.mkString(" "), p.should.mkString(" "),
-          p.not.mkString(" "), minShouldMatch, k, pinned, p.filter)
+          p.not.mkString(" "), minShouldMatch, k, pinned, p.filter,
+          p.boosts)
       case Some((body, slopOpt)) =>
         // Lucene clause accounting: minimumShouldMatch > 0 with ZERO
         // SHOULD clauses is unsatisfiable ⇒ match nothing (the term-only
@@ -239,7 +268,7 @@ object QueryParser {
       case None =>
         SearchEngine.queryBool(spark, root, p.must.mkString(" "),
           p.should.mkString(" "), p.not.mkString(" "), minShouldMatch, k,
-          scopes, pinned, p.filter, after)
+          scopes, pinned, p.filter, after, p.boosts)
     }
   }
 }

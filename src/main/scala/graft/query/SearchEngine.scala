@@ -113,6 +113,12 @@ object SearchEngine {
       s"${java.lang.Double.doubleToLongBits(h.score)}:${h.docId}")
       .getOrElse("")
 
+  /** Memo-key fragment for a resolved boost map (bit-exact, order-free). */
+  private def boostKey(boostOf: Map[String, Double]): String =
+    if (boostOf.isEmpty) ""
+    else boostOf.toSeq.sortBy(_._1).map { case (t, b) =>
+      s"$t^${java.lang.Double.doubleToLongBits(b)}" }.mkString(":", ",", "")
+
   /** Resolve a [[QueryFilter]] against one pinned snapshot: the encoded
     * field terms (weightless posting cursors) + the ts-range docId
     * segments (None = no ts constraint; Some(empty) = nothing in range).
@@ -653,7 +659,8 @@ object SearchEngine {
       termChunks: scala.collection.Map[(Int, String),
         scala.collection.mutable.ArrayBuffer[graft.index.PostingCodec.BlockedList]],
       dfByTerm: Map[String, Long], canonical: Map[String, Int],
-      nDocs: Long, avgdl: Double): Seq[Wand.TermCursor] =
+      nDocs: Long, avgdl: Double,
+      boostOf: Map[String, Double] = Map.empty): Seq[Wand.TermCursor] =
     termChunks.map { case ((_, term), chunks) =>
       val sorted = chunks
         .sortBy(c => if (c.blockFirst.isEmpty) Long.MaxValue
@@ -669,7 +676,8 @@ object SearchEngine {
                else dfByTerm(term)
       new Wand.TermCursor(
         Wand.TermPostings(term, df, canonical(term), sorted),
-        nDocs, avgdl, scored = !isField)
+        nDocs, avgdl, scored = !isField,
+        boost = boostOf.getOrElse(term, 1.0))
     }.toSeq
 
   def executePlan(spark: SparkSession, root: String, p: Plan,
@@ -1603,11 +1611,16 @@ object SearchEngine {
                 scopes: Seq[String] = Nil,
                 pinned: Option[Manifest] = None,
                 filter: QueryFilter = QueryFilter.Empty,
-                after: Option[SearchHit] = None): Vector[SearchHit] = {
+                after: Option[SearchHit] = None,
+                boosts: Map[String, Double] = Map.empty): Vector[SearchHit] = {
     require(minShouldMatch >= 0,
       s"minShouldMatch must be >= 0, got $minShouldMatch")
     require(after.isEmpty || scopes.isEmpty, ScopedAfterError)
     val m = pinned.getOrElse(pinnedManifest(root))
+    // per-clause boosts (Lucene term^b): raw keys resolve to analyzed
+    // terms ONCE here; boosted contributions are boost × BM25 — one IEEE
+    // multiply, applied identically in cursors, bounds and the oracle
+    val boostOf = Analyzer.resolveBoosts(m.analyzerVersion, boosts)
     val must = Analyzer.analyzeQueryFor(m.analyzerVersion, mustText)
     val negs = Analyzer.analyzeQueryFor(m.analyzerVersion, notText).distinct.sorted
     val shouldRaw = Analyzer.analyzeQueryFor(m.analyzerVersion, shouldText).distinct
@@ -1618,10 +1631,12 @@ object SearchEngine {
     val shouldKept = shouldRaw.filterNot(t => mustSet(t) || negSet(t))
     val minEff = math.max(0, minShouldMatch - autoSatisfied)
     // ---- degenerate delegation: each law IS the dedicated mode ----
-    if (must.isEmpty && negs.isEmpty)
+    // degenerate delegation only when UNBOOSTED (the dedicated modes
+    // have no boost parameter; the main path handles every shape)
+    if (boostOf.isEmpty && must.isEmpty && negs.isEmpty)
       return queryShould(spark, root, shouldText,
         math.max(1, minShouldMatch), k, scopes, Some(m), filter, after)
-    if (shouldKept.isEmpty && minEff == 0 && must.nonEmpty)
+    if (boostOf.isEmpty && shouldKept.isEmpty && minEff == 0 && must.nonEmpty)
       return queryNot(spark, root, mustText, notText, k, scopes, Some(m),
         filter, after)
     if (must.isEmpty && shouldKept.isEmpty) return Vector.empty
@@ -1633,8 +1648,8 @@ object SearchEngine {
     // queries share an entry
     memoized(root,
       QueryKey(must ++ (" " +: negs) ++ (" " +: shouldKept),
-        s"BOOL:$minEff", k, scopes, m.snapshotId, filter.cacheKey,
-        afterKey(after))) {
+        s"BOOL:$minEff" + boostKey(boostOf), k, scopes, m.snapshotId,
+        filter.cacheKey, afterKey(after))) {
       val (fterms, tsRanges) = resolveFilter(spark, root, m, filter)
       if (scopes.isEmpty) {
         val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
@@ -1648,7 +1663,8 @@ object SearchEngine {
         else if (must.isEmpty && pShould.terms.size < math.max(1, minEff))
           Vector.empty
         else boolTopK(spark, root, m, pMust.terms, pShould.terms, negs,
-          minEff, stats, k, combineRanges(None, tsRanges), fterms, after)
+          minEff, stats, k, combineRanges(None, tsRanges), fterms, after,
+          boostOf)
       } else {
         val all = scopes.flatMap { sc =>
           scopedKeptPlan(spark, root, m, must ++ shouldKept, sc, "BOOL", k) match {
@@ -1666,7 +1682,8 @@ object SearchEngine {
                   shouldKeptScoped.size < math.max(1, minEff)) Vector.empty
               else boolTopK(spark, root, m, mustKept, shouldKeptScoped,
                 negs, minEff, stats, k,
-                combineRanges(Some(ranges), tsRanges), fterms)
+                combineRanges(Some(ranges), tsRanges), fterms,
+                boostOf = boostOf)
           }
         }
         unionBest(all, k)
@@ -1691,7 +1708,8 @@ object SearchEngine {
                        stats: CorpusStats, k: Int,
                        ranges: Option[Seq[(Long, Long)]],
                        fterms: Vector[String] = Vector.empty,
-                       after: Option[SearchHit] = None): Vector[SearchHit] = {
+                       after: Option[SearchHit] = None,
+                       boostOf: Map[String, Double] = Map.empty): Vector[SearchHit] = {
     import spark.implicits._
     val mustList = mustTerms.map(_.term)
     val shouldList = shouldTerms.map(_.term)
@@ -1732,11 +1750,11 @@ object SearchEngine {
             case ((_, t), _) => shouldSet(t)
           }
           val mustCursors = buildCursors(mustChunks, dfByTerm, canonical,
-            nDocs, avgdl)
+            nDocs, avgdl, boostOf)
           val filterCursors = buildCursors(fieldChunks, dfByTerm, canonical,
             nDocs, avgdl)
           val shouldArr = buildCursors(shouldChunks, dfByTerm, canonical,
-            nDocs, avgdl).toArray
+            nDocs, avgdl, boostOf).toArray
           // a must/filter term absent from this shard ⇒ no candidate here;
           // fewer than minMatch SHOULD lists present ⇒ no doc here can
           // reach the count (a doc's postings are complete in its shard)
@@ -1838,15 +1856,17 @@ object SearchEngine {
                       shouldText: String = "", notText: String = "",
                       minShouldMatch: Int = 0, k: Int = 10,
                       pinned: Option[Manifest] = None,
-                      filter: QueryFilter = QueryFilter.Empty): Vector[SearchHit] = {
+                      filter: QueryFilter = QueryFilter.Empty,
+                      boosts: Map[String, Double] = Map.empty): Vector[SearchHit] = {
     require(minShouldMatch >= 0,
       s"minShouldMatch must be >= 0, got $minShouldMatch")
     slop.foreach(n => require(n >= 0, s"slop must be >= 0, got $n"))
     val m = pinned.getOrElse(pinnedManifest(root))
+    val boostOf = Analyzer.resolveBoosts(m.analyzerVersion, boosts)
     val seq = Analyzer.tokensFor(m.analyzerVersion, phraseText)
     if (seq.isEmpty)
       return queryBool(spark, root, mustText, shouldText, notText,
-        minShouldMatch, k, Nil, Some(m), filter)
+        minShouldMatch, k, Nil, Some(m), filter, boosts = boosts)
     val must = Analyzer.analyzeQueryFor(m.analyzerVersion, mustText)
     val negs = Analyzer.analyzeQueryFor(m.analyzerVersion, notText).distinct.sorted
     val shouldRaw = Analyzer.analyzeQueryFor(m.analyzerVersion, shouldText).distinct
@@ -1860,7 +1880,8 @@ object SearchEngine {
     val shouldKept = shouldRaw.filterNot(t => requiredSet(t) || negSet(t))
     val minEff = math.max(0, minShouldMatch - autoSatisfied)
     if (minEff > shouldKept.size) return Vector.empty
-    if (mustExtra.isEmpty && shouldKept.isEmpty && negs.isEmpty && minEff == 0)
+    if (boostOf.isEmpty && mustExtra.isEmpty && shouldKept.isEmpty &&
+        negs.isEmpty && minEff == 0)
       return slop match { // pure phrase/NEAR (+filters): the dedicated mode
         case None => phraseTopK(spark, root, phraseText, k, Nil, Some(m), filter)
         case Some(n) => nearTopK(spark, root, phraseText, n, k, Nil, Some(m),
@@ -1883,8 +1904,8 @@ object SearchEngine {
       }
     memoized(root,
       QueryKey(seq ++ (" " +: mustExtra) ++ (" " +: negs) ++ (" " +: shouldKept),
-        s"BOOLPHRASE:${slop.getOrElse(-1)}:$minEff", k, Nil, m.snapshotId,
-        filter.cacheKey)) {
+        s"BOOLPHRASE:${slop.getOrElse(-1)}:$minEff" + boostKey(boostOf),
+        k, Nil, m.snapshotId, filter.cacheKey)) {
       val (fterms, tsRanges) = resolveFilter(spark, root, m, filter)
       val stats = CorpusStats(m.nDocs, m.avgdl, m.analyzerVersion)
       // phrase slots: no cap, unknown ⇒ EMPTY (the phrase contract) —
@@ -1905,10 +1926,10 @@ object SearchEngine {
         val ranges = combineRanges(None, tsRanges)
         if (m.positions)
           boolPhrasePositional(spark, root, m, required, pShould.terms,
-            negs, minEff, stats, k, slots, posPred, ranges, fterms)
+            negs, minEff, stats, k, slots, posPred, ranges, fterms, boostOf)
         else
           boolPhraseRescan(spark, root, m, required, pShould.terms, negs,
-            minEff, stats, k, verify, ranges, filter)
+            minEff, stats, k, verify, ranges, filter, boostOf)
       }
     }
   }
@@ -1924,7 +1945,8 @@ object SearchEngine {
                                    slots: Vector[String],
                                    posPred: Array[Array[Int]] => Boolean,
                                    ranges: Option[Seq[(Long, Long)]],
-                                   fterms: Vector[String]): Vector[SearchHit] = {
+                                   fterms: Vector[String],
+                                   boostOf: Map[String, Double] = Map.empty): Vector[SearchHit] = {
     import spark.implicits._
     require(m.positions, "positional composed query needs positions")
     val reqList = requiredTerms.map(_.term)
@@ -1967,11 +1989,11 @@ object SearchEngine {
             case ((_, t), _) => shouldSet(t)
           }
           val reqCursors = buildCursors(reqChunks, dfByTerm, canonical,
-            nDocs, avgdl)
+            nDocs, avgdl, boostOf)
           val filterCursors = buildCursors(fieldChunks, dfByTerm, canonical,
             nDocs, avgdl)
           val shouldArr = buildCursors(shouldChunks, dfByTerm, canonical,
-            nDocs, avgdl).toArray
+            nDocs, avgdl, boostOf).toArray
           if (reqCursors.size < nReq || filterCursors.size < nFilters ||
               shouldArr.length < minEff)
             Iterator.empty
@@ -2041,7 +2063,8 @@ object SearchEngine {
                                stats: CorpusStats, k: Int,
                                verify: Vector[String] => Boolean,
                                ranges: Option[Seq[(Long, Long)]],
-                               filter: QueryFilter): Vector[SearchHit] = {
+                               filter: QueryFilter,
+                               boostOf: Map[String, Double] = Map.empty): Vector[SearchHit] = {
     import spark.implicits._
     val p = Plan(requiredTerms, Vector.empty, "AND", k)
     val cand = phraseCandidates(spark, root, m, p, stats, ranges)
@@ -2060,6 +2083,7 @@ object SearchEngine {
       // closure payload: tiny (query-sized) arrays
       val scoredTerms = (requiredTerms ++ shouldTerms)
         .sortBy(t => (t.df, t.term)).toArray
+      val boostArr = scoredTerms.map(t => boostOf.getOrElse(t.term, 1.0))
       val shouldSet = shouldTerms.map(_.term).toSet
       val negSet = negTerms.toSet
       val nDocs = stats.nDocs
@@ -2084,7 +2108,7 @@ object SearchEngine {
               toks.foreach(x => if (x == t.term) tf += 1)
               if (tf > 0) {
                 if (shouldSet(t.term)) matched += 1
-                s += graft.query.Bm25.score(tf, t.df, dl, nDocs, avgdl)
+                s += boostArr(i) * graft.query.Bm25.score(tf, t.df, dl, nDocs, avgdl)
               }
               i += 1
             }

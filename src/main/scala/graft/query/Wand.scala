@@ -34,14 +34,19 @@ object Wand {
     * ConstantScoreQuery clause): it participates in intersections and
     * presence probes like any cursor, but contributes 0.0 to every score
     * and every upper bound — so BMW pruning stays exact and a rare filter
-    * list can DRIVE an AND walk for free. */
+    * list can DRIVE an AND walk for free.
+    *
+    * `boost` (r7, Lucene per-clause boost `term^b`): every score AND
+    * every upper bound is multiplied by it — ONE IEEE multiply on each,
+    * so BMW pruning stays exact and oracle parity stays bit-equal. */
   final class TermCursor(tp: TermPostings, nDocs: Long, avgdl: Double,
                          blockSize: Int = PostingCodec.BlockSize,
-                         val scored: Boolean = true) {
+                         val scored: Boolean = true,
+                         val boost: Double = 1.0) {
     val term: String = tp.term
     val df: Long = tp.df
     val canonical: Int = tp.canonical
-    /** Term-level score upper bound over all chunks. */
+    /** Term-level score upper bound over all chunks (boost included). */
     val upperBound: Double = {
       if (!scored) 0.0
       else {
@@ -49,7 +54,7 @@ object Wand {
         tp.chunks.foreach { c =>
           var b = 0
           while (b < c.blockMaxTf.length) {
-            val s = Bm25.score(c.blockMaxTf(b), df, c.blockMinDl(b), nDocs, avgdl)
+            val s = boost * Bm25.score(c.blockMaxTf(b), df, c.blockMinDl(b), nDocs, avgdl)
             if (s > ub) ub = s
             b += 1
           }
@@ -73,7 +78,7 @@ object Wand {
     def tf: Int = cur.tf
     def dl: Int = cur.dl
     def score: Double =
-      if (!scored) 0.0 else Bm25.score(tf, df, dl, nDocs, avgdl)
+      if (!scored) 0.0 else boost * Bm25.score(tf, df, dl, nDocs, avgdl)
     /** Current posting's token ordinals (positional index only — throws on
       * a positions-free chunk); decoded on demand, see BlockedCursor. */
     def positions: Array[Int] = cur.positions
@@ -81,7 +86,7 @@ object Wand {
     /** Exact upper bound of any score inside the CURRENT block. */
     def currentBlockUB: Double =
       if (cur == null || !scored) 0.0
-      else Bm25.score(cur.blockMaxTf, df, cur.blockMinDl, nDocs, avgdl)
+      else boost * Bm25.score(cur.blockMaxTf, df, cur.blockMinDl, nDocs, avgdl)
 
     /** First docId after the current block (next block or next chunk). */
     def nextBlockStart: Long =

@@ -147,6 +147,41 @@ class BoolQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("per-clause boosts: oracle rank identity, identity law, refusals") {
+    val all = 100000
+    // boosted vs the boosted oracle (bit-equal fold with one multiply)
+    Seq(
+      (Map("w0000" -> 2.5), "needlemid", "w0000 w0001", "", 1),
+      (Map("needlemid" -> 3.0, "w0001" -> 0.5), "needlemid", "w0000 w0001", "roleuser", 0),
+      (Map("w0000" -> 10.0), "", "w0000 w0001 needlemid", "", 2)
+    ).foreach { case (b, must, should, not, mm) =>
+      val expected = oracle.boolTopK(must, should, not, mm, 20, None, b)
+      val got = SearchEngine.queryBool(spark, root, must, should, not, mm,
+        20, Nil, None, graft.model.QueryFilter.Empty, None, b)
+      assert(got == expected, s"boosted BOOL $b '$must'/'$should': " +
+        s"got $got expected $expected")
+    }
+    // boost 1.0 everywhere IS the unboosted query, bit-equal
+    assert(SearchEngine.queryBool(spark, root, "needlemid", "w0000", "", 0,
+        all, Nil, None, graft.model.QueryFilter.Empty, None,
+        Map("needlemid" -> 1.0, "w0000" -> 1.0))
+      == SearchEngine.queryBool(spark, root, "needlemid", "w0000", "", 0, all))
+    // a large boost genuinely re-ranks: plain top-5 leads with the
+    // rare term's high-idf docs; a 50x boost on the HOT term must
+    // displace them
+    val plain = SearchEngine.queryBool(spark, root, "",
+      "w0000 needlerare", "", 1, 5)
+    val boosted = SearchEngine.queryBool(spark, root, "",
+      "w0000 needlerare", "", 1, 5, Nil, None,
+      graft.model.QueryFilter.Empty, None, Map("w0000" -> 50.0))
+    assert(plain.map(_.docId) != boosted.map(_.docId),
+      "a 50x rare-term boost must change the top-5")
+    intercept[IllegalArgumentException] {
+      SearchEngine.queryBool(spark, root, "a", "b", "", 0, 10, Nil, None,
+        graft.model.QueryFilter.Empty, None, Map("b" -> 0.0))
+    }
+  }
+
   test("minShouldMatch < 0 refuses") {
     intercept[IllegalArgumentException] {
       SearchEngine.queryBool(spark, root, "needlemid", "w0000", "", -1, 10)

@@ -53,6 +53,10 @@ class QueryParserSpec extends AnyFunSuite {
       dt.filter.tsTo.get.getTime == 1699959600000L,
       "both datetime spellings, both UTC")
     assert(parse("") == Parsed())
+    // per-clause boosts (term^b)
+    assert(parse("+spark^2 merge^0.5 -join") ==
+      Parsed(Vector("spark"), Vector("merge"), Vector("join"),
+        boosts = Map("spark" -> 2.0, "merge" -> 0.5)))
   }
 
   test("parse refusals: every documented typo trap throws") {
@@ -70,7 +74,14 @@ class QueryParserSpec extends AnyFunSuite {
       "ts:[1 TO 2 x",                 // unclosed bracket
       "role: x",                      // empty field value
       "+ x",                          // dangling operator
-      "\"a b\"~ x"                    // ~ without slop
+      "\"a b\"~ x",                   // ~ without slop
+      "x^",                           // boost without a number
+      "x^0",                          // zero boost
+      "x^-2",                         // negative boost
+      "-x^2",                         // boost on a MUST_NOT clause
+      "role:user^2 x",                // boost on a filter
+      "\"a b\"^2",                    // boost on a phrase
+      "x^2 x^3"                       // duplicate boost
     ).foreach { q =>
       withClue(s"should refuse: $q") {
         assertThrows[Exception](parse(q))
@@ -121,5 +132,13 @@ class QueryParserSpec extends AnyFunSuite {
     assert(search(spark, root, "\"stopish needlemid\"", 10,
       minShouldMatch = 2).isEmpty)
     assert(search(spark, root, "+needlemid", 10, minShouldMatch = 1).isEmpty)
+    // boosts ride into queryBool (and the composed executor)
+    assert(search(spark, root, "+needlemid w0000^2.5", 10)
+      == SearchEngine.queryBool(spark, root, "needlemid", "w0000", "", 0,
+        10, Nil, None, QueryFilter.Empty, None, Map("w0000" -> 2.5)))
+    assert(search(spark, root, "\"stopish needlemid\" w0000^2.5", 10)
+      == SearchEngine.queryBoolPhrase(spark, root, "stopish needlemid",
+        None, "", "w0000", "", 0, 10, None, QueryFilter.Empty,
+        Map("w0000" -> 2.5)))
   }
 }

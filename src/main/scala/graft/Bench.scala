@@ -32,19 +32,27 @@ import graft.query.SearchEngine
   * `skipped`/-1, never as 0.0000 "measurements"):
   *  1. `operators` — operator-suite timings over SPARK_GRAFT_SF_DIR
   *     (every SparkEntry.queries entry, executed to completion via count);
-  *  1b. `phrase_vs_and` — the positional-format headline pair on a
+  *  2. `phrase_vs_and` — the positional-format headline pair on a
   *     20k-conv index (positional phrase target ≤ ~1.2× plain AND);
-  *  2. `build_scaling` — index-build throughput on the SAME deterministic
+  *  3. `query_latency` — query p50/p95 over a built index (compressed
+  *     WAND path) + the serving-cache pin cost in MB. MOVED before the
+  *     build sections in r7: it is a per-round graded headline and in
+  *     the r7 rehearsal it lost the budget race to build retries, while
+  *     the chronically-contended large pair survived — budget order
+  *     follows evidence value;
+  *  4. `build_scaling` — index-build throughput on the SAME deterministic
   *     synthetic transcript corpus at 1/2/4/8/32 cores — the sandbox proxy
   *     for N vs 4N executors (north rule: scaling efficiency ≥ 0.8).
-  *     PROBE-GATED (r7): every forked build is bracketed by busy probes,
-  *     contended reps are retried and excluded from best-of, and the
-  *     per-sample probe trace rides into the artifact;
-  *  2b. `build_scaling_large` — the mandated 8→32 pair at 4× the corpus
-  *     (fixed costs amortized), same probe gating;
-  *  2c. `hw_probes` — busy-loop + memory-stream hardware calibration;
-  *  3. `query_latency` — query p50/p95 over a built index (compressed
-  *     WAND path) + the serving-cache pin cost in MB.
+  *     PROBE-GATED (r7): every forked build is bracketed by LEVEL-WIDTH
+  *     busy probes, contended reps are retried (within 45% of budget)
+  *     and excluded from best-of, and the per-sample probe trace rides
+  *     into the artifact;
+  *  5. `hw_probes` — busy-loop + memory-stream hardware calibration
+  *     (before the large pair: attribution evidence outranks a pair the
+  *     host has never once allowed a clean ≥0.8 read of);
+  *  6. `build_scaling_large` — the mandated 8→32 pair at 4× the corpus
+  *     (fixed costs amortized), same probe gating; LAST because it is
+  *     the likeliest budget casualty and partial emission covers it.
   */
 object Bench {
 
@@ -332,6 +340,50 @@ object Bench {
       r.nearRescanSec = best3 { SearchEngine.nearTopK(s, qr, phr, 3, 10); () }
     }
 
+    // ---- section 3: query latency over a built index (EARLY, r7) ------
+    section("query_latency") {
+      val spark3 = querySession()
+      val qRoot = ensureQRoot()
+      val queries = Seq(
+        ("needlerare", "AND", 10), ("needlemid w0000", "AND", 10),
+        ("w0001 w0002", "AND", 10), ("needlemid w0000", "OR", 10),
+        ("roleuser w0004", "OR", 25), ("roleassistant roletool", "AND", 50),
+        ("w0000", "OR", 100), ("w0010 w0020 w0030", "AND", 10))
+      // TRUE cold = the very first pass (JIT-cold code paths, first file
+      // listing, first parquet footers) — measured BEFORE any warm loop.
+      // The steady-state uncached numbers (a parquet scan per query, hot
+      // JVM) keep the p50_sec/p95_sec keys for cross-round comparability
+      // and are labeled warm-uncached in BASELINE.md.
+      val firstPass = queries.map { case (q, m, k) =>
+        time(SearchEngine.query(spark3, qRoot, q, m, k))._2
+      }.sorted
+      val lat = (1 to 3).flatMap { _ =>
+        queries.map { case (q, m, k) =>
+          time(SearchEngine.query(spark3, qRoot, q, m, k))._2
+        }
+      }.sorted
+      r.p50cold = firstPass(firstPass.size / 2)
+      r.p95cold = firstPass.last
+      r.p50 = lat(lat.size / 2)
+      r.p95 = lat(math.min(lat.size - 1, (lat.size * 0.95).toInt))
+      // serving mode: postings + dictionary pinned in executor memory.
+      // The pinned bytes are MEASURED (VERDICT r06 item 8): the 0.09 s vs
+      // 0.28 s p95 trade should be quantified against its memory cost.
+      SearchEngine.enableServingCache(spark3, qRoot)
+      queries.foreach { case (q, m, k) => SearchEngine.query(spark3, qRoot, q, m, k) }
+      r.servingCacheMb = spark3.sparkContext.getRDDStorageInfo
+        .map(_.memSize).sum / 1e6
+      val latC = (1 to 3).flatMap { _ =>
+        queries.map { case (q, m, k) =>
+          time(SearchEngine.query(spark3, qRoot, q, m, k))._2
+        }
+      }.sorted
+      SearchEngine.disableServingCache(qRoot)
+      r.p50c = latC(latC.size / 2)
+      r.p95c = latC(math.min(latC.size - 1, (latC.size * 0.95).toInt))
+    }
+    if (qSpark != null && !qSpark.sparkContext.isStopped) qSpark.stop()
+
     // ---- section 2: index-build scaling, N vs 4N cores -----------------
     // IDENTICAL work at every level: same pre-materialized parquet input
     // (the cluster scenario — the build reads a storage table), same 64
@@ -430,6 +482,55 @@ object Bench {
       r.byLevel = byLevel.toMap.withDefaultValue(Vector.empty)
     }
 
+    // ---- section 2c: hardware calibration -----------------------------
+    // busy-loop (registers only) = the CPU-clock ceiling; memory-stream
+    // (1 GB array copies/task) = the bandwidth reference probe. The build
+    // stages stream hundreds of MB through tmpfs, so the stream probe is
+    // the binding comparison for 8→32 on this VM.
+    def busySecs(threads: Int): Double = {
+      def work(): Unit = { var x = 0L; var i = 0L
+        while (i < 400000000L) { x += i * 31; i += 1 }
+        if (x == 42) println(x) }
+      work() // JIT warmup
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+        (1 to 32).foreach(_ => pool.submit(new Runnable { def run(): Unit = work() }))
+        pool.shutdown()
+        pool.awaitTermination(600, java.util.concurrent.TimeUnit.SECONDS)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    def streamSecs(threads: Int): Double = {
+      def work(): Unit = {
+        val a = new Array[Long](16 << 20); val b = new Array[Long](16 << 20)
+        var rr = 0
+        var src = a; var dst = b
+        while (rr < 4) {
+          var i = 0
+          while (i < src.length) { dst(i) = src(i) + i; i += 1 }
+          val t = src; src = dst; dst = t; rr += 1
+        }
+        if (src(7) == 42L) println("x")
+      }
+      work() // JIT + page-touch warmup
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+        (1 to 32).foreach(_ => pool.submit(new Runnable { def run(): Unit = work() }))
+        pool.shutdown()
+        pool.awaitTermination(600, java.util.concurrent.TimeUnit.SECONDS)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    section("hw_probes") {
+      r.busy2 = busySecs(2)
+      r.busy8 = busySecs(8)
+      r.busy32 = busySecs(32)
+      r.stream8 = streamSecs(8)
+      r.stream32 = streamSecs(32)
+    }
+
     // ---- section 2b: the mandated 8→32 pair at 4× the corpus ----------
     // The 400k-conv build finishes in ~8-10 s at 32 cores: per-job fixed
     // costs (scheduling barriers, commit protocol, driver work) stay
@@ -488,6 +589,7 @@ object Bench {
       r.probeQuiet = gate.quiet // running min may have dropped
     }
 
+
     // free the tmpfs scratch (whether or not later sections run).
     // EXCEPTION-GUARDED (r6 review): this runs OUTSIDE any section, so an
     // IOException here (straggler temp file appearing mid-walk) would
@@ -501,99 +603,6 @@ object Bench {
       }
       scratch = null
     }
-
-    // ---- section 2c: hardware calibration -----------------------------
-    // busy-loop (registers only) = the CPU-clock ceiling; memory-stream
-    // (1 GB array copies/task) = the bandwidth reference probe. The build
-    // stages stream hundreds of MB through tmpfs, so the stream probe is
-    // the binding comparison for 8→32 on this VM.
-    def busySecs(threads: Int): Double = {
-      def work(): Unit = { var x = 0L; var i = 0L
-        while (i < 400000000L) { x += i * 31; i += 1 }
-        if (x == 42) println(x) }
-      work() // JIT warmup
-      (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-        (1 to 32).foreach(_ => pool.submit(new Runnable { def run(): Unit = work() }))
-        pool.shutdown()
-        pool.awaitTermination(600, java.util.concurrent.TimeUnit.SECONDS)
-        (System.nanoTime() - t0) / 1e9
-      }.min
-    }
-    def streamSecs(threads: Int): Double = {
-      def work(): Unit = {
-        val a = new Array[Long](16 << 20); val b = new Array[Long](16 << 20)
-        var rr = 0
-        var src = a; var dst = b
-        while (rr < 4) {
-          var i = 0
-          while (i < src.length) { dst(i) = src(i) + i; i += 1 }
-          val t = src; src = dst; dst = t; rr += 1
-        }
-        if (src(7) == 42L) println("x")
-      }
-      work() // JIT + page-touch warmup
-      (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-        (1 to 32).foreach(_ => pool.submit(new Runnable { def run(): Unit = work() }))
-        pool.shutdown()
-        pool.awaitTermination(600, java.util.concurrent.TimeUnit.SECONDS)
-        (System.nanoTime() - t0) / 1e9
-      }.min
-    }
-    section("hw_probes") {
-      r.busy2 = busySecs(2)
-      r.busy8 = busySecs(8)
-      r.busy32 = busySecs(32)
-      r.stream8 = streamSecs(8)
-      r.stream32 = streamSecs(32)
-    }
-
-    // ---- section 3: query latency over a built index ------------------
-    section("query_latency") {
-      val spark3 = querySession()
-      val qRoot = ensureQRoot()
-      val queries = Seq(
-        ("needlerare", "AND", 10), ("needlemid w0000", "AND", 10),
-        ("w0001 w0002", "AND", 10), ("needlemid w0000", "OR", 10),
-        ("roleuser w0004", "OR", 25), ("roleassistant roletool", "AND", 50),
-        ("w0000", "OR", 100), ("w0010 w0020 w0030", "AND", 10))
-      // TRUE cold = the very first pass (JIT-cold code paths, first file
-      // listing, first parquet footers) — measured BEFORE any warm loop.
-      // The steady-state uncached numbers (a parquet scan per query, hot
-      // JVM) keep the p50_sec/p95_sec keys for cross-round comparability
-      // and are labeled warm-uncached in BASELINE.md.
-      val firstPass = queries.map { case (q, m, k) =>
-        time(SearchEngine.query(spark3, qRoot, q, m, k))._2
-      }.sorted
-      val lat = (1 to 3).flatMap { _ =>
-        queries.map { case (q, m, k) =>
-          time(SearchEngine.query(spark3, qRoot, q, m, k))._2
-        }
-      }.sorted
-      r.p50cold = firstPass(firstPass.size / 2)
-      r.p95cold = firstPass.last
-      r.p50 = lat(lat.size / 2)
-      r.p95 = lat(math.min(lat.size - 1, (lat.size * 0.95).toInt))
-      // serving mode: postings + dictionary pinned in executor memory.
-      // The pinned bytes are MEASURED (VERDICT r06 item 8): the 0.09 s vs
-      // 0.28 s p95 trade should be quantified against its memory cost.
-      SearchEngine.enableServingCache(spark3, qRoot)
-      queries.foreach { case (q, m, k) => SearchEngine.query(spark3, qRoot, q, m, k) }
-      r.servingCacheMb = spark3.sparkContext.getRDDStorageInfo
-        .map(_.memSize).sum / 1e6
-      val latC = (1 to 3).flatMap { _ =>
-        queries.map { case (q, m, k) =>
-          time(SearchEngine.query(spark3, qRoot, q, m, k))._2
-        }
-      }.sorted
-      SearchEngine.disableServingCache(qRoot)
-      r.p50c = latC(latC.size / 2)
-      r.p95c = latC(math.min(latC.size - 1, (latC.size * 0.95).toInt))
-    }
-    if (qSpark != null && !qSpark.sparkContext.isStopped) qSpark.stop()
 
     report(r, sfDir, reps, deadlineSec, elapsedSec, writeMd)
   }
@@ -628,10 +637,13 @@ object Bench {
     val spreadL32 = spread(r.byLevelL(32))
     val largeQuiet = thL8 > 0 && spreadL8 < 0.15 && spreadL32 < 0.15
     val runLarge = r.completed.contains("build_scaling_large") && thL8 > 0
-    val hwCeiling2to8 = if (r.busy8 > 0) r.busy2 / (4.0 * r.busy8) else 0.0
-    val hwCeiling8to32 = if (r.busy32 > 0) r.busy8 / (4.0 * r.busy32) else 0.0
+    // a skipped hw_probes section reports -1 (renders `skipped`), never
+    // a 0.0000 "measurement" — the r6 item-1 rule for the last fields
+    // that still defaulted to 0.0 (caught in the r7 budget-overrun run)
+    val hwCeiling2to8 = if (r.busy8 > 0) r.busy2 / (4.0 * r.busy8) else -1.0
+    val hwCeiling8to32 = if (r.busy32 > 0) r.busy8 / (4.0 * r.busy32) else -1.0
     val streamCeiling8to32 =
-      if (r.stream32 > 0) r.stream8 / (4.0 * r.stream32) else 0.0
+      if (r.stream32 > 0) r.stream8 / (4.0 * r.stream32) else -1.0
 
     val totalSecs = r.queryTimes.map(_._2).filter(_ >= 0).sum
     val qJson = r.queryTimes.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -793,8 +805,8 @@ object Bench {
          |
          || probe | 2→8 | 8→32 |
          ||---|---|---|
-         || busy-loop (CPU clock; registers only) | ${fmt(hwCeiling2to8)} | ${fmt(hwCeiling8to32)} |
-         || memory stream (1 GB array copy/task) | — | ${fmt(streamCeiling8to32)} |
+         || busy-loop (CPU clock; registers only) | ${fmtS(hwCeiling2to8)} | ${fmtS(hwCeiling8to32)} |
+         || memory stream (1 GB array copy/task) | — | ${fmtS(streamCeiling8to32)} |
          |
          |Reading the calibration honestly:
          |
@@ -819,7 +831,7 @@ object Bench {
                |  clock ceiling. In r02 the same probe read 0.77 — it
                |  swings with the host like everything else here.""".stripMargin
          }
-         |- The MEMORY-STREAM probe (this run: ${fmt(streamCeiling8to32)}
+         |- The MEMORY-STREAM probe (this run: ${fmtS(streamCeiling8to32)}
          |  at 8→32) is a fully-bandwidth-bound REFERENCE probe, not a
          |  ceiling: its value swings with the shared host's contention
          |  windows from round to round (observed 0.09–0.47), so it

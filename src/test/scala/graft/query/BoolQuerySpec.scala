@@ -182,6 +182,58 @@ class BoolQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("queryBool + search_after compose with snapshot time travel") {
+    // a private root: maintenance must not disturb the shared fixture
+    val dir = SparkTestBase.tmpDir("graft-boolquery-tt")
+    IndexBuilder.build(spark, spark.createDataset(corpus)(
+      org.apache.spark.sql.Encoders.product[graft.model.Turn]), dir,
+      shards = 4, waveSize = 4, maxChunkPostings = 64)
+    val m0 = graft.index.IndexManifest.read(dir).get
+    val before = SearchEngine.queryBool(spark, dir, "needlemid",
+      "w0000 w0001", "roleuser", 1, 30, Nil, Some(m0))
+    assert(before.nonEmpty)
+    graft.index.IndexMaintenance.deleteConversations(spark, dir,
+      Set(corpus.head.conv_id, corpus(40).conv_id))
+    // pinned to the OLD snapshot: identical result after the delete
+    assert(SearchEngine.queryBool(spark, dir, "needlemid",
+      "w0000 w0001", "roleuser", 1, 30, Nil, Some(m0)) == before,
+      "a pinned snapshot must serve the pre-delete result")
+    // the live view differs (a conv with hits was deleted) and still
+    // paginates: pages off the NEW snapshot concatenate to its full result
+    val liveFull = SearchEngine.queryBool(spark, dir, "needlemid",
+      "w0000 w0001", "roleuser", 1, 30)
+    var paged = Vector.empty[graft.model.SearchHit]
+    var cursor: Option[graft.model.SearchHit] = None
+    while (paged.size < liveFull.size) {
+      val page = SearchEngine.queryBool(spark, dir, "needlemid",
+        "w0000 w0001", "roleuser", 1,
+        math.min(7, liveFull.size - paged.size), Nil, None,
+        QueryFilter.Empty, cursor)
+      assert(page.nonEmpty, "pagination must make progress")
+      paged ++= page
+      cursor = Some(page.last)
+    }
+    assert(paged == liveFull, "post-maintenance pages concatenate exactly")
+  }
+
+  test("boosts compose with filters and scopes") {
+    val roleF = QueryFilter(role = Some("user"))
+    val b = Map("w0000" -> 5.0)
+    // boost + filter: post-filter law against the boosted oracle
+    val expected = oracle.boolTopK("needlemid", "w0000 w0001", "", 0,
+        Int.MaxValue, None, b)
+      .filter(h => oracle.docPasses(roleF)(h.docId)).take(10)
+    val got = SearchEngine.queryBool(spark, root, "needlemid",
+      "w0000 w0001", "", 0, 10, Nil, None, roleF, None, b)
+    assert(got == expected, "boost × filter law")
+    // boost + scopes: scoped boosted oracle
+    val scopes = Seq("conv-0000001", "conv-000000")
+    assert(SearchEngine.queryBool(spark, root, "stopish w0000", "w0001", "",
+        0, 10, scopes, None, QueryFilter.Empty, None, b)
+      == oracle.boolTopKScoped("stopish w0000", "w0001", "", 0, 10, scopes, b),
+      "boost × scope law")
+  }
+
   test("minShouldMatch < 0 refuses") {
     intercept[IllegalArgumentException] {
       SearchEngine.queryBool(spark, root, "needlemid", "w0000", "", -1, 10)

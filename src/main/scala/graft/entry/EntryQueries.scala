@@ -20,6 +20,19 @@ import graft.query.Bm25
   */
 object EntryQueries {
 
+  /** Dev-only plan capture (graft.cli.PlanDump): helpers that eagerly
+    * collect their ≤k-row result (the bm25 family) pass the full
+    * distributed plan through here right before the collect, so the
+    * optimization-round plan evidence shows the real computation, not
+    * the LocalRelation wrapper. No-op (identity) unless a hook is
+    * installed; never set outside dev tools. */
+  private[graft] var planHook: DataFrame => Unit = null
+  private def captured(df: DataFrame): DataFrame = {
+    val h = planHook
+    if (h != null) h(df)
+    df
+  }
+
   /** Compute-heavy tables that deserve the small-input rebalance below
     * (dimension tables stay as-is so broadcast planning is untouched). */
   private val FactTables =
@@ -97,20 +110,23 @@ object EntryQueries {
       |  WHERE length(term) >= 2 GROUP BY doc_id, term
       |) GROUP BY term ORDER BY term""".stripMargin
 
-  /** A6 + BM25 broadcast stats: corpus-level aggregates. */
-  def a6CorpusStats(s: SparkSession, dir: String): DataFrame = {
-    val tf = TextOps.termFrequencies(t(s, dir, "documents"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    // avgdl via ONE double division over exact integer aggregates +
-    // round(6): avg() over doubles is partition-order dependent in Spark
-    // and will not bit-match DuckDB (the r01 hash fail).
-    dl.agg(count(lit(1)).as("n_docs"),
+  /** A6 + BM25 broadcast stats: corpus-level aggregates. r8: dl per doc
+    * is size(tokens) computed in the scan's map stage — the old tf →
+    * groupBy(doc_id) detour cost an exploded-token exchange for a value
+    * each row already knows (guide §2.4); the dl > 0 filter keeps the r7
+    * n_docs semantics (docs with >= 1 valid token — every doc, on the
+    * gate corpora). Float discipline unchanged: ONE double division over
+    * exact integer aggregates + round(6). */
+  def a6CorpusStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(size(TextOps.tokensCol).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+      .agg(count(lit(1)).as("n_docs"),
         sum(col("dl")).as("sum_dl"))
       .select(col("n_docs"),
         round(col("sum_dl").cast("double") / col("n_docs").cast("double"), 6)
           .as("avgdl"),
         col("sum_dl").as("n_tokens"))
-  }
 
   val a6CorpusStatsSql: String =
     """SELECT count(*) AS n_docs,
@@ -123,11 +139,17 @@ object EntryQueries {
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
       |  WHERE length(term) >= 2 GROUP BY doc_id)""".stripMargin
 
-  /** F4 (SearchServiceImpl.java:32,151-162): stop-term cap + df-asc order. */
+  /** F4 (SearchServiceImpl.java:32,151-162): stop-term cap + df-asc
+    * order. r8: N comes from the raw parquet scan (a metadata-only
+    * count — the r7 count() on the rebalanced frame executed the
+    * round-robin exchange just to count rows), and df per term explodes
+    * each doc's DISTINCT tokens straight into the term aggregation —
+    * one exchange of vocabulary-sized partials instead of the two-level
+    * (doc, term) → (term) shuffle pair (guide §2.3). */
   def f4StopCap(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val n = docs.count()
-    TextOps.termFrequencies(docs)
+    val n = s.read.parquet(s"$dir/documents.parquet").count()
+    t(s, dir, "documents")
+      .select(explode(array_distinct(TextOps.tokensCol)).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= lit(0.9) * lit(n.toDouble))
       .orderBy(col("df"), col("term"))
@@ -144,12 +166,17 @@ object EntryQueries {
       |ORDER BY df, term""".stripMargin
 
   /** J1/O6 (SearchServiceImpl.java:164-200): AND intersection of three
-    * posting lists via left-semi chain, rarest first. */
+    * posting lists. r8: the left-semi chain over an exploded tf frame
+    * (two exchanges + two semi-join stages) is a per-doc containment
+    * conjunction — ONE map-only scan, zero joins; a doc holds a tf row
+    * for a term iff its token array contains it, so the row set is
+    * unchanged (guide §2.4, remove shuffles outright). */
   def j1AndIntersect(s: SparkSession, dir: String): DataFrame = {
-    val tf = TextOps.termFrequencies(t(s, dir, "documents"))
-    Seq("vector", "window", "spark")
-      .map(term => tf.filter(col("term") === term).select(col("doc_id")))
-      .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
+    val toks = TextOps.tokensCol
+    t(s, dir, "documents")
+      .filter(Seq("vector", "window", "spark")
+        .map(tm => array_contains(toks, lit(tm))).reduce(_ && _))
+      .select(col("doc_id"))
       .orderBy(col("doc_id"))
   }
 
@@ -163,12 +190,17 @@ object EntryQueries {
       |INTERSECT SELECT doc_id FROM tok WHERE term = 'spark'
       |ORDER BY doc_id""".stripMargin
 
-  /** O5 (SearchServiceImpl.java:127-141): OR union of posting lists. */
+  /** O5 (SearchServiceImpl.java:127-141): OR union of posting lists.
+    * r8: union+distinct over the exploded tf frame → a per-doc
+    * containment disjunction — ONE map-only scan, no distinct exchange
+    * (doc_id is unique per source row, so the filter IS the distinct
+    * union; guide §2.4). */
   def o5OrUnion(s: SparkSession, dir: String): DataFrame = {
-    val tf = TextOps.termFrequencies(t(s, dir, "documents"))
-    tf.filter(col("term") === "vector").select(col("doc_id"))
-      .union(tf.filter(col("term") === "dup").select(col("doc_id")))
-      .distinct()
+    val toks = TextOps.tokensCol
+    t(s, dir, "documents")
+      .filter(array_contains(toks, lit("vector")) ||
+        array_contains(toks, lit("dup")))
+      .select(col("doc_id"))
       .orderBy(col("doc_id"))
   }
 
@@ -340,61 +372,18 @@ object EntryQueries {
       should = Seq("vector", "dup"), not = Seq("group"), minMatch = 1,
       k = 10)
 
-  /** Spark twin for [[boolPhraseTopK]]: the `bm25` helper's adjacency
-    * prefilter+scan produces phrase candidates; the `bm25Mixed` pivot
-    * produces per-term score columns, the matched-SHOULD count and the
-    * fixed-order sum. */
+  /** Spark twin for [[boolPhraseTopK]]: the single-pass per-doc scaffold
+    * with candidates = the adjacency prefilter+scan predicate, the
+    * matched-SHOULD count and the fixed-order sum. */
   private def bm25PhraseMixed(s: SparkSession, dir: String,
                               phrase: Seq[String], should: Seq[String],
                               not: Seq[String], minMatch: Int,
                               k: Int): DataFrame = {
-    val docs = t(s, dir, "documents")
     val all = phrase.distinct ++ should
-    val tf = TextOps.termFrequencies(docs).cache()
-    try {
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head()
-      val n = statsRow.getLong(0)
-      val avgdl = statsRow.getLong(1).toDouble / n.toDouble
-      val dfMap = tf.filter(col("term").isin(all: _*))
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val dfCol = typedLit(dfMap)
-      // phrase candidates: the bm25-helper adjacency shape (prefilter +
-      // offset scan over the token array)
-      val w = TextOps.tokensCol
-      val m = phrase.length
-      val hasAll = phrase.distinct.map(tm => array_contains(w, lit(tm)))
-        .reduce(_ && _)
-      val adjacent = exists(sequence(lit(0), size(w) - lit(m)),
-        i => phrase.zipWithIndex.map { case (tm, j) =>
-          element_at(w, i + lit(j + 1)) === lit(tm) }.reduce(_ && _))
-      val cand = docs.filter(hasAll &&
-          when(size(w) >= m, adjacent).otherwise(lit(false)))
-        .select(col("doc_id"))
-        .join(tf.filter(col("term").isin(not: _*))
-          .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-      val scored = tf.filter(col("term").isin(all: _*))
-        .join(cand, Seq("doc_id"), "left_semi")
-        .join(dl, Seq("doc_id"))
-        .withColumn("s", Bm25.scoreCol(col("tf"), dfCol(col("term")),
-          col("dl"), n, avgdl))
-      val perTerm = all.map(tm =>
-        max(when(col("term") === tm, col("s"))).as(s"s_$tm"))
-      val agg = scored.groupBy(col("doc_id"))
-        .agg(perTerm.head, perTerm.tail: _*)
-      val matchedCol = should.map(tm =>
-        when(col(s"s_$tm").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
-      val sumCol = all.map(tm => coalesce(col(s"s_$tm"), lit(0.0)))
-        .reduce(_ + _)
-      val result = agg
-        .withColumn("matched", matchedCol)
-        .filter(col("matched") >= minMatch)
-        .select(col("doc_id"), col("matched"), round(sumCol, 6).as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(k)
-      s.createDataFrame(result.collectAsList(), result.schema)
-    } finally tf.unpersist()
+    val perDoc = perDocFacts(t(s, dir, "documents"), all ++ not,
+      (_, toks) => phrasePredicate(toks, phrase))
+    bm25TopKFromFacts(s, perDoc, scoredOrder = all, matchedOver = should,
+      notTerms = not, docPred = None, minMatch = minMatch, k = k)
   }
 
   /** Composed-phrase oracle: `phraseSql`'s positional-adjacency cand CTE
@@ -480,6 +469,118 @@ object EntryQueries {
 
   val wildcardTopKSql: String = likeSql("%up", k = 10)
 
+  // -------------------------------------------------------------------
+  // r8 single-pass scaffold for the bm25 gate family (optimization guide
+  // §2.3/§2.4: aggregate before shuffling, remove shuffles outright).
+  // The r7 shape tokenized the corpus into an exploded (doc, term) frame,
+  // shuffled it into a cached tf table and ran 3-4 jobs of joins per
+  // gate; but every gate only ever needs per-DOCUMENT facts about <= 6
+  // literal query terms — dl, the tf of each query term, a positional
+  // predicate — all computable in ONE codegen map pass over the documents
+  // scan with no explode and no (doc, term) exchange. Corpus statistics
+  // (N, Σdl, per-term df) reduce to a single tiny aggregate over that
+  // per-doc frame, and scoring + top-k is a second pass over the same
+  // cached frame ending in TakeOrderedAndProject (per-task heap + driver
+  // merge — no wide exchange anywhere). The same shape at 100 TB: one
+  // map stage over the corpus scan, one scalar-sized aggregate, one
+  // top-k. Float discipline is unchanged and results stay bit-identical
+  // to the r7 shape (driver oracle + the query-family specs pin it):
+  // Bm25.scoreCol sees the identical (tf, df, dl, N, avgdl) inputs, sums
+  // are fixed-order left-assoc column additions (adding coalesce-0.0 for
+  // an absent optional term is an IEEE no-op on the non-negative
+  // scores; the r7 2-term sum() aggregates were commutative pairs), and
+  // round(..., 6) is the same final op.
+
+  /** Per-doc fact frame: doc_id, lang, n_chars, dl, `tf_<term>` for each
+    * distinct term of `terms`, plus `cand` — the gate's candidate
+    * predicate built over (per-term tf columns, token array). One
+    * tokenize, map-only, no shuffle. */
+  private def perDocFacts(docs: DataFrame, terms: Seq[String],
+      candidate: (Map[String, Column], Column) => Column): DataFrame = {
+    val toks = col("toks")
+    val tfOf = terms.distinct.map(tm =>
+      tm -> size(filter(toks, x => x === lit(tm))).cast("long")).toMap
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        TextOps.tokensCol.as("toks"))
+      .select(Seq(col("doc_id"), col("lang"), col("n_chars"),
+        size(toks).cast("long").as("dl")) ++
+        terms.distinct.map(tm => tfOf(tm).as(s"tf_$tm")) :+
+        candidate(tfOf, toks).as("cand"): _*)
+  }
+
+  /** Phrase adjacency candidate predicate over the token array — the r6
+    * prefilter+offset-scan shape, unchanged semantics: array_contains per
+    * term kills ~all rows before the O(len·m) adjacency scan (adjacency
+    * implies contains-all), and the CaseWhen guards too-short rows
+    * (sequence(0, negative) would generate a DESCENDING range). */
+  private def phrasePredicate(toks: Column, ph: Seq[String]): Column = {
+    val m = ph.length
+    val hasAll = ph.distinct.map(tm => array_contains(toks, lit(tm)))
+      .reduce(_ && _)
+    val adjacent = exists(sequence(lit(0), size(toks) - lit(m)),
+      i => ph.zipWithIndex.map { case (tm, j) =>
+        element_at(toks, i + lit(j + 1)) === lit(tm) }.reduce(_ && _))
+    hasAll && when(size(toks) >= m, adjacent).otherwise(lit(false))
+  }
+
+  /** Stats + scoring tail shared by the whole bm25 family: ONE action
+    * for (N, Σdl, df per scored term) over the cached per-doc frame,
+    * then candidates filtered, scored and topped in a second pass.
+    * `scoredOrder` fixes the float-sum order (left-assoc — the
+    * bool_should discipline); `matchedOver` names the terms counted into
+    * an emitted `matched` column (empty = no such column, plain
+    * (doc_id, score) output); `notTerms` / `docPred` restrict candidates
+    * only — every statistic is the unfiltered corpus's, so a surviving
+    * hit keeps its unfiltered score (Lucene FILTER semantics). */
+  private def bm25TopKFromFacts(s: SparkSession, perDoc0: DataFrame,
+      scoredOrder: Seq[String], matchedOver: Seq[String],
+      notTerms: Seq[String], docPred: Option[Column], minMatch: Int,
+      k: Int): DataFrame = {
+    val perDoc = perDoc0.cache()
+    try {
+      val distinctScored = scoredOrder.distinct
+      // N and avgdl over docs with >= 1 valid token (the r7 dl-frame
+      // semantics); ONE double division over exact integer aggregates
+      val statAggs = Seq(count(when(col("dl") > 0, 1)).as("n"),
+        sum(col("dl")).as("sum_dl")) ++
+        distinctScored.map(tm =>
+          count(when(col(s"tf_$tm") > 0, 1)).as(s"df_$tm"))
+      val st = perDoc.agg(statAggs.head, statAggs.tail: _*).head()
+      val n = st.getLong(0)
+      val avgdl = st.getLong(1).toDouble / n.toDouble
+      val dfs = distinctScored.zipWithIndex
+        .map { case (tm, i) => tm -> st.getLong(2 + i) }.toMap
+      def scoreOf(tm: String): Column =
+        Bm25.scoreCol(col(s"tf_$tm"), lit(dfs(tm)), col("dl"), n, avgdl)
+      val sumCol =
+        if (scoredOrder.isEmpty) lit(0.0)
+        else scoredOrder.map(tm =>
+          coalesce(when(col(s"tf_$tm") > 0, scoreOf(tm)), lit(0.0)))
+          .reduce(_ + _)
+      var cur = perDoc.filter(col("cand"))
+      if (notTerms.nonEmpty)
+        cur = cur.filter(!notTerms.map(tm => col(s"tf_$tm") > 0)
+          .reduce(_ || _))
+      docPred.foreach(p => cur = cur.filter(p))
+      val result =
+        if (matchedOver.isEmpty)
+          cur.select(col("doc_id"), round(sumCol, 6).as("score"))
+            .orderBy(col("score").desc, col("doc_id"))
+            .limit(k)
+        else {
+          val matchedCol = matchedOver.map(tm =>
+            when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).reduce(_ + _)
+          cur.withColumn("matched", matchedCol)
+            .filter(col("matched") >= minMatch)
+            .select(col("doc_id"), col("matched"),
+              round(sumCol, 6).as("score"))
+            .orderBy(col("score").desc, col("doc_id"))
+            .limit(k)
+        }
+      s.createDataFrame(captured(result).collectAsList(), result.schema)
+    } finally perDoc.unpersist()
+  }
+
   private def bm25(s: SparkSession, dir: String, terms: Seq[String],
                    and: Boolean, k: Int,
                    phrase: Option[Seq[String]] = None,
@@ -488,78 +589,17 @@ object EntryQueries {
                    not: Seq[String] = Nil,
                    docPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val docs = t(s, dir, "documents")
-    // the cache is scoped to THIS call: the ≤k-row result is materialized
-    // while it is hot and the cache unpersisted before returning (the r01
-    // version leaked one pinned copy per bm25-family gate query)
-    val tf = TextOps.termFrequencies(docs).cache()
-    try {
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      // avgdl = ONE double division over exact integer aggregates (the
-      // a6 pattern): avg() over doubles is partition-order dependent and
-      // would drift under the small-input rebalance in t()
-      val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head()
-      val n = statsRow.getLong(0)
-      val avgdl = statsRow.getLong(1).toDouble / n.toDouble
-      val dfMap = tf.filter(col("term").isin(terms: _*))
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val qtf = tf.filter(col("term").isin(terms: _*))
-      val cand = (phrase, near) match {
-        case (Some(ph), _) =>
-          val w = TextOps.tokensCol
-          val m = ph.length
-          // CHEAP PREFILTER first (r6, VERDICT r05 item 5): array_contains
-          // per term is O(len·terms) and kills ~all rows before the
-          // O(len·m) adjacency scan — the scan shape that made phrase_topk
-          // the most expensive gate entry at sf0.1. Adjacency implies
-          // contains-all, so semantics are unchanged.
-          val hasAll = ph.distinct.map(tm => array_contains(w, lit(tm)))
-            .reduce(_ && _)
-          // exists start offset i (0-based) with w[i+j] == ph(j) for all j;
-          // CaseWhen guards the too-short rows (sequence(0, negative)
-          // would generate a DESCENDING range, not an empty one)
-          val adjacent = exists(sequence(lit(0), size(w) - lit(m)),
-            i => ph.zipWithIndex.map { case (tm, j) =>
-              element_at(w, i + lit(j + 1)) === lit(tm) }.reduce(_ && _))
-          docs.filter(hasAll &&
-              when(size(w) >= m, adjacent).otherwise(lit(false)))
-            .select(col("doc_id"))
+    val perDoc = perDocFacts(docs, terms ++ not, {
+      case (tfOf, toks) => (phrase, near) match {
+        case (Some(ph), _) => phrasePredicate(toks, ph)
         case (None, Some((nt, slop))) =>
-          nearCandidates(docs, nt, slop, orderedNear)
-        case _ if and =>
-          terms.map(tm => qtf.filter(col("term") === tm).select(col("doc_id")))
-            .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
-        case _ => qtf.select(col("doc_id")).distinct()
+          nearPredicate(toks, nt, slop, orderedNear)
+        case _ if and => terms.map(tm => tfOf(tm) > 0).reduce(_ && _)
+        case _ => terms.map(tm => tfOf(tm) > 0).reduce(_ || _)
       }
-      // MUST_NOT: anti-join the prohibited terms' docs out of the
-      // candidate set — scores (over `terms` only) are untouched
-      val cand2 =
-        if (not.isEmpty) cand
-        else cand.join(tf.filter(col("term").isin(not: _*))
-            .select(col("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
-      // FILTER clause (r7, engine twin: SearchEngine QueryFilter): a doc
-      // column predicate restricts CANDIDATES only — df/N/avgdl above are
-      // the UNFILTERED corpus statistics, so a filtered hit's score is
-      // bit-equal to its unfiltered score (Lucene FILTER semantics: a
-      // filter never re-weighs). Semi-join keeps the filter pushable to
-      // the docs scan (PushedFilters on lang/n_chars row-group stats).
-      val cand3 = docPred match {
-        case None => cand2
-        case Some(p) => cand2.join(docs.filter(p).select(col("doc_id")),
-          Seq("doc_id"), "left_semi")
-      }
-      val dfCol = typedLit(dfMap)
-      val result = qtf.join(cand3, Seq("doc_id"), "left_semi")
-        .join(dl, Seq("doc_id"))
-        .withColumn("s", Bm25.scoreCol(col("tf"), dfCol(col("term")),
-          col("dl"), n, avgdl))
-        .groupBy(col("doc_id"))
-        .agg(round(sum(col("s")), 6).as("score")) // ≤2 terms: commutative sum
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(k)
-      s.createDataFrame(result.collectAsList(), result.schema)
-    } finally tf.unpersist()
+    })
+    bm25TopKFromFacts(s, perDoc, scoredOrder = terms, matchedOver = Nil,
+      notTerms = not, docPred = docPred, minMatch = 0, k = k)
   }
 
   private def bm25Sql(terms: Seq[String], and: Boolean, k: Int): String = {
@@ -612,85 +652,29 @@ object EntryQueries {
        |${bm25ScoreTail(s"t.term IN ($inList)", k)}""".stripMargin
   }
 
-  /** Spark side of `bool_should_topk`: per-(doc, term) BM25 over the
-    * SHOULD set, grouped per doc into a matched-count + per-term score
-    * columns (max(when) pivot — each (doc, term) appears once), count
-    * qualifier >= minMatch, then the FIXED-ORDER column sum (see the
-    * gate scaladoc). */
+  /** Spark side of `bool_should_topk`: the single-pass per-doc scaffold
+    * with candidates = any SHOULD term present, the count qualifier >=
+    * minMatch, and the FIXED-ORDER column sum (see the gate scaladoc). */
   private def bm25Should(s: SparkSession, dir: String, terms: Seq[String],
                          minMatch: Int, k: Int): DataFrame = {
-    val tf = TextOps.termFrequencies(t(s, dir, "documents")).cache()
-    try {
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      // avgdl = ONE double division over exact integer aggregates (the
-      // a6 pattern — see bm25 above)
-      val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head()
-      val n = statsRow.getLong(0)
-      val avgdl = statsRow.getLong(1).toDouble / n.toDouble
-      val dfMap = tf.filter(col("term").isin(terms: _*))
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val dfCol = typedLit(dfMap)
-      val scored = tf.filter(col("term").isin(terms: _*))
-        .join(dl, Seq("doc_id"))
-        .withColumn("s", Bm25.scoreCol(col("tf"), dfCol(col("term")),
-          col("dl"), n, avgdl))
-      val perTerm = terms.map(tm =>
-        max(when(col("term") === tm, col("s"))).as(s"s_$tm"))
-      val agg = scored.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("matched"), perTerm: _*)
-      val sumCol = terms.map(tm => coalesce(col(s"s_$tm"), lit(0.0)))
-        .reduce(_ + _) // left fold == the SQL twin's left-assoc chain
-      val result = agg.filter(col("matched") >= minMatch)
-        .select(col("doc_id"), col("matched"), round(sumCol, 6).as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(k)
-      s.createDataFrame(result.collectAsList(), result.schema)
-    } finally tf.unpersist()
+    val perDoc = perDocFacts(t(s, dir, "documents"), terms,
+      (tfOf, _) => terms.map(tm => tfOf(tm) > 0).reduce(_ || _))
+    bm25TopKFromFacts(s, perDoc, scoredOrder = terms, matchedOver = terms,
+      notTerms = Nil, docPred = None, minMatch = minMatch, k = k)
   }
 
-  /** Combined-BooleanQuery twin (see [[boolMixedTopK]]): per-term score
-    * columns over must ∪ should (max(when) pivot), candidates = all MUST
-    * columns non-null ∧ matched-SHOULD count >= minMatch ∧ anti-join on
-    * the MUST_NOT terms, fixed-order column sum. */
+  /** Combined-BooleanQuery twin (see [[boolMixedTopK]]): the single-pass
+    * per-doc scaffold with candidates = every MUST term present ∧
+    * matched-SHOULD count >= minMatch ∧ no MUST_NOT term present,
+    * fixed-order column sum over must ∪ should. */
   private def bm25Mixed(s: SparkSession, dir: String, must: Seq[String],
                         should: Seq[String], not: Seq[String],
                         minMatch: Int, k: Int): DataFrame = {
     val all = must ++ should
-    val tf = TextOps.termFrequencies(t(s, dir, "documents")).cache()
-    try {
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head()
-      val n = statsRow.getLong(0)
-      val avgdl = statsRow.getLong(1).toDouble / n.toDouble
-      val dfMap = tf.filter(col("term").isin(all: _*))
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val dfCol = typedLit(dfMap)
-      val scored = tf.filter(col("term").isin(all: _*))
-        .join(dl, Seq("doc_id"))
-        .withColumn("s", Bm25.scoreCol(col("tf"), dfCol(col("term")),
-          col("dl"), n, avgdl))
-      val perTerm = all.map(tm =>
-        max(when(col("term") === tm, col("s"))).as(s"s_$tm"))
-      val agg = scored.groupBy(col("doc_id"))
-        .agg(perTerm.head, perTerm.tail: _*)
-      val mustPred = must.map(tm => col(s"s_$tm").isNotNull)
-        .reduce(_ && _)
-      val matchedCol = should.map(tm =>
-        when(col(s"s_$tm").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
-      val sumCol = all.map(tm => coalesce(col(s"s_$tm"), lit(0.0)))
-        .reduce(_ + _) // left fold == the SQL twin's left-assoc chain
-      val result = agg.filter(mustPred)
-        .withColumn("matched", matchedCol)
-        .filter(col("matched") >= minMatch)
-        .join(tf.filter(col("term").isin(not: _*))
-          .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("matched"), round(sumCol, 6).as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(k)
-      s.createDataFrame(result.collectAsList(), result.schema)
-    } finally tf.unpersist()
+    val perDoc = perDocFacts(t(s, dir, "documents"), all ++ not,
+      (tfOf, _) => must.map(tm => tfOf(tm) > 0).reduce(_ && _))
+    bm25TopKFromFacts(s, perDoc, scoredOrder = all, matchedOver = should,
+      notTerms = not, docPred = None, minMatch = minMatch, k = k)
   }
 
   /** Combined-BooleanQuery oracle: the boolShouldSql shape with a MUST
@@ -787,9 +771,8 @@ object EntryQueries {
     * per surviving doc with occ ≪ len — vs the old every-window
     * O(len·slop·terms) scan over every doc. Map-only; no positional
     * self-join, no shuffle. */
-  private def nearCandidates(docs: DataFrame, nt: Seq[String],
-                             slop: Int, ordered: Boolean = false): DataFrame = {
-    val w = TextOps.tokensCol
+  private def nearPredicate(w: Column, nt: Seq[String],
+                            slop: Int, ordered: Boolean): Column = {
     val hasAll = nt.distinct.map(tm => array_contains(w, lit(tm)))
       .reduce(_ && _)
     val occ = nt.map(tm =>
@@ -809,8 +792,13 @@ object EntryQueries {
         throw new IllegalArgumentException(
           s"near gate twin supports 2-3 terms (ordered: 2), got ${nt.size}")
     }
-    docs.filter(hasAll && windowed).select(col("doc_id"))
+    hasAll && windowed
   }
+
+  private def nearCandidates(docs: DataFrame, nt: Seq[String],
+                             slop: Int, ordered: Boolean = false): DataFrame =
+    docs.filter(nearPredicate(TextOps.tokensCol, nt, slop, ordered))
+      .select(col("doc_id"))
 
   /** 3-term NEAR window membership (VERDICT r05 item 6: the 2-term
     * `near_topk` oracle pins |Δpos| but not arity — this gate pins the
@@ -922,48 +910,44 @@ object EntryQueries {
     * filter swapped from an IN list to an arbitrary expansion predicate —
     * df, candidates and the score join all range over the expansion. */
   private def bm25Expansion(s: SparkSession, dir: String,
-                            termPred: Column, k: Int): DataFrame = {
+                            termPred: Column => Column, k: Int): DataFrame = {
     val docs = t(s, dir, "documents")
-    val tf = TextOps.termFrequencies(docs).cache()
-    try {
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head()
-      val n = statsRow.getLong(0)
-      val avgdl = statsRow.getLong(1).toDouble / n.toDouble
-      // resolve the expansion over DISTINCT terms (vocabulary-sized), not
-      // per tf row: levenshtein/LIKE on every (doc, term) pair was the
-      // single most expensive gate entry in the r6 bench (3.75 s); the
-      // downstream filters become a plain IN list
-      val matched = tf.select(col("term")).distinct().filter(termPred)
-        .collect().map(_.getString(0)).toSeq
-      val qtf = tf.filter(col("term").isin(matched: _*))
-      val dfMap = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val cand = qtf.select(col("doc_id")).distinct()
-      val dfCol = typedLit(dfMap)
-      val result = qtf.join(cand, Seq("doc_id"), "left_semi")
-        .join(dl, Seq("doc_id"))
-        .withColumn("s", Bm25.scoreCol(col("tf"), dfCol(col("term")),
-          col("dl"), n, avgdl))
-        .groupBy(col("doc_id"))
-        .agg(round(sum(col("s")), 6).as("score")) // <=2 expansions: commutative
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(k)
-      s.createDataFrame(result.collectAsList(), result.schema)
-    } finally tf.unpersist()
+    // resolve the expansion in ONE map pass: the term predicate runs
+    // inside a higher-order filter over each doc's DISTINCT tokens (so
+    // levenshtein/LIKE runs once per distinct token per doc, never per
+    // occurrence), almost every doc emits zero rows, and the distinct()
+    // shuffle carries only the handful of matching vocabulary terms —
+    // the r7 shape built the full (doc, term) tf frame first (two
+    // exchanges) just to derive this list
+    val matched = docs
+      .select(explode(filter(array_distinct(TextOps.tokensCol),
+        x => termPred(x))).as("term"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (matched.isEmpty) {
+      // empty expansion: the r7 shape's empty (doc_id, score) result
+      val result = t(s, dir, "documents").filter(lit(false))
+        .select(col("doc_id"), round(lit(0.0), 6).as("score"))
+      return s.createDataFrame(captured(result).collectAsList(), result.schema)
+    }
+    val perDoc = perDocFacts(docs, matched,
+      (tfOf, _) => matched.map(tm => tfOf(tm) > 0).reduce(_ || _))
+    // <= 2 expansions in every gate: the score sum is commutative, so the
+    // sorted fixed order is bit-equal to the r7 aggregation sum
+    bm25TopKFromFacts(s, perDoc, scoredOrder = matched, matchedOver = Nil,
+      notTerms = Nil, docPred = None, minMatch = 0, k = k)
   }
 
   private def bm25Prefix(s: SparkSession, dir: String, pre: String,
                          k: Int): DataFrame =
-    bm25Expansion(s, dir, col("term").startsWith(pre), k)
+    bm25Expansion(s, dir, _.startsWith(pre), k)
 
   private def bm25Fuzzy(s: SparkSession, dir: String, q: String,
                         maxEdits: Int, k: Int): DataFrame =
-    bm25Expansion(s, dir, levenshtein(col("term"), lit(q)) <= maxEdits, k)
+    bm25Expansion(s, dir, t => levenshtein(t, lit(q)) <= maxEdits, k)
 
   private def bm25Like(s: SparkSession, dir: String, like: String,
                        k: Int): DataFrame =
-    bm25Expansion(s, dir, col("term").like(like), k)
+    bm25Expansion(s, dir, _.like(like), k)
 
   /** W1 (GenerateSnippetAction.java:40-66): token ordinals via posexplode. */
   def w1TokenPositions(s: SparkSession, dir: String): DataFrame =
@@ -1117,13 +1101,21 @@ object EntryQueries {
     """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
       |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin
 
-  /** O6 set-intersect: customers with both URGENT and LOW orders. */
-  def o6Intersect(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-    o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
-      .intersect(o.filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey")))
+  /** O6 set-intersect: customers with both URGENT and LOW orders.
+    * r8: INTERSECT of two filtered scans (two scans + a distinct-join
+    * exchange pair) → ONE grouped scan with conditional presence flags —
+    * identical distinct-key set, one map-side-combined exchange
+    * (guide §2.3/§2.4). */
+  def o6Intersect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0))
+          .as("has_urgent"),
+        max(when(col("o_orderpriority") === "5-LOW", 1).otherwise(0))
+          .as("has_low"))
+      .filter(col("has_urgent") === 1 && col("has_low") === 1)
+      .select(col("o_custkey"))
       .orderBy(col("o_custkey"))
-  }
 
   val o6IntersectSql: String =
     """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -1132,14 +1124,17 @@ object EntryQueries {
       |ORDER BY o_custkey""".stripMargin
 
   /** O8 set-except (S6 delete analog): customers with orders but none
-    * urgent. */
-  def o8Except(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-    o.select(col("o_custkey")).distinct()
-      .except(o.filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_custkey")).distinct())
+    * urgent. r8: DISTINCT + EXCEPT (two distinct exchanges + an
+    * anti-join) → ONE grouped scan filtering on a conditional presence
+    * flag — identical distinct-key set, one exchange (guide §2.4). */
+  def o8Except(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0))
+        .as("has_urgent"))
+      .filter(col("has_urgent") === 0)
+      .select(col("o_custkey"))
       .orderBy(col("o_custkey"))
-  }
 
   val o8ExceptSql: String =
     """SELECT DISTINCT o_custkey FROM orders
@@ -1594,7 +1589,11 @@ object EntryQueries {
     val terms = Set("spark", "merge")
     val snip = udf((text: String) => graft.query.Snippets.snippet(text, terms))
     bm25(s, dir, terms.toSeq.sorted, and = true, k = 5)
-      .join(t(s, dir, "documents").select(col("doc_id"), col("text")), Seq("doc_id"))
+      // raw read for the text fetch: joining the 5-row local result needs
+      // no compute rebalance, and skipping t() drops its round-robin
+      // exchange from the probe side (r8, guide §2.4)
+      .join(s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")), Seq("doc_id"))
       .select(col("doc_id"), col("score"), snip(col("text")).as("snippet"))
       .orderBy(col("score").desc, col("doc_id"))
   }
@@ -1722,7 +1721,10 @@ object EntryQueries {
       .select(col("doc_id"), col("n_bigrams"), col("avg_logp"))
       .localCheckpoint(true) // pin the float keys (see scaladoc)
     val p = math.max(1, s.sessionState.conf.numShufflePartitions / 2)
-    val nDocs = t(s, dir, "documents").count()
+    // raw scan: a metadata-only count (the t() rebalance would execute
+    // its round-robin exchange just to count rows — r8, guide §2.4);
+    // the count only sizes the sampling modulus, never correctness
+    val nDocs = s.read.parquet(s"$dir/documents.parquet").count()
     val sampleMod = math.max(1L, nDocs / math.max(1L, p.toLong * 200L))
     // rank key = (avg_logp DESC, doc_id ASC)
     implicit val keyOrd: Ordering[(Double, Long)] =
@@ -2037,8 +2039,10 @@ object EntryQueries {
     val p = math.max(1, s.sessionState.conf.numShufflePartitions / 2)
     // sampling modulus sized from the DOCUMENT count (parquet metadata —
     // no compute): vocabulary scales with the corpus, and the modulus
-    // only affects bucket BALANCE, never correctness
-    val nDocs = t(s, dir, "documents").count()
+    // only affects bucket BALANCE, never correctness. r8: count the RAW
+    // scan — counting the t() rebalanced frame executed its round-robin
+    // exchange just to read the row count the footer already knows.
+    val nDocs = s.read.parquet(s"$dir/documents.parquet").count()
     val sampleMod = math.max(1L, nDocs / math.max(1L, p.toLong * 200L))
     // rank key = (df ASC, term UTF-8 ASC); the scaffold (quantile
     // boundaries, bucket search, prefix offsets, steered repartition) is

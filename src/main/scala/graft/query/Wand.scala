@@ -359,28 +359,60 @@ object Wand {
         }
         if (cand == Long.MaxValue || cand > hi) cont = false
         else {
-          java.util.Arrays.fill(contribs, 0.0)
-          var matched = 0
+          // BMW-style admission pre-check (VERDICT r7 item 1): before any
+          // probe advanceTo / scoring, bound cand's best possible score by
+          // Σ term upper bounds of the driver lists sitting on cand plus
+          // every probe list not yet past cand, and bound its best
+          // possible match count the same way. If even the slack-inflated
+          // score bound cannot reach the heap threshold — or the possible
+          // count cannot reach minMatch — cand is skipped without moving
+          // a probe cursor or decoding a score. Exact: score <= upperBound
+          // per term (the orTopK WAND invariant), a probe past cand cannot
+          // contain it, and the slack (sign-safe, 1e-12 relative — the
+          // boolTopK BoolBoundSlack discipline) only ever over-admits.
+          val theta = heap.threshold
+          var ub = 0.0
+          var possible = 0
           i = 0
           while (i < drivers.length) {
             if (drivers(i).docId == cand) {
-              contribs(drivers(i).canonical) = drivers(i).score
-              matched += 1
+              ub += drivers(i).upperBound
+              possible += 1
             }
             i += 1
           }
           i = 0
           while (i < probes.length) {
-            probes(i).advanceTo(cand)
-            if (!probes(i).exhausted && probes(i).docId == cand) {
-              contribs(probes(i).canonical) = probes(i).score
-              matched += 1
+            if (!probes(i).exhausted && probes(i).docId <= cand) {
+              ub += probes(i).upperBound
+              possible += 1
             }
             i += 1
           }
-          if (matched >= minMatch && presentInAll(reqArr, cand) &&
-              !presentInAny(negArr, cand))
-            heap.offer(cand, canonicalSum(contribs))
+          if (possible >= minMatch && ub + BoundSlackEps * math.abs(ub) >= theta) {
+            java.util.Arrays.fill(contribs, 0.0)
+            var matched = 0
+            i = 0
+            while (i < drivers.length) {
+              if (drivers(i).docId == cand) {
+                contribs(drivers(i).canonical) = drivers(i).score
+                matched += 1
+              }
+              i += 1
+            }
+            i = 0
+            while (i < probes.length) {
+              probes(i).advanceTo(cand)
+              if (!probes(i).exhausted && probes(i).docId == cand) {
+                contribs(probes(i).canonical) = probes(i).score
+                matched += 1
+              }
+              i += 1
+            }
+            if (matched >= minMatch && presentInAll(reqArr, cand) &&
+                !presentInAny(negArr, cand))
+              heap.offer(cand, canonicalSum(contribs))
+          }
           i = 0
           while (i < drivers.length) {
             if (drivers(i).docId == cand) drivers(i).advance()
@@ -391,6 +423,13 @@ object Wand {
     }
     heap.results
   }
+
+  /** Sign-safe relative slack on summed upper bounds (the
+    * SearchEngine.BoolBoundSlack discipline): covers float-association
+    * noise between a bound sum and the canonical-order score sum.
+    * Over-admission only costs a probe; under-admission would break the
+    * exactness contract. */
+  private val BoundSlackEps = 1e-12
 
   /** OR top-k: WAND with term-level upper bounds (each derived from the
     * per-block maxTf/minDl metadata, i.e. tighter than a plain maxTf
@@ -406,15 +445,17 @@ object Wand {
   def orTopKSegments(terms: Seq[TermCursor], k: Int,
                      segments: Seq[(Long, Long)],
                      required: Seq[TermCursor] = Nil,
-                     after: Option[SearchHit] = None): Vector[SearchHit] = {
+                     after: Option[SearchHit] = None,
+                     prohibited: Seq[TermCursor] = Nil): Vector[SearchHit] = {
     if (terms.isEmpty || segments.isEmpty) return Vector.empty
     val heap = new TopK(k, after)
     val cursors = terms.toArray
     val reqArr = required.toArray
+    val negArr = prohibited.toArray
     // global canonical indices (see andTopK) — size by the max index
     val contribs = new Array[Double](cursors.map(_.canonical).max + 1)
     segments.foreach { case (minDoc, maxDoc) =>
-      orOneSegment(cursors, heap, contribs, minDoc, maxDoc, reqArr)
+      orOneSegment(cursors, heap, contribs, minDoc, maxDoc, reqArr, negArr)
     }
     heap.results
   }
@@ -450,7 +491,8 @@ object Wand {
   private def orOneSegment(cursors: Array[TermCursor], heap: TopK,
                            contribs: Array[Double],
                            minDoc: Long, maxDoc: Long,
-                           required: Array[TermCursor] = Array.empty): Unit = {
+                           required: Array[TermCursor] = Array.empty,
+                           prohibited: Array[TermCursor] = Array.empty): Unit = {
     cursors.foreach(_.advanceTo(minDoc))
     while (true) {
       // sort by current docId (N terms is tiny; insertion-order cost ok)
@@ -493,8 +535,9 @@ object Wand {
           if (cand <= pivotDoc) cand = pivotDoc + 1
           bi = 0
           while (bi < involved) { live(bi).advanceTo(cand); bi += 1 }
-        } else if (!presentInAll(required, pivotDoc)) {
-          // filtered out: move past the pivot without scoring
+        } else if (!presentInAll(required, pivotDoc) ||
+                   presentInAny(prohibited, pivotDoc)) {
+          // filtered / prohibited: move past the pivot without scoring
           var j = 0
           while (j < involved) { live(j).advance(); j += 1 }
         } else {

@@ -184,6 +184,35 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  test("property: OR/WAND with prohibited == brute force minus prohibited docs (r8)") {
+    forAllSeeded(caseGen, n = 120) { case (corpus, terms, k, cap, bs) =>
+      val negTerm = s"t${(k + terms.size) % 12}"
+      val (cursors, _, _) = buildCursors(corpus, terms, cap, bs)
+      val neg = buildCursors(corpus, Seq(negTerm), cap, bs)._1
+      val expected = brute(corpus, terms, "OR", Int.MaxValue)
+        .filterNot(h => corpus(h.docId).contains(negTerm))
+        .take(k)
+      val got = Wand.orTopKSegments(cursors, k,
+        Vector((0L, Long.MaxValue)), prohibited = neg)
+      assert(got == expected, s"terms=$terms neg=$negTerm k=$k cap=$cap bs=$bs")
+    }
+  }
+
+  test("property: SHOULD minMatch=1 + prohibited == OR + prohibited (dispatch law, r8)") {
+    forAllSeeded(caseGen, n = 120) { case (corpus, terms, k, cap, bs) =>
+      val negTerm = s"t${(k + 1 + terms.size) % 12}"
+      def fresh() = buildCursors(corpus, terms, cap, bs)._1
+      def freshNeg() = buildCursors(corpus, Seq(negTerm), cap, bs)._1
+      if (fresh().nonEmpty) {
+        val viaShould = Wand.shouldTopKSegments(fresh(), 1, k,
+          Vector((0L, Long.MaxValue)), prohibited = freshNeg())
+        val viaOr = Wand.orTopKSegments(fresh(), k,
+          Vector((0L, Long.MaxValue)), prohibited = freshNeg())
+        assert(viaShould == viaOr, s"terms=$terms neg=$negTerm k=$k")
+      }
+    }
+  }
+
   private val segmentedGen = for {
     base <- caseGen
     nSegs <- Gen.chooseNum(1, 4)

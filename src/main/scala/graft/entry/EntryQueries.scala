@@ -498,14 +498,25 @@ object EntryQueries {
   private def perDocFacts(docs: DataFrame, terms: Seq[String],
       candidate: (Map[String, Column], Column) => Column): DataFrame = {
     val toks = col("toks")
-    val tfOf = terms.distinct.map(tm =>
-      tm -> size(filter(toks, x => x === lit(tm))).cast("long")).toMap
+    val distinctTerms = terms.distinct
+    // layered projections: tokenize once, then the per-term tf columns,
+    // then the candidate over the tf COLUMN REFS. The higher-order
+    // filter() projections are interpreted (no whole-stage codegen, so
+    // no subexpression elimination) — building `cand` from the raw tf
+    // expressions would evaluate each term's filter twice per row.
+    // CollapseProject keeps the layers apart exactly because the tf
+    // aliases are referenced more than once.
     docs.select(col("doc_id"), col("lang"), col("n_chars"),
         TextOps.tokensCol.as("toks"))
-      .select(Seq(col("doc_id"), col("lang"), col("n_chars"),
+      .select(Seq(col("doc_id"), col("lang"), col("n_chars"), toks,
         size(toks).cast("long").as("dl")) ++
-        terms.distinct.map(tm => tfOf(tm).as(s"tf_$tm")) :+
-        candidate(tfOf, toks).as("cand"): _*)
+        distinctTerms.map(tm =>
+          size(filter(toks, x => x === lit(tm))).cast("long")
+            .as(s"tf_$tm")): _*)
+      .select(Seq(col("doc_id"), col("lang"), col("n_chars"), col("dl")) ++
+        distinctTerms.map(tm => col(s"tf_$tm")) :+
+        candidate(distinctTerms.map(tm => tm -> col(s"tf_$tm")).toMap,
+          toks).as("cand"): _*)
   }
 
   /** Phrase adjacency candidate predicate over the token array — the r6

@@ -16,8 +16,8 @@ import graft.model.{QueryFilter, SearchHit}
   * dispatch bit-equal to the direct call).
   *
   * Grammar (whitespace-separated clauses; a deliberate, documented
-  * subset of Lucene's — no parentheses, no per-clause boosts, no
-  * AND/OR/NOT keyword operators):
+  * subset of Lucene's — no parentheses, no AND/OR/NOT keyword
+  * operators; per-clause boosts ARE supported, `term^b` below):
   *
   *   clause := '+' body   — MUST (required, scored)
   *           | '-' body   — MUST_NOT (prohibited, unscored)
